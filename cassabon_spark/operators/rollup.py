@@ -1,0 +1,206 @@
+"""Rollup aggregation: routing, tumbling windows, multi-tier fan-out.
+
+Reference operators A5-A9 (SURVEY §2):
+  - regex route, first-match-wins      (datastore/metricstore.go:11-22)
+  - tumbling window agg, 5 methods     (datastore/metricstore.go:25-43,61-185)
+  - window close-time stamping         (datastore/metricstore.go:109-116,
+                                        datastore/util.go:17-25)
+  - multi-tier fan-out                 (datastore/metricstore.go:76-81)
+
+Spark-first design decisions:
+  * Routing is ONE Catalyst when/rlike chain (no Python), built by
+    RollupConfig.routing_when_chain(). Constant-folded literals, whole-stage
+    codegen.
+  * Only the FINEST tier aggregates the raw stream (one shuffle over the big
+    data). Coarser tiers re-aggregate the finest tier's output — legal because
+    the config validator enforces exact-multiple windows (reference
+    config/config_parser.go:401-434), and the finest tier is orders of
+    magnitude smaller than the raw input, so tier fan-out costs ~nothing at
+    100 TB. This replaces the reference's "accumulate every metric into every
+    window" (metricstore.go:76-81) with an equivalent but shuffle-cheap plan.
+  * AVERAGE carries (vsum, cnt) so cross-tier re-aggregation is a true
+    weighted average — the reference re-averages finalized values at read
+    time, which is a weighted-average bug we fix and document (SURVEY §7
+    hard-part 2).
+  * LAST is latest-by-timestamp via max_by (deterministic refinement of the
+    reference's arrival-order LAST — SURVEY §2 note ①).
+
+Storage schema (FIXTURES.md §1.4, extended for lossless re-agg):
+  path STRING, time TIMESTAMP (window CLOSE), stat DOUBLE,
+  cnt BIGINT, vsum/vmin/vmax/vlast DOUBLE, last_ts DOUBLE,
+  method STRING, resolution_s BIGINT (partition column)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassabon_spark.config import RollupConfig
+
+STAT_BY_METHOD = {
+    "average": lambda: F.col("vsum") / F.col("cnt"),
+    "max": lambda: F.col("vmax"),
+    "min": lambda: F.col("vmin"),
+    "sum": lambda: F.col("vsum"),
+    "last": lambda: F.col("vlast"),
+}
+
+
+def _stat_expr():
+    """stat = CASE method ... END over the carried aggregate columns."""
+    expr = None
+    for m, fn in STAT_BY_METHOD.items():
+        cond = F.col("method") == m
+        expr = F.when(cond, fn()) if expr is None else expr.when(cond, fn())
+    return expr
+
+
+def _method_chain(config: RollupConfig):
+    """expression -> method as a literal CASE chain (few expressions)."""
+    expr = None
+    for d in config.rollups:
+        cond = F.col("expression") == d.expression
+        expr = F.when(cond, F.lit(d.method)) if expr is None else expr.when(cond, F.lit(d.method))
+    return expr.otherwise(F.lit("average"))
+
+
+def route(metrics: DataFrame, config: RollupConfig) -> DataFrame:
+    """Add (expression, method) columns via the priority when-chain (A5)."""
+    return metrics.withColumn("expression", config.routing_when_chain()).withColumn(
+        "method", _method_chain(config)
+    )
+
+
+def rollup_finest(routed: DataFrame, config: RollupConfig) -> DataFrame:
+    """Aggregate the raw stream into each expression's FINEST window tier.
+
+    Input: routed metrics (path, value, ts DOUBLE epoch, expression, method).
+    One hash aggregation -> one shuffle on (path, window). Window close time
+    stamping matches the reference: row time = window end (metricstore.go:109-116),
+    epoch-aligned (util.go:17-25 + SURVEY note ②).
+    """
+    finest = None
+    for d in config.rollups:
+        w = d.finest.window_s
+        part = (
+            routed.filter(F.col("expression") == d.expression)
+            .groupBy(
+                "path",
+                "expression",
+                "method",
+                F.window(F.timestamp_seconds("ts"), f"{w} seconds").alias("win"),
+            )
+            .agg(
+                F.count("value").alias("cnt"),
+                F.sum("value").alias("vsum"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+                F.max_by("value", "ts").alias("vlast"),
+                F.max("ts").alias("last_ts"),
+            )
+            .withColumn("time", F.col("win.end"))
+            .withColumn("resolution_s", F.lit(w).cast("bigint"))
+            .drop("win")
+        )
+        finest = part if finest is None else finest.unionByName(part)
+    return finest.withColumn("stat", _stat_expr())
+
+
+def rollup_coarser(finest: DataFrame, config: RollupConfig) -> DataFrame:
+    """Derive every coarser tier by re-aggregating the finest tier's rows.
+
+    A finest window [t, t+wf) nests inside coarse [k*W, (k+1)*W) because
+    wf | W (validator guarantee). Coarse close = ceil(end/W)*W in integer
+    seconds. Lossless: sum/min/max re-aggregate directly, average re-derives
+    from (vsum, cnt), last = max_by(vlast, last_ts).
+    """
+    out = None
+    for d in config.rollups:
+        for w in d.windows[1:]:  # windows sorted finest-first
+            W = w.window_s
+            end_s = F.unix_timestamp("time")
+            coarse_close = (F.floor((end_s + W - 1) / W) * W).cast("bigint")
+            part = (
+                finest.filter(F.col("expression") == d.expression)
+                .withColumn("ctime", F.timestamp_seconds(coarse_close))
+                .groupBy("path", "expression", "method", "ctime")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("vsum").alias("vsum"),
+                    F.min("vmin").alias("vmin"),
+                    F.max("vmax").alias("vmax"),
+                    F.max_by("vlast", "last_ts").alias("vlast"),
+                    F.max("last_ts").alias("last_ts"),
+                )
+                .withColumnRenamed("ctime", "time")
+                .withColumn("resolution_s", F.lit(W).cast("bigint"))
+            )
+            out = part if out is None else out.unionByName(part)
+    if out is None:
+        return finest.limit(0)
+    return out.withColumn("stat", _stat_expr())
+
+
+def rollup_all_tiers(metrics: DataFrame, config: RollupConfig) -> DataFrame:
+    """route -> finest agg -> coarse re-agg; union of all tiers (A8)."""
+    routed = route(metrics, config)
+    finest = rollup_finest(routed, config)
+    coarse = rollup_coarser(finest, config)
+    return finest.unionByName(coarse)
+
+
+def write_rollups(rollups: DataFrame, out_dir: str, mode: str = "append") -> None:
+    """Persist tiers as partitioned parquet (replaces per-retention Cassandra
+    tables, reference datastore/metricmanager.go:149-179).
+
+    Partition layout: resolution_s (tier pruning at read, SURVEY A10) + date
+    bucket (retention sweeps drop whole partitions — Spark has no TTL
+    primitive). Rows are clustered (path, time) within files to emulate the
+    reference's CLUSTERING ORDER (metricmanager.go:158-171): run-length /
+    delta encoding + row-group min/max skipping on path and time.
+    """
+    (
+        rollups.withColumn("date_bucket", F.date_format("time", "yyyy-MM-dd"))
+        .repartition("resolution_s", "date_bucket", "path")
+        .sortWithinPartitions("path", "time")
+        .write.partitionBy("resolution_s", "date_bucket")
+        .mode(mode)
+        .parquet(out_dir)
+    )
+
+
+def sweep_retention(spark, store_dir: str, config: RollupConfig, now_s: int) -> list[str]:
+    """Retention job: drop expired (resolution_s, date_bucket) partitions.
+
+    TTL = retention * 1.1 like the reference (metricmanager.go:163-171).
+    Returns the partition paths removed. Pure metadata operation — no data
+    read — so it scales with partition count, not data size.
+    """
+    import shutil
+    from datetime import datetime, timedelta, timezone
+    from pathlib import Path
+
+    removed: list[str] = []
+    retention_by_window: dict[int, int] = {}
+    for d in config.rollups:
+        for w in d.windows:
+            r = retention_by_window.get(w.window_s, 0)
+            retention_by_window[w.window_s] = max(r, int(w.retention_s * 1.1))
+    root = Path(store_dir)
+    if not root.exists():
+        return removed
+    for res_dir in root.glob("resolution_s=*"):
+        res = int(res_dir.name.split("=", 1)[1])
+        ttl = retention_by_window.get(res)
+        if ttl is None:
+            continue
+        cutoff = datetime.fromtimestamp(now_s - ttl, tz=timezone.utc) - timedelta(days=1)
+        for date_dir in res_dir.glob("date_bucket=*"):
+            day = datetime.strptime(date_dir.name.split("=", 1)[1], "%Y-%m-%d").replace(
+                tzinfo=timezone.utc
+            )
+            if day < cutoff:
+                shutil.rmtree(date_dir)
+                removed.append(str(date_dir))
+    return removed

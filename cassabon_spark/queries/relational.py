@@ -1,0 +1,840 @@
+"""Part B — the general relational surface (SURVEY §2 Part B).
+
+The reference implements none of these (cassabon has no join, no SQL window
+functions, no set ops — SURVEY §2 Part B table); they are the engine surface
+Catalyst gives for free, declared here so the oracle harness exercises each
+category: joins (broadcast/sort-merge/semi/anti/non-equi/as-of), aggregation
+(hash agg, rollup/cube, distinct), SQL window functions (ranking/analytic/
+frames), sorts/top-k, set ops, and scalar string/date/json/array functions.
+
+Every query here is scale-minded: dims are broadcast, aggregations are
+partial-before-shuffle (Catalyst default), top-k is TakeOrderedAndProject,
+and window functions partition on high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassabon_spark.operators.asof import asof_join
+from cassabon_spark.queries import R, T, register
+from cassabon_spark.session import prep
+
+# ---------------------------------------------------------------- q1 pricing
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       ROUND(ROUND(AVG(l_quantity), 8), 4)                                        AS avg_qty,
+       ROUND(ROUND(AVG(l_extendedprice), 8), 4)                                   AS avg_price,
+       ROUND(ROUND(AVG(l_discount), 8), 4)                                        AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL, "TPC-H Q1: scan + hash agg w/ partial agg")
+def q1(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            R(F.avg("l_quantity"), 4).alias("avg_qty"),
+            R(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            R(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- q3 top-k join
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       STRFTIME(o_orderdate, '%Y-%m-%d')                 AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL, "TPC-H Q3: 3-way join + agg + global top-k")
+def q3(spark, sf_dir):
+    prep(spark)
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q5 local supplier
+
+_Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_local_supplier_volume", _Q5_SQL, "TPC-H Q5: 6-way join, broadcast dims")
+def q5(spark, sf_dir):
+    prep(spark)
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------- anti / semi joins
+
+_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("join_left_anti", _ANTI_SQL, "left_anti join: customers with no orders")
+def join_anti(spark, sf_dir):
+    prep(spark)
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("customers_without_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_SEMI_SQL = """
+SELECT p_brand, COUNT(*) AS parts_sold
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register("join_left_semi", _SEMI_SQL, "left_semi join: parts that appear in lineitem")
+def join_semi(spark, sf_dir):
+    prep(spark)
+    part = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("parts_sold"))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------- full outer join
+
+_FULL_SQL = """
+WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(cn.k, sn.k)      AS nationkey,
+       COALESCE(n_cust, 0)      AS n_cust,
+       COALESCE(n_supp, 0)      AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+ORDER BY nationkey
+"""
+
+
+@register("join_full_outer", _FULL_SQL, "full outer join with coalesced sides")
+def join_full(spark, sf_dir):
+    prep(spark)
+    cn = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.join(sn, "k", "full_outer")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------- window functions
+
+_TOPK_GRP_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+@register("win_topk_per_group", _TOPK_GRP_SQL, "per-group top-k via row_number")
+def win_topk(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("win_running_sum", _RUNNING_SQL, "running aggregate over rows frame")
+def win_running(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_LAG_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         DATE_DIFF('day',
+                   LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       ROUND(ROUND(AVG(gap_days), 8), 4)     AS avg_gap_days,
+       CAST(COUNT(gap_days) AS BIGINT) AS n_gaps
+FROM gaps JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("win_lag_order_gaps", _LAG_SQL, "lag analytic fn: days between consecutive orders")
+def win_lag(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap_days", F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            R(F.avg("gap_days"), 4).alias("avg_gap_days"),
+            F.count("gap_days").alias("n_gaps"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_RANGE_FRAME_SQL = """
+WITH daily AS (
+  SELECT l_returnflag,
+         DATE_DIFF('day', TIMESTAMP '1995-01-01', l_shipdate) AS day_num,
+         SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, day_num,
+       ROUND(ROUND(AVG(rev) OVER (PARTITION BY l_returnflag ORDER BY day_num
+                            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6), 2)
+         AS trailing_7d_avg
+FROM daily
+ORDER BY l_returnflag, day_num
+"""
+
+
+@register("win_range_frame_7d", _RANGE_FRAME_SQL, "range frame: 7-day trailing average")
+def win_range(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1995-04-01")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("date")).alias("day_num"),
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    w = Window.partitionBy("l_returnflag").orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("trailing_7d_avg", R(F.avg("rev").over(w), 2))
+        .select("l_returnflag", "day_num", "trailing_7d_avg")
+        .orderBy("l_returnflag", "day_num")
+    )
+
+
+# ---------------------------------------------------------------- grouping sets
+
+_ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       ROUND(SUM(l_extendedprice), 2) AS total_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
+@register("agg_rollup", _ROLLUP_SQL, "ROLLUP grouping sets with grouping_id")
+def agg_rollup(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "total_price",
+            "n_rows",
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL')    AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL')  AS o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+
+@register("agg_cube", _CUBE_SQL, "CUBE grouping sets")
+def agg_cube(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.col("gid").cast("bigint").alias("gid"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- distinct + stats aggs
+
+_DIST_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("agg_count_distinct", _DIST_SQL, "count distinct per group")
+def agg_distinct(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(ROUND(STDDEV_SAMP(l_quantity), 8), 4)           AS sd_qty,
+       ROUND(ROUND(VAR_SAMP(l_extendedprice), 6), 2)         AS var_price,
+       ROUND(ROUND(QUANTILE_CONT(l_quantity, 0.5), 8), 4)    AS median_qty,
+       ROUND(ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 8), 4) AS p90_price,
+       ROUND(MIN(l_discount), 4)                   AS min_disc,
+       ROUND(MAX(l_tax), 4)                        AS max_tax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("agg_stats_percentile", _STATS_SQL, "stddev/variance/exact percentiles")
+def agg_stats(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            R(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            R(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            R(F.percentile("l_quantity", 0.5), 4).alias("median_qty"),
+            R(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+            F.round(F.min("l_discount"), 4).alias("min_disc"),
+            F.round(F.max("l_tax"), 4).alias("max_tax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- set operations
+
+_SETOP_SQL = """
+SELECT 'both' AS tag, k FROM (
+  SELECT DISTINCT c_nationkey AS k FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only' AS tag, k FROM (
+  SELECT DISTINCT c_nationkey AS k FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY tag, k
+"""
+
+
+@register("setop_intersect_except", _SETOP_SQL, "INTERSECT / EXCEPT / UNION ALL")
+def setops(spark, sf_dir):
+    prep(spark)
+    cn = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    sn = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    both = cn.intersect(sn).withColumn("tag", F.lit("both"))
+    only = cn.exceptAll(sn).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only).select("tag", "k").orderBy("tag", "k")
+
+
+# ---------------------------------------------------------------- top-k global
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("topk_global", _TOPK_SQL, "global top-k (TakeOrderedAndProject)")
+def topk(spark, sf_dir):
+    prep(spark)
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- scalar functions
+
+_STRING_SQL = """
+SELECT REGEXP_EXTRACT(p_type, '^(\\w+)', 1)       AS type_head,
+       COUNT(*)                                   AS n_parts,
+       CAST(SUM(LENGTH(p_name)) AS BIGINT)        AS name_chars,
+       ROUND(ROUND(AVG(p_retailprice), 8), 4)               AS avg_price,
+       MIN(LOWER(p_brand))                        AS first_brand,
+       MAX(UPPER(SUBSTRING(p_name, 1, 3)))        AS max_prefix
+FROM part
+GROUP BY 1
+ORDER BY type_head
+"""
+
+
+@register("scalar_string_funcs", _STRING_SQL, "regexp/substring/case string functions")
+def scalar_string(spark, sf_dir):
+    prep(spark)
+    part = T(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.length("p_name")).cast("bigint").alias("name_chars"),
+            R(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.min(F.lower("p_brand")).alias("first_brand"),
+            F.max(F.upper(F.substring("p_name", 1, 3))).alias("max_prefix"),
+        )
+        .orderBy("type_head")
+    )
+
+
+_DATE_SQL = """
+SELECT STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m') AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+GROUP BY 1
+ORDER BY order_month
+"""
+
+
+@register("scalar_date_trunc", _DATE_SQL, "date_trunc monthly aggregation")
+def scalar_date(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NULL)
+            AS BIGINT)                                               AS null_k,
+       ROUND(AVG(TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("scalar_json_extract", _JSON_SQL, "JSON scalar extraction from events.props")
+def scalar_json(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(k.isNull()).cast("bigint").alias("null_k"),
+            R(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ARRAY_SQL = """
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(MIN(LEN(embedding)) AS BIGINT) AS dim,
+       ROUND(AVG(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)))), 4) AS avg_sum,
+       ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("scalar_array_funcs", _ARRAY_SQL, "higher-order array functions on embeddings")
+def scalar_array(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.vectors import l2_norm_expr
+
+    emb = T(spark, sf_dir, "embeddings")
+    vsum = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min(F.size("embedding")).cast("bigint").alias("dim"),
+            R(F.avg(vsum), 4).alias("avg_sum"),
+            R(F.avg(l2_norm_expr("embedding")), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------- pivot
+
+# SUM, not AVG: per-day sums of ~4dp values are grid-exact at 4dp, so both
+# engines snap to the same decimal; an AVG here can land exactly on a rounding
+# midpoint (observed: 38.37875 -> .3788 vs .3787 across engines).
+_PIVOT_SQL = """
+SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'click'), 4)    AS click,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'error'), 4)    AS error,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'signup'), 4)   AS signup,
+       ROUND(SUM(value) FILTER (WHERE event_type = 'view'), 4)     AS view
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@register("pivot_daily_event_value", _PIVOT_SQL, "pivot event values to columns per day")
+def pivot_daily(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.round(F.sum("value"), 4))
+        .orderBy("day")
+    )
+    return out
+
+
+# ---------------------------------------------------------------- non-equi range join
+
+_RANGE_JOIN_SQL = """
+SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS clicks_before
+FROM events p
+LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <  p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+ORDER BY p.event_id
+"""
+
+
+@register("range_join_clicks_before", _RANGE_JOIN_SQL, "interval/range join (non-equi)")
+def range_join(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    cond = (
+        (c.c_user == p.p_user)
+        & (c.c_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (c.c_ts < p.p_ts)
+    )
+    return (
+        p.join(c, cond, "left")
+        .groupBy("event_id")
+        .agg(F.count("c_ts").alias("clicks_before"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------- as-of join
+
+_ASOF_SQL = """
+WITH daily AS (  -- dedupe to one row per (custkey, date) so as-of is deterministic
+  SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS best_price
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_type,
+       CAST(COUNT(d.best_price) AS BIGINT)  AS matched,
+       ROUND(ROUND(AVG(d.best_price), 6), 2)          AS avg_last_price
+FROM events e
+ASOF LEFT JOIN daily d
+  ON e.user_id = d.o_custkey AND d.o_orderdate <= e.ts
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+@register("asof_join_last_order", _ASOF_SQL, "as-of join: latest order state at event time")
+def asof_q(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("best_price"))
+    )
+    joined = asof_join(
+        ev.select("event_id", "event_type", "user_id", F.col("ts").cast("double").alias("ts")),
+        # o_orderdate is TIMESTAMP_NTZ (parquet millis, not UTC-adjusted): no
+        # direct double cast — go through unix_timestamp in the UTC session.
+        daily.withColumn("odate", F.unix_timestamp("o_orderdate").cast("double")),
+        on="ts",
+        right_on="odate",
+        by=["user_id"],
+        right_by=["o_custkey"],
+        value_cols=["best_price"],
+        suffix="",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("best_price").alias("matched"),
+            R(F.avg("best_price"), 2).alias("avg_last_price"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------- sessionization
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         EPOCH(MAX(ts)) - EPOCH(MIN(ts)) AS dur_s
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)        AS n_sessions,
+       ROUND(ROUND(AVG(n_events), 8), 4)         AS avg_events,
+       ROUND(ROUND(AVG(dur_s), 6), 2)            AS avg_dur_s
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "sessionize_30m",
+    _SESSION_SQL,
+    "30-min-gap sessionization (gaps-and-islands; streaming analog = session_window)",
+)
+def sessionize(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_d = F.col("ts").cast("double")  # epoch seconds incl. fraction == DuckDB EPOCH()
+    prev = F.lag(ts_d).over(w)
+    marked = ev.withColumn(
+        "new_sess", F.when(prev.isNull() | ((ts_d - prev) >= 1800), F.lit(1)).otherwise(F.lit(0))
+    )
+    sess = marked.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))).alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            R(F.avg("n_events"), 4).alias("avg_events"),
+            R(F.avg("dur_s"), 2).alias("avg_dur_s"),
+        )
+        .orderBy("user_id")
+    )

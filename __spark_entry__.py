@@ -1,38 +1,40 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the cassabon_spark engine (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship query: the full carbon read path (tier rollup ->
+                  normalize -> merge -> gap-fill -> NaN scrub) on sf0.001.
+queries()       — every implemented operator from SURVEY.md §2
+                  (Part A carbon surface, Part B relational surface,
+                  Part C training-data extensions).
+oracle_sql()    — matching DuckDB SQL for each; rows-only entries (non-SQL
+                  ops like the Pearson compat hash) are omitted.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: GET /metrics-equivalent gap-filled series over sf0.001."""
+    from cassabon_spark.queries import load_registry
+
+    registry = load_registry()
+    return registry["carbon_read_gapfill"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cassabon_spark.queries import load_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: qd.fn for name, qd in load_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cassabon_spark.queries import load_registry
+
+    return {name: qd.sql for name, qd in load_registry().items() if qd.sql is not None}

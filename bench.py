@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() forces the full plan; results
+are not collected to keep the measurement about the engine, not the driver's
+python loop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan-agg, join+topk, many-way join,
+# windows, as-of, carbon rollup/read path, dedup (LSH), similarity, text.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "win_topk_per_group",
+    "agg_rollup",
+    "asof_join_last_order",
+    "sessionize_30m",
+    "carbon_rollup_tumbling_1h",
+    "carbon_multi_tier_fanout",
+    "carbon_read_gapfill",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_quality_score",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cassabon_spark import get_spark
+    from cassabon_spark.queries import load_registry
+
+    registry = load_registry()
+    spark = get_spark(app_name="cassabon-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch costs
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        qd = registry[name]
+        t0 = time.time()
+        qd.fn(spark, sf_dir).count()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -44,15 +44,18 @@ def pearson_hash64(s: str) -> tuple[int, ...]:
 
 
 def pearson_hash8_udf():
-    """Vectorized pandas UDF form for bulk compat checks."""
-    import pandas as pd
+    """Vectorized pandas UDF form for bulk compat checks.
+
+    No type hints on the inner fn: this module uses postponed annotation
+    evaluation, which turns hints into strings pandas_udf can't resolve —
+    the explicit returnType carries the schema instead.
+    """
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("int")
-    def _hash(col: pd.Series) -> pd.Series:
+    def _hash(col):
         return col.map(lambda s: pearson_hash8(s) if s is not None else None)
 
-    return _hash
+    return pandas_udf(_hash, "int")
 
 
 def peer_index(path: str, n_peers: int) -> int:

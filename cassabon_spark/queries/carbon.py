@@ -1,0 +1,507 @@
+"""Part A — the reference's own operator surface (SURVEY §2 Part A),
+exercised over the driver's testdata by treating `events` as a Carbon metric
+stream: path = 'evt.' || event_type, value = value, ts = epoch(ts).
+
+Every query here drives the REAL engine operators from cassabon_spark.*
+(parse, route, rollup, read path, index, delete) — the oracle SQL reproduces
+their semantics independently in DuckDB.
+
+Fixed query window: events span 2024-01-01 .. 2024-01-31 UTC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.operators.index import expand_ancestors, search_glob
+from cassabon_spark.operators.query import query_metrics_df
+from cassabon_spark.operators.rollup import rollup_all_tiers, rollup_finest, route
+from cassabon_spark.queries import EV, T, register
+from cassabon_spark.session import prep
+
+# 2-tier config: 1h finest, 6h coarse (6h = exact multiple, validator-legal).
+EVENTS_CONFIG = RollupConfig.from_dict(
+    {
+        r"^evt\.purchase$": {"method": "sum", "windows": ["1h:365d", "6h:730d"]},
+        r"^evt\.error$": {"method": "last", "windows": ["1h:365d", "6h:730d"]},
+        "default": {"method": "average", "windows": ["1h:365d", "6h:730d"]},
+    }
+)
+
+JAN_5 = 1704412800  # 2024-01-05 00:00:00 UTC — exactly on the hour boundary
+JAN_8 = 1704672000  # 2024-01-08 00:00:00 UTC
+
+
+def _metrics(spark, sf_dir):
+    """events -> CarbonMetric triple (path, value, ts DOUBLE epoch)."""
+    ev = EV(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("evt."), F.col("event_type")).alias("path"),
+        F.col("value"),
+        F.col("ts").cast("double").alias("ts"),
+        F.col("event_id"),
+    )
+
+
+# SQL fragment mirroring _metrics
+_M = "SELECT 'evt.' || event_type AS path, value, EPOCH(ts) AS ts, event_id FROM events"
+
+
+# ---------------------------------------------------------------- A3 parse/validate
+
+_PARSE_SQL = f"""
+WITH lines AS (
+  SELECT PRINTF('%s %d %d', 'evt.' || event_type,
+                CAST(FLOOR(value * 100) AS BIGINT),
+                CAST(FLOOR(EPOCH(ts)) AS BIGINT)) AS line
+  FROM events
+  UNION ALL SELECT * FROM (VALUES ('malformed_line'), ('two fields'),
+    ('a b c d'), ('carbon.terrible 9 Qsplork'),
+    ('<<peerlist={{"A":"127.0.0.1:2003"}}>>')) v(line)
+),
+parsed AS (
+  SELECT f[1] AS path,
+         TRY_CAST(f[2] AS DOUBLE) AS value,
+         TRY_CAST(f[3] AS DOUBLE) AS ts
+  FROM (SELECT STRING_SPLIT_REGEX(TRIM(line), '\\s+') AS f FROM lines
+        WHERE NOT REGEXP_MATCHES(line, '^\\s*<<.*>>\\s*$'))
+  WHERE LEN(f) = 3
+)
+SELECT path,
+       COUNT(*) AS n,
+       ROUND(SUM(value) / 100, 2) AS total
+FROM parsed
+WHERE path IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+GROUP BY path
+ORDER BY path
+"""
+
+
+@register(
+    "carbon_parse_validate",
+    _PARSE_SQL,
+    "A3: wire-line parse/validate incl. malformed-line drops (carbon_plaintext.go:208-255)",
+)
+def carbon_parse(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.sources.carbon import parse_carbon_lines
+
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s %d %d",
+            F.concat(F.lit("evt."), F.col("event_type")),
+            F.floor(F.col("value") * 100).cast("bigint"),
+            F.floor(F.col("ts").cast("double")).cast("bigint"),
+        ).alias("line")
+    )
+    bad = spark.createDataFrame(
+        [
+            ("malformed_line",),
+            ("two fields",),
+            ("a b c d",),
+            ("carbon.terrible 9 Qsplork",),
+            ('<<peerlist={"A":"127.0.0.1:2003"}>>',),
+        ],
+        "line string",
+    )
+    metrics, _ = parse_carbon_lines(lines.unionByName(bad))
+    return (
+        metrics.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") / 100, 2).alias("total"),
+        )
+        .orderBy("path")
+    )
+
+
+# ---------------------------------------------------------------- A5 routing
+
+_ROUTE_SQL = f"""
+WITH m AS ({_M})
+SELECT CASE WHEN REGEXP_MATCHES(path, '^evt\\.purchase$') THEN '^evt\\.purchase$'
+            WHEN REGEXP_MATCHES(path, '^evt\\.error$')    THEN '^evt\\.error$'
+            ELSE 'default' END AS expression,
+       CASE WHEN REGEXP_MATCHES(path, '^evt\\.purchase$') THEN 'sum'
+            WHEN REGEXP_MATCHES(path, '^evt\\.error$')    THEN 'last'
+            ELSE 'average' END AS method,
+       path,
+       COUNT(*) AS n
+FROM m
+GROUP BY 1, 2, 3
+ORDER BY path
+"""
+
+
+@register(
+    "carbon_route_first_match",
+    _ROUTE_SQL,
+    "A5: first-match-wins regex routing as a Catalyst when-chain (metricstore.go:11-22)",
+)
+def carbon_route(spark, sf_dir):
+    prep(spark)
+    routed = route(_metrics(spark, sf_dir), EVENTS_CONFIG)
+    return (
+        routed.groupBy("expression", "method", "path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("path")
+    )
+
+
+# ---------------------------------------------------------------- A6/A7 tumbling rollup
+
+_ROLLUP_SQL = f"""
+WITH m AS ({_M})
+SELECT path,
+       CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,  -- window CLOSE
+       COUNT(*)                   AS cnt,
+       ROUND(SUM(value), 4)       AS vsum,
+       ROUND(MIN(value), 4)       AS vmin,
+       ROUND(MAX(value), 4)       AS vmax,
+       ROUND(ARG_MAX(value, ts), 4) AS vlast
+FROM m
+GROUP BY 1, 2
+ORDER BY path, time_s
+"""
+
+
+@register(
+    "carbon_rollup_tumbling_1h",
+    _ROLLUP_SQL,
+    "A6/A7: tumbling agg, all 5 methods, close-time stamping (metricstore.go:25-43,61-185)",
+)
+def carbon_rollup(spark, sf_dir):
+    prep(spark)
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    return (
+        finest.select(
+            "path",
+            F.unix_timestamp("time").alias("time_s"),
+            "cnt",
+            F.round("vsum", 4).alias("vsum"),
+            F.round("vmin", 4).alias("vmin"),
+            F.round("vmax", 4).alias("vmax"),
+            F.round("vlast", 4).alias("vlast"),
+        )
+        .orderBy("path", "time_s")
+    )
+
+
+# ---------------------------------------------------------------- A8 multi-tier
+
+_TIERS_SQL = f"""
+WITH m AS ({_M}),
+fine AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m GROUP BY 1, 2
+),
+coarse AS (  -- derived from the fine tier: close = ceil(fine_close / 21600) * 21600
+  SELECT path,
+         CAST(FLOOR((time_s + 21600 - 1) / 21600) * 21600 AS BIGINT) AS time_s,
+         CAST(SUM(cnt) AS BIGINT) AS cnt, SUM(vsum) AS vsum
+  FROM fine GROUP BY 1, 2
+)
+SELECT path, time_s, cnt, ROUND(vsum, 4) AS vsum, 3600  AS resolution_s FROM fine
+UNION ALL
+SELECT path, time_s, cnt, ROUND(vsum, 4) AS vsum, 21600 AS resolution_s FROM coarse
+ORDER BY resolution_s, path, time_s
+"""
+
+
+@register(
+    "carbon_multi_tier_fanout",
+    _TIERS_SQL,
+    "A8: coarse tiers derived losslessly from the finest (metricstore.go:76-81, re-architected)",
+)
+def carbon_tiers(spark, sf_dir):
+    prep(spark)
+    tiers = rollup_all_tiers(_metrics(spark, sf_dir), EVENTS_CONFIG)
+    return (
+        tiers.select(
+            "path",
+            F.unix_timestamp("time").alias("time_s"),
+            "cnt",
+            F.round("vsum", 4).alias("vsum"),
+            F.col("resolution_s").cast("int").alias("resolution_s"),
+        )
+        .orderBy("resolution_s", "path", "time_s")
+    )
+
+
+# ---------------------------------------------------------------- A10/A11 scan
+
+_SCAN_SQL = f"""
+WITH m AS ({_M})
+SELECT path, CAST(FLOOR(ts) AS BIGINT) AS ts_s, ROUND(value, 4) AS value
+FROM m
+WHERE path IN ('evt.click', 'evt.purchase')
+  AND ts >= {JAN_5} AND ts <= {JAN_5 + 7200}
+ORDER BY path, ts_s, value
+"""
+
+
+@register(
+    "carbon_time_range_scan",
+    _SCAN_SQL,
+    "A10/A11: path + time-range scan w/ predicate pushdown (metricquery.go:127-138)",
+)
+def carbon_scan(spark, sf_dir):
+    prep(spark)
+    m = _metrics(spark, sf_dir)
+    return (
+        m.filter(F.col("path").isin(["evt.click", "evt.purchase"]))
+        .filter((F.col("ts") >= JAN_5) & (F.col("ts") <= JAN_5 + 7200))
+        .select(
+            "path",
+            F.floor("ts").cast("bigint").alias("ts_s"),
+            F.round("value", 4).alias("value"),
+        )
+        .orderBy("path", "ts_s", "value")
+    )
+
+
+# ---------------------------------------------------------------- A12-A15 read path
+
+# step == tier == 3600 here, so merge slots equal window closes; normalFrom
+# ALWAYS advances one full step from the boundary-aligned JAN_5
+# (metricquery.go:124 — replicate exactly).
+_GAPFILL_SQL = f"""
+WITH m AS ({_M}),
+store AS (  -- finest tier rows, scan-filtered to [from, to] on close time
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view', 'evt.signup')
+  GROUP BY 1, 2
+  HAVING time_s >= {JAN_5} AND time_s <= {JAN_8}
+),
+rebucket AS (  -- A14 merge: slot = ceil(time/step)*step; weighted average
+  SELECT path,
+         CAST(FLOOR((time_s + 3600 - 1) / 3600) * 3600 AS BIGINT) AS slot_s,
+         SUM(vsum) / SUM(cnt) AS stat
+  FROM store GROUP BY 1, 2
+  HAVING slot_s >= {JAN_5 + 3600} AND slot_s <= {JAN_8}
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view', 'evt.signup']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 + 3600}, {JAN_8}, 3600)) AS slot_s) s
+)
+SELECT spine.path, spine.slot_s,
+       ROUND(CASE WHEN ISNAN(stat) THEN NULL ELSE stat END, 4) AS stat
+FROM spine LEFT JOIN rebucket
+  ON spine.path = rebucket.path AND spine.slot_s = rebucket.slot_s
+ORDER BY spine.path, spine.slot_s
+"""
+
+
+@register(
+    "carbon_read_gapfill",
+    _GAPFILL_SQL,
+    "A12-A15: normalize/merge/gap-fill/NaN-scrub read path (metricquery.go:124-220)",
+)
+def carbon_gapfill(spark, sf_dir):
+    prep(spark)
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view", "evt.signup"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return grid.select("path", "slot_s", F.round("stat", 4).alias("stat")).orderBy(
+        "path", "slot_s"
+    )
+
+
+# ---------------------------------------------------------------- A16 fan-in
+
+_FANIN_SQL = f"""
+WITH m AS ({_M}),
+g AS (
+  SELECT path, CAST(FLOOR(ts / 86400) * 86400 + 86400 AS BIGINT) AS slot_s,
+         SUM(value) AS vsum, COUNT(*) AS cnt
+  FROM m GROUP BY 1, 2
+)
+SELECT slot_s,
+       CAST(COUNT(*) AS BIGINT)  AS n_paths,
+       ROUND(SUM(vsum), 4)       AS vsum_total,
+       ROUND(ROUND(SUM(vsum) / SUM(cnt), 8), 4) AS avg_value
+FROM g GROUP BY slot_s ORDER BY slot_s
+"""
+
+
+@register(
+    "carbon_multipath_fanin",
+    _FANIN_SQL,
+    "A16: N paths per query, shared grid (api.go:159, metricquery.go:106-225)",
+)
+def carbon_fanin(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.queries import R
+
+    m = _metrics(spark, sf_dir)
+    g = m.groupBy(
+        "path",
+        (F.floor(F.col("ts") / 86400) * 86400 + 86400).cast("bigint").alias("slot_s"),
+    ).agg(F.sum("value").alias("vsum"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        g.groupBy("slot_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.round(F.sum("vsum"), 4).alias("vsum_total"),
+            R(F.sum("vsum") / F.sum("cnt"), 4).alias("avg_value"),
+        )
+        .orderBy("slot_s")
+    )
+
+
+# ---------------------------------------------------------------- A19 delete dry-run
+
+_DELETE_SQL = f"""
+WITH m AS ({_M}),
+fine AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s FROM m
+),
+coarse AS (
+  SELECT path, CAST(FLOOR((time_s + 21600 - 1) / 21600) * 21600 AS BIGINT) AS time_s
+  FROM (SELECT DISTINCT path, time_s FROM fine)
+),
+store AS (
+  SELECT path, time_s, 3600 AS resolution_s FROM (SELECT DISTINCT path, time_s FROM fine)
+  UNION ALL
+  SELECT path, time_s, 21600 AS resolution_s FROM (SELECT DISTINCT path, time_s FROM coarse)
+)
+SELECT path, resolution_s, COUNT(*) AS cnt
+FROM store
+WHERE path IN ('evt.click', 'evt.error') AND time_s >= {JAN_5} AND time_s <= {JAN_8}
+GROUP BY path, resolution_s
+ORDER BY path, resolution_s
+"""
+
+
+@register(
+    "carbon_delete_dryrun",
+    _DELETE_SQL,
+    "A19: per path x tier count in range, dry-run default (metricquery.go:25-84)",
+)
+def carbon_delete(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.query import delete_metrics
+
+    tiers = rollup_all_tiers(_metrics(spark, sf_dir), EVENTS_CONFIG)
+    report, remaining = delete_metrics(
+        tiers, ["evt.click", "evt.error"], JAN_5, JAN_8, dry_run=True
+    )
+    assert remaining is None
+    return report.select("path", F.col("resolution_s").cast("int").alias("resolution_s"), "cnt")
+
+
+# ---------------------------------------------------------------- A18 index expansion
+
+_INDEX_SQL = """
+WITH paths AS (
+  SELECT DISTINCT 'evt.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS full_path
+  FROM events
+),
+parts AS (SELECT full_path, STRING_SPLIT(full_path, '.') AS p FROM paths),
+expanded AS (
+  SELECT ARRAY_TO_STRING(p[1:d], '.') AS path,
+         CAST(d AS INT) AS depth,
+         '' AS tenant,
+         d = LEN(p) AS leaf
+  FROM parts, UNNEST(GENERATE_SERIES(1, LEN(p))) AS g(d)
+)
+SELECT path, depth, tenant, MAX(leaf) AS leaf
+FROM expanded GROUP BY 1, 2, 3
+ORDER BY path
+"""
+
+
+@register(
+    "carbon_index_ancestors",
+    _INDEX_SQL,
+    "A18: ancestor expansion into the path index (indexmanager.go:225-278)",
+)
+def carbon_index(spark, sf_dir):
+    prep(spark)
+    ev = EV(spark, sf_dir)
+    paths = ev.select(
+        F.concat(
+            F.lit("evt."),
+            F.col("event_type"),
+            F.lit(".u"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("path")
+    ).distinct()
+    return expand_ancestors(paths).orderBy("path")
+
+
+# ---------------------------------------------------------------- A17 glob search
+
+_GLOB_SQL = """
+WITH paths AS (
+  SELECT DISTINCT 'evt.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS full_path
+  FROM events
+),
+parts AS (SELECT full_path, STRING_SPLIT(full_path, '.') AS p FROM paths),
+expanded AS (
+  SELECT ARRAY_TO_STRING(p[1:d], '.') AS path, CAST(d AS INT) AS depth, '' AS tenant,
+         d = LEN(p) AS leaf
+  FROM parts, UNNEST(GENERATE_SERIES(1, LEN(p))) AS g(d)
+),
+idx AS (SELECT path, depth, tenant, MAX(leaf) AS leaf FROM expanded GROUP BY 1, 2, 3)
+SELECT path, depth, tenant, leaf
+FROM idx
+WHERE depth = 3 AND REGEXP_MATCHES(path, '^evt\\..*\\.u3$')
+ORDER BY path
+"""
+
+
+@register(
+    "carbon_glob_search",
+    _GLOB_SQL,
+    "A17: glob->regex, depth-matched, sorted (indexmanager.go:303-386)",
+)
+def carbon_glob(spark, sf_dir):
+    prep(spark)
+    ev = EV(spark, sf_dir)
+    paths = ev.select(
+        F.concat(
+            F.lit("evt."),
+            F.col("event_type"),
+            F.lit(".u"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("path")
+    ).distinct()
+    idx = expand_ancestors(paths)
+    return search_glob(idx, "evt.*.u3")
+
+
+# ---------------------------------------------------------------- A4 pearson (compat, rows-only)
+
+
+@register(
+    "carbon_pearson_shards",
+    None,
+    "A4: bit-compatible Pearson-hash shard assignment (pearson.go:30-41, peerlist.go:113-120); "
+    "rows-only — the hash is not expressible in ANSI SQL",
+)
+def carbon_pearson(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.pearson import pearson_hash8_udf
+
+    m = _metrics(spark, sf_dir).select("path").distinct()
+    h = pearson_hash8_udf()
+    return (
+        m.withColumn("shard", h(F.col("path")) % 4)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy("shard")
+    )

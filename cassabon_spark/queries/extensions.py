@@ -1,0 +1,595 @@
+"""Part C — large-scale training-data pipeline operators (SURVEY §2 Part C):
+deduplication (exact / fingerprint / n-gram Jaccard / MinHash-LSH /
+embedding-cosine), similarity search (brute-force cosine top-k), multimodal
+binary columns, and text analysis (token stats, quality, language-ID).
+
+Scale notes baked into each implementation:
+  * All hashing is md5-based (bit-identical in Spark and DuckDB), so even
+    MinHash signatures and LSH band keys are oracle-checked — not just
+    structurally tested.
+  * Pairwise work is always blocked first (shingle join, LSH bands, label
+    partitions) — nothing here materializes an O(n^2) cross product over the
+    full corpus; candidate generation is a shuffle on the blocking key.
+  * Everything is built-in Catalyst expressions (higher-order array fns,
+    md5, conv) — zero Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassabon_spark.functions.text import (
+    fingerprint_expr,
+    md5_bucket_expr,
+    minhash_expr,
+    tokens_expr,
+    word_shingles_expr,
+)
+from cassabon_spark.functions.vectors import cosine_sim_expr
+from cassabon_spark.queries import R, T, register
+from cassabon_spark.session import prep
+
+# Shared SQL fragments -------------------------------------------------------
+
+# tokens: lowercase, split on whitespace runs, drop empties (mirrors
+# functions.text.tokens_expr)
+_TOKS = (
+    "SELECT doc_id, lang, source, "
+    "LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t "
+    "FROM documents"
+)
+
+# distinct 3-gram word shingles per doc (mirrors word_shingles_expr(n=3))
+_SHINGLES = f"""
+SELECT DISTINCT doc_id, lang, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+FROM ({_TOKS}), UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS g(i)
+"""
+
+# portable 48-bit hash (mirrors functions.text.md5_bucket_expr)
+def _sql_h48(expr: str, prefix: str = "''") -> str:
+    return f"CAST(('0x' || SUBSTR(MD5({prefix} || {expr}), 1, 12)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------- exact dedup
+
+_EXACT_SQL = """
+WITH hashed AS (SELECT doc_id, source, MD5(text) AS h FROM documents)
+SELECT source,
+       COUNT(*)                          AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+FROM hashed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_exact", _EXACT_SQL, "exact dedup: content-hash groupBy, keep-first")
+def dedup_exact(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("bigint").alias("n_exact_dups"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- fingerprint dedup
+
+_FP_SQL = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
+                         x -> LEN(x) > 0))), ' ')) AS fp
+  FROM documents
+)
+SELECT lang,
+       COUNT(*)                           AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_fp_dups
+FROM fp
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "dedup_fingerprint",
+    _FP_SQL,
+    "key-collapse fingerprint dedup: md5 over sorted distinct token set",
+)
+def dedup_fp(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents").withColumn("fp", fingerprint_expr("text"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("bigint").alias("n_fp_dups"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- n-gram jaccard
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pair AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard
+FROM pair JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
+    "near-dup pairs by exact 3-gram Jaccard >= 0.8, shingle-join blocked (no cross product)",
+)
+def dedup_jaccard(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = (
+        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x = sz.alias("x")
+    y = sz.alias("y")
+    jac = F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter"))
+    return (
+        pair.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+
+# 8 portable md5-minhash components, banded 2-wide -> 4 LSH band keys.
+# Candidates = pairs sharing any band; verified with true Jaccard >= 0.7.
+_N_HASHES = 8
+_BAND_W = 2
+
+_mh_cols_sql = ",\n       ".join(
+    f"MIN({_sql_h48('s', repr(str(seed) + '|'))}) AS h{seed}" for seed in range(_N_HASHES)
+)
+_band_rows_sql = " UNION ALL ".join(
+    f"SELECT doc_id, lang, {b} AS band, MD5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR)) AS bkey FROM mh"
+    for b in range(_N_HASHES // _BAND_W)
+)
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_SQL,
+    "MinHash(8) + LSH banding(4x2) candidates, Jaccard-verified >= 0.7; md5-portable hashes",
+)
+def dedup_minhash(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = (
+        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
+        .distinct()
+    )
+    shingle_arrays = sh.groupBy("doc_id", "lang").agg(F.collect_list("s").alias("shingles"))
+    mh = shingle_arrays.select(
+        "doc_id",
+        "lang",
+        *[minhash_expr(F.col("shingles"), seed).alias(f"h{seed}") for seed in range(_N_HASHES)],
+    )
+    bands = None
+    for band in range(_N_HASHES // _BAND_W):
+        part = mh.select(
+            "doc_id",
+            "lang",
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2*band}").cast("string"),
+                    F.col(f"h{2*band+1}").cast("string"),
+                )
+            ).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
+    inter = (
+        cand.join(s1, F.col("d1") == F.col("sd1"))
+        .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (
+        inter.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .filter(jac >= 0.7)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------- MinHash signatures
+
+_MHSIG_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+)
+SELECT doc_id, h0, h1, h2, h3
+FROM mh
+WHERE doc_id < 50
+ORDER BY doc_id
+"""
+
+
+@register(
+    "minhash_signatures",
+    _MHSIG_SQL,
+    "raw MinHash signature components — bit-identical across engines via md5",
+)
+def minhash_sigs(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = (
+        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
+        .distinct()
+    )
+    arrays = sh.groupBy("doc_id", "lang").agg(F.collect_list("s").alias("shingles"))
+    return arrays.select(
+        "doc_id", *[minhash_expr(F.col("shingles"), i).alias(f"h{i}") for i in range(4)]
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- cosine top-k
+
+_COSINE_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qe)),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))            AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM q, c
+  WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid, ROUND(ROUND(dot / (qn * cn), 8), 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_topk_cosine",
+    _COSINE_SQL,
+    "brute-force cosine top-k: broadcast queries x corpus, rank per query",
+)
+def similarity_topk(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    # broadcast the (tiny) query set against the corpus — the scale path;
+    # at 100 TB the corpus side stays partitioned, queries ship to executors.
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    sim = cosine_sim_expr("qe", "ce")
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    ranked = pairs.withColumn("cosine", R(sim, 4)).withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+    return ranked.filter(F.col("rnk") <= 5).select("qid", "cid", "cosine", "rnk").orderBy(
+        "qid", "rnk"
+    )
+
+
+# ---------------------------------------------------------------- embedding near-dup
+
+_EMB_DUP_SQL = """
+WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.e)),
+                  i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))            AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
+         SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT v1, v2, ROUND(ROUND(dot / (n1 * n2), 8), 4) AS cosine
+FROM pairs
+WHERE dot / (n1 * n2) >= 0.99
+ORDER BY v1, v2
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_DUP_SQL,
+    "embedding near-dup pairs (cosine >= 0.99), label-blocked — no full cross product",
+)
+def dedup_embedding(spark, sf_dir):
+    prep(spark)
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
+    sim = cosine_sim_expr("e1", "e2")
+    return (
+        pairs.filter(sim >= 0.99)
+        .select("v1", "v2", R(sim, 4).alias("cosine"))
+        .orderBy("v1", "v2")
+    )
+
+
+# ---------------------------------------------------------------- token stats
+
+_TOKSTATS_SQL = f"""
+WITH t AS ({_TOKS})
+SELECT lang,
+       COUNT(*)                              AS n_docs,
+       CAST(SUM(LEN(t)) AS BIGINT)           AS total_tokens,
+       CAST(MAX(LEN(t)) AS BIGINT)           AS max_tokens,
+       ROUND(ROUND(AVG(LEN(t)), 8), 4)       AS avg_tokens,
+       CAST(SUM(LEN(LIST_DISTINCT(t))) AS BIGINT) AS total_distinct_tokens
+FROM t
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_token_stats", _TOKSTATS_SQL, "token counting / vocabulary stats per language")
+def text_tokens(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select("lang", tokens_expr("text").alias("t"))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("bigint").alias("total_tokens"),
+            F.max(F.size("t")).cast("bigint").alias("max_tokens"),
+            R(F.avg(F.size("t")), 4).alias("avg_tokens"),
+            F.sum(F.size(F.array_distinct("t"))).cast("bigint").alias("total_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- language ID
+
+_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_FR = "['le','la','de','et','un','une','est','que','pour','dans']"
+_ES = "['el','la','de','y','un','una','es','que','por','en']"
+
+_LANGID_SQL = f"""
+WITH t AS ({_TOKS}),
+hits AS (
+  SELECT doc_id, lang,
+         LEN(LIST_FILTER(t, x -> LIST_CONTAINS({_EN}, x))) AS he,
+         LEN(LIST_FILTER(t, x -> LIST_CONTAINS({_FR}, x))) AS hf,
+         LEN(LIST_FILTER(t, x -> LIST_CONTAINS({_ES}, x))) AS hs
+  FROM t
+),
+pred AS (
+  SELECT lang,
+         CASE WHEN he >= hf AND he >= hs THEN 'en'
+              WHEN hf >= hs THEN 'fr'
+              ELSE 'es' END AS predicted
+  FROM hits
+)
+SELECT lang, predicted, COUNT(*) AS n
+FROM pred
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+@register(
+    "text_langid_confusion",
+    _LANGID_SQL,
+    "stopword-lexicon language ID vs ground truth (confusion counts)",
+)
+def text_langid(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import stopword_hits_expr
+
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
+    hits = t.select(
+        "lang",
+        stopword_hits_expr(F.col("toks"), "en").alias("he"),
+        stopword_hits_expr(F.col("toks"), "fr").alias("hf"),
+        stopword_hits_expr(F.col("toks"), "es").alias("hs"),
+    )
+    pred = hits.select(
+        "lang",
+        F.when((F.col("he") >= F.col("hf")) & (F.col("he") >= F.col("hs")), "en")
+        .when(F.col("hf") >= F.col("hs"), "fr")
+        .otherwise("es")
+        .alias("predicted"),
+    )
+    return (
+        pred.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n")).orderBy(
+            "lang", "predicted"
+        )
+    )
+
+
+# ---------------------------------------------------------------- quality score
+
+_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS toks
+  FROM documents
+),
+scored AS (
+  SELECT source,
+         0.4 * LEAST(LEN(toks) / 64.0, 1.0)
+       + 0.3 * (1.0 - CASE WHEN LEN(text) > 0
+                           THEN LEN(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) * 1.0 / LEN(text)
+                           ELSE 0.0 END)
+       + 0.3 * (CASE WHEN LEN(toks) > 0
+                     THEN LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_EN}, x))) * 1.0 / LEN(toks)
+                     ELSE 0.0 END) AS q
+  FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(ROUND(AVG(q), 8), 4) AS avg_quality,
+       CAST(COUNT(*) FILTER (WHERE q < 0.5) AS BIGINT) AS n_low_quality
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_quality_score",
+    _QUALITY_SQL,
+    "heuristic quality scoring: length + punctuation + stopword ratios",
+)
+def text_quality(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import quality_score_expr
+
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select("source", quality_score_expr("text").alias("q"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            R(F.avg("q"), 4).alias("avg_quality"),
+            F.count_if(F.col("q") < 0.5).cast("bigint").alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- multimodal binary
+
+_BLOB_SQL = """
+WITH b AS (
+  SELECT doc_id, source, ENCODE(text) AS blob, n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(OCTET_LENGTH(blob)) AS BIGINT)       AS total_bytes,
+       CAST(MAX(OCTET_LENGTH(blob)) AS BIGINT)       AS max_bytes,
+       MIN(TO_BASE64(ENCODE(SUBSTR(doc_id::VARCHAR || ':', 1, 8)))) AS sample_key
+FROM b
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_blob_meta",
+    _BLOB_SQL,
+    "opaque binary columns: byte lengths + base64 keys (decode itself is a stubbed pandas UDF "
+    "in operators.multimodal — no codec libs in this container)",
+)
+def multimodal_blob(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("blob")
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.octet_length("blob")).cast("bigint").alias("total_bytes"),
+            F.max(F.octet_length("blob")).cast("bigint").alias("max_bytes"),
+            F.min(
+                F.base64(F.encode(F.substring(F.concat(F.col("doc_id").cast("string"), F.lit(":")), 1, 8), "utf-8"))
+            ).alias("sample_key"),
+        )
+        .orderBy("source")
+    )

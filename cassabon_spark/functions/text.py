@@ -35,9 +35,17 @@ def tokens_expr(text, lowercase: bool = True) -> Column:
 
 def word_shingles_expr(toks: Column, n: int = 3, sep: str = " ") -> Column:
     """n-gram word shingles from a token array: transform over start offsets,
-    array_join each window. Pure Catalyst — no UDF."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), sep))
+    array_join each window. Pure Catalyst — no UDF.
+
+    Guarded for short docs: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    (unlike DuckDB's empty generate_series), which would feed slice() a zero
+    start — docs with fewer than n tokens return an empty shingle set instead.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), sep))
+    return F.when(F.size(toks) >= n, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def md5_bucket_expr(s: Column, prefix: str = "") -> Column:

@@ -1,0 +1,71 @@
+"""Path index (A17/A18/A20) + Pearson hash goldens (pearson_test.go)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cassabon_spark.functions.pearson import pearson_hash8, pearson_hash64, peer_index
+from cassabon_spark.operators.index import (
+    delete_paths,
+    expand_ancestors,
+    glob_to_regex,
+    search_glob,
+)
+
+
+def test_pearson_reference_goldens():
+    # exact golden values from pearson/pearson_test.go:6-48
+    assert pearson_hash8("") == 0
+    assert pearson_hash8("sample string to be hashed") == 47
+    assert pearson_hash8("another sample string to be hashed") == 206
+    assert pearson_hash64("") == (0,) * 8
+    assert pearson_hash64("sample string to be hashed") == (47, 40, 41, 42, 43, 36, 37, 38)
+    assert pearson_hash64("another sample string to be hashed") == (
+        206, 205, 204, 203, 202, 201, 200, 199,
+    )
+
+
+def test_peer_index_mod():
+    assert peer_index("sample string to be hashed", 4) == 47 % 4
+
+
+def test_ancestor_expansion(spark):
+    paths = spark.createDataFrame([("a.b.c",), ("a.b.d%",), ("x",)], "path string")
+    idx = {(r["path"], r["depth"], r["leaf"]) for r in expand_ancestors(paths).collect()}
+    assert idx == {
+        ("a.b.c", 3, True),
+        ("a.b.d", 3, True),  # trailing % stripped (indexmanager.go:233-236)
+        ("a.b", 2, False),
+        ("a", 1, False),
+        ("x", 1, True),
+    }
+
+
+def test_prefix_that_is_also_leaf_stays_leaf(spark):
+    paths = spark.createDataFrame([("a.b",), ("a.b.c",)], "path string")
+    idx = {r["path"]: r["leaf"] for r in expand_ancestors(paths).collect()}
+    assert idx["a.b"] is True  # both a metric and a prefix
+    assert idx["a.b.c"] is True
+    assert idx["a"] is False
+
+
+def test_glob_translation():
+    assert glob_to_regex("foo.*.baz") == r"^foo\..*\.baz$"
+    assert glob_to_regex("*") == "^.*$"
+
+
+def test_glob_search_depth_and_order(spark):
+    paths = spark.createDataFrame(
+        [("foo.b.baz",), ("foo.a.baz",), ("foo.baz",), ("foo.a.baz.deep",)], "path string"
+    )
+    idx = expand_ancestors(paths)
+    got = [r["path"] for r in search_glob(idx, "foo.*.baz").collect()]
+    assert got == ["foo.a.baz", "foo.b.baz"]  # depth-matched, sorted asc
+
+
+def test_delete_paths_depth_scoped(spark):
+    paths = spark.createDataFrame([("foo.a",), ("foo.a.b",)], "path string")
+    idx = expand_ancestors(paths)
+    kept = {r["path"] for r in delete_paths(idx, "foo.*").collect()}
+    # only depth-2 matches removed; deeper and shallower survive
+    assert kept == {"foo", "foo.a.b"}

@@ -1,0 +1,113 @@
+"""Read-path goldens: from-normalization off-by-step, interior/trailing
+gap-fill, off-grid merge by method (incl. AVERAGE divide), NaN->null,
+multi-path fan-in, delete dry-run (FIXTURES.md §1.6)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.operators.query import (
+    delete_metrics,
+    merge_slot_expr,
+    normalize_from,
+    query_metrics,
+    query_metrics_df,
+)
+from cassabon_spark.operators.rollup import rollup_all_tiers
+
+CFG = RollupConfig.from_dict(
+    {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
+)
+
+
+def test_normalize_from_always_advances():
+    # metricquery.go:124 — from on an exact boundary still advances a full step
+    assert normalize_from(1000, 10) == 1010
+    assert normalize_from(1004, 10) == 1010
+    assert normalize_from(1009, 10) == 1010
+
+
+def store(spark, rows):
+    metrics = spark.createDataFrame(rows, "path string, value double, ts double")
+    return rollup_all_tiers(metrics, CFG)
+
+
+def test_gapfill_interior_and_trailing(spark):
+    # data only in [1000,1010) and [1030,1040) -> interior + trailing nulls
+    s = store(spark, [("p", 4.0, 1002.0), ("p", 6.0, 1008.0), ("p", 10.0, 1033.0)])
+    resp = query_metrics(spark, s, CFG, ["p"], 995, 1065, now_s=2000)
+    assert resp["from"] == 1000 and resp["step"] == 10
+    # slots 1000..1060: closes at 1010 (avg 5) and 1040 (10)
+    assert resp["series"]["p"] == [None, 5.0, None, None, 10.0, None, None]
+
+
+def test_unknown_path_all_null(spark):
+    s = store(spark, [("p", 1.0, 1000.0)])
+    resp = query_metrics(spark, s, CFG, ["nope"], 995, 1025, now_s=2000)
+    assert resp["series"]["nope"] == [None, None, None]
+
+
+def test_nan_scrubbed_to_null(spark):
+    s = store(spark, [("p", float("nan"), 1002.0)])
+    resp = query_metrics(spark, s, CFG, ["p"], 995, 1015, now_s=2000)
+    assert resp["series"]["p"] == [None, None]
+
+
+def test_merge_slot_ceil_semantics(spark):
+    # off-grid rows merge into the NEXT boundary; aligned rows stay
+    df = spark.range(1).select(
+        merge_slot_expr(F.lit(95), 10).alias("a"),
+        merge_slot_expr(F.lit(100), 10).alias("b"),
+        merge_slot_expr(F.lit(101), 10).alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (100, 100, 110)
+
+
+def test_merge_average_uses_weighted_sum(spark):
+    # two 10s windows with different counts re-bucketed to step=20:
+    # [1000,1010): values 1,2,3 (avg 2, cnt 3); [1010,1020): 10 (cnt 1)
+    # weighted avg = 16/4 = 4.0; naive avg-of-avgs would be 6.0
+    s = store(
+        spark,
+        [("p", 1.0, 1001.0), ("p", 2.0, 1003.0), ("p", 3.0, 1005.0), ("p", 10.0, 1012.0)],
+    )
+    grid = query_metrics_df(
+        spark, s.filter(F.col("resolution_s") == 10), ["p"], 1000, 1040, 20, "average"
+    ).collect()
+    by_slot = {r["slot_s"]: r["stat"] for r in grid}
+    assert by_slot[1020] == 4.0
+
+
+def test_multipath_fanin_shared_grid(spark):
+    s = store(spark, [("a", 2.0, 1001.0), ("b", 4.0, 1013.0)])
+    resp = query_metrics(spark, s, CFG, ["a", "b"], 995, 1025, now_s=2000)
+    assert resp["series"]["a"] == [None, 2.0, None]
+    assert resp["series"]["b"] == [None, None, 4.0]
+
+
+def test_tier_pruning_selects_coarse_for_old_range(spark):
+    s = store(spark, [("p", 2.0, 1001.0)])
+    # now is 2 days after the data: 1h retention of the 10s tier is expired,
+    # so the engine must answer from the 60s tier -> step 60
+    now = int(1001 + 2 * 86400)
+    resp = query_metrics(spark, s, CFG, ["p"], 995, 1200, now_s=now)
+    assert resp["step"] == 60
+    assert resp["series"]["p"] == [5 * [None], 2.0][1:] or resp["series"]["p"][0] == 2.0
+
+
+def test_delete_dry_run_counts_per_tier(spark):
+    s = store(spark, [("p", 1.0, 1001.0), ("p", 2.0, 1031.0), ("q", 3.0, 1001.0)])
+    report, remaining = delete_metrics(s, ["p"], 0, 5000, dry_run=True)
+    assert remaining is None
+    got = {(r["path"], r["resolution_s"]): r["cnt"] for r in report.collect()}
+    # ts 1001 and 1031 land in different windows at BOTH tiers:
+    # 10s closes 1010/1040; 60s closes 1020/1080
+    assert got == {("p", 10): 2, ("p", 60): 2}
+    report2, remaining2 = delete_metrics(s, ["p"], 0, 5000, dry_run=False)
+    assert remaining2.filter(F.col("path") == "p").count() == 0
+    assert remaining2.filter(F.col("path") == "q").count() > 0

@@ -25,12 +25,21 @@ STOPWORDS = {
 
 
 def tokens_expr(text, lowercase: bool = True) -> Column:
-    """Whitespace tokenization; empty strings filtered."""
+    """Whitespace tokenization; empty strings filtered.
+
+    Implemented as edge-strip (regexp_replace) + plain split instead of a
+    per-token higher-order filter: HOFs evaluate interpreted (outside
+    whole-stage codegen) and measured 5x slower on the documents corpus.
+    Interior \\s+ runs never produce empty tokens once the edges are
+    stripped; the empty-document case is handled wholesale.
+    """
     c = F.col(text) if isinstance(text, str) else text
     if lowercase:
         c = F.lower(c)
-    toks = F.split(F.trim(c), r"\s+")
-    return F.filter(toks, lambda t: F.length(t) > 0)
+    cleaned = F.regexp_replace(c, r"^\s+|\s+$", "")
+    return F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, r"\s+")
+    )
 
 
 def word_shingles_expr(toks: Column, n: int = 3, sep: str = " ") -> Column:

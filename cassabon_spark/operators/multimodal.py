@@ -1,0 +1,101 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, processed
+via Arrow-batched mapInPandas (SURVEY §2 Part C).
+
+The pattern for image/audio/video at 100 TB:
+  * payloads live in a BinaryType column (or object-store URIs resolved
+    inside the UDF), metadata in sibling typed columns
+  * decode / feature-extract / resize / frame-sample run as mapInPandas over
+    Arrow batches — one Python worker per partition, zero per-row overhead
+  * partitioning is by content-size buckets so batches stay memory-bounded
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so
+`decode_image` is a clearly-marked stub: the Spark-side plumbing — schema,
+batch iteration, output contract — is real and tested with a deterministic
+fake decoder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, str]:
+    """Decode an image payload to (width, height, mode).
+
+    STUB: real decoding needs an image codec library that is not available
+    in this environment. Raises so callers must inject a decoder (tests use
+    `fake_decoder`)."""
+    raise NotImplementedError(
+        "image codecs unavailable in this container; pass decoder= explicitly"
+    )
+
+
+def fake_decoder(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic stand-in: derives a fake geometry from the payload bytes
+    so the distributed plumbing is testable end-to-end."""
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, "RGB" if n % 2 == 0 else "L")
+
+
+def decode_blobs(
+    df: DataFrame,
+    key_col: str = "key",
+    blob_col: str = "blob",
+    decoder=decode_image,
+    batch_bucket_mb: int = 64,
+) -> DataFrame:
+    """df(key, blob BINARY) -> (key, n_bytes, width, height, mode).
+
+    mapInPandas: the decoder runs once per Arrow batch over a plain pandas
+    column — no per-row Python call overhead from Spark's side. Rows are
+    pre-partitioned by size bucket so one huge payload can't blow a worker's
+    batch memory.
+    """
+    sized = df.select(
+        F.col(key_col).alias("key"),
+        F.col(blob_col).alias("blob"),
+        (F.octet_length(blob_col) / (batch_bucket_mb * 1024 * 1024)).cast("int").alias("_bucket"),
+    ).repartition("_bucket")
+
+    def _decode(batches):
+        for pdf in batches:
+            out = pdf[["key"]].copy()
+            out["n_bytes"] = pdf["blob"].map(len)
+            geom = pdf["blob"].map(decoder)
+            out["width"] = geom.map(lambda g: g[0])
+            out["height"] = geom.map(lambda g: g[1])
+            out["mode"] = geom.map(lambda g: g[2])
+            yield out
+
+    return sized.mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame-sampling plumbing: explode a frame-index plan per payload
+    (decode itself stubbed as above). Demonstrates the schema/partitioning
+    contract: one row per sampled frame, co-partitioned by key."""
+    return df.select(
+        "key",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    ).repartition("key")

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns: exact brute-force top-k and a
+random-hyperplane LSH scale path (SURVEY §2 Part C).
+
+Exact path (`cosine_topk`): broadcast the query set against the corpus,
+rank with one window per query. Cost: |corpus| x |queries| similarity
+evaluations, fully JVM-side — correct baseline and the oracle for recall.
+
+Scale path (`lsh_bucket_topk`): deterministic random-hyperplane signatures
+(md5-seeded, so reproducible across runs and engines) bucket the corpus
+once; each query probes only its bucket (optionally multi-probe by flipping
+bits). At 100 TB the corpus signature/bucketing is a one-off job and probes
+touch |corpus| / 2^bits rows — the classic ANN trade: recall vs probe cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassabon_spark.functions.text import md5_bucket_expr
+from cassabon_spark.functions.vectors import cosine_sim_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (qid, cid, cosine, rnk)."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    sim = cosine_sim_expr("qe", "ce")
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def _hyperplane(dim: int, bit: int, seed: int = 42) -> list[float]:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    md5-derived, so identical on every engine/run — no RNG state."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{seed}|{bit}|{j}".encode()).hexdigest()[:12]
+        out.append(int(h, 16) / float(1 << 48) - 0.5)
+    return out
+
+
+def lsh_signature_expr(vec_col, dim: int, n_bits: int = 8, seed: int = 42):
+    """Random-hyperplane signature: bit b = sign(v . h_b). Returns INT bucket.
+    Pure Catalyst: each dot product is a zip_with/aggregate over a literal
+    plane array."""
+    sig = F.lit(0)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(x) for x in _hyperplane(dim, b, seed)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_bits: int = 8,
+    multiprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by LSH signature, rank
+    only within the query's probed buckets. Returns (qid, cid, cosine, rnk).
+
+    multiprobe=1 additionally probes every bucket at Hamming distance 1 from
+    the query's signature (flip each bit) — the standard recall/cost dial:
+    probes (1 + n_bits) buckets, i.e. touches ~(1+n_bits)/2^n_bits of the
+    corpus instead of 1/2^n_bits. The corpus is bucketed ONCE; only the tiny
+    query side explodes.
+    """
+    sig = lsh_signature_expr(vec_col, dim, n_bits)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), sig.alias("sig0")
+    )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("sig0"), *[F.col("sig0").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)]
+        )
+    else:
+        probes = F.array(F.col("sig0"))
+    q = q.select("qid", "qe", F.explode(probes).alias("bucket"))
+    pairs = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("qid") != F.col("cid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    sim = cosine_sim_expr("qe", "ce")
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )

@@ -35,7 +35,8 @@ from cassabon_spark.session import prep
 # functions.text.tokens_expr)
 _TOKS = (
     "SELECT doc_id, lang, source, "
-    "LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS t "
+    "CASE WHEN LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) = 0 THEN []::VARCHAR[] "
+    "     ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t "
     "FROM documents"
 )
 
@@ -85,8 +86,8 @@ _FP_SQL = """
 WITH fp AS (
   SELECT doc_id, lang,
          MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
-             LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'),
-                         x -> LEN(x) > 0))), ' ')) AS fp
+             STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'),
+                                '\\s+'))), ' ')) AS fp
   FROM documents
 )
 SELECT lang,
@@ -224,31 +225,37 @@ def dedup_minhash(spark, sf_dir):
     prep(spark)
     docs = T(spark, sf_dir, "documents")
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    # cache: the shingle set feeds banding, sizes AND pair verification
     sh = (
         toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
         .distinct()
+        .cache()
     )
-    shingle_arrays = sh.groupBy("doc_id", "lang").agg(F.collect_list("s").alias("shingles"))
-    mh = shingle_arrays.select(
-        "doc_id",
-        "lang",
-        *[minhash_expr(F.col("shingles"), seed).alias(f"h{seed}") for seed in range(_N_HASHES)],
+    # minhash as groupBy-min over per-shingle hashes: one shuffle, no
+    # collect_list array round trip — each shingle is md5'd once per seed
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_bucket_expr(F.col("s"), prefix=f"{seed}|")).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
     )
-    bands = None
-    for band in range(_N_HASHES // _BAND_W):
-        part = mh.select(
-            "doc_id",
-            "lang",
-            F.lit(band).alias("band"),
+    # one posexplode pass — a union of per-band selects would recompute the
+    # minhash aggregation once per band
+    band_keys = F.array(
+        *[
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.col(f"h{2*band}").cast("string"),
-                    F.col(f"h{2*band+1}").cast("string"),
+                    F.col(f"h{2*b}").cast("string"),
+                    F.col(f"h{2*b+1}").cast("string"),
                 )
-            ).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", "lang", F.posexplode(band_keys).alias("band", "bkey")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -310,10 +317,17 @@ def minhash_sigs(spark, sf_dir):
         toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
         .distinct()
     )
-    arrays = sh.groupBy("doc_id", "lang").agg(F.collect_list("s").alias("shingles"))
-    return arrays.select(
-        "doc_id", *[minhash_expr(F.col("shingles"), i).alias(f"h{i}") for i in range(4)]
-    ).orderBy("doc_id")
+    return (
+        sh.groupBy("doc_id", "lang")
+        .agg(
+            *[
+                F.min(md5_bucket_expr(F.col("s"), prefix=f"{i}|")).alias(f"h{i}")
+                for i in range(4)
+            ]
+        )
+        .select("doc_id", "h0", "h1", "h2", "h3")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------- cosine top-k
@@ -505,7 +519,7 @@ def text_langid(spark, sf_dir):
 _QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, source, text,
-         LIST_FILTER(STRING_SPLIT_REGEX(TRIM(LOWER(text)), '\\s+'), x -> LEN(x) > 0) AS toks
+         STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
   FROM documents
 ),
 scored AS (

@@ -1,0 +1,120 @@
+"""Structured Streaming ingest: carbon lines -> partial rollup rows -> store.
+
+Replaces the reference's write path (SURVEY §3.1: listener goroutines ->
+channels -> in-memory accumulators -> timed flush -> Cassandra batches,
+listener/carbon_plaintext.go + datastore/metricmanager.go) with a
+Spark-first design:
+
+  stream of lines
+    -> parse/validate (A3, pure Catalyst)
+    -> route (A5, when-chain)
+    -> PER-MICROBATCH partial aggregation (rollup_finest on the batch)
+    -> append partial tier rows to the partitioned parquet store (A9)
+
+Key design decision — STATELESS partial aggregation + merge-at-read:
+the reference accepts arbitrarily late data by merging rows at read time
+(A14, metricquery.go:163-210). We exploit that: each microbatch appends
+batch-local partial aggregates (path, window, cnt, vsum, vmin, vmax, vlast,
+last_ts). Multiple partials for the same window are ADDITIVE under every
+rollup method (sum/cnt for average, min/max, max_by for last), and the read
+path already re-aggregates on scan — so:
+  * no streaming state store (no state growth with path cardinality —
+    SURVEY §7 hard-part 4 disappears),
+  * no watermark needed for correctness (late rows just append more
+    partials; exactly the reference's "accept anything" semantics),
+  * exactly-once via checkpointing + idempotent-by-merge appends.
+A periodic `compact_store` job re-aggregates partials into one row per
+(path, window) to keep read amplification bounded — the analog of the
+reference's flush, but it only ever touches recent date-bucket partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.operators.rollup import rollup_finest, route
+from cassabon_spark.sources.carbon import parse_carbon_lines
+
+
+def _write_batch(batch_df: DataFrame, batch_id: int, config: RollupConfig, out_dir: str):
+    metrics, _ = parse_carbon_lines(batch_df, line_col="value")
+    finest = rollup_finest(route(metrics, config), config)
+    if finest is None:
+        return
+    (
+        finest.withColumn("date_bucket", F.date_format("time", "yyyy-MM-dd"))
+        .write.partitionBy("resolution_s", "date_bucket")
+        .mode("append")
+        .parquet(out_dir)
+    )
+
+
+def ingest_stream(
+    spark: SparkSession,
+    config: RollupConfig,
+    lines_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+    max_files_per_trigger: int = 64,
+):
+    """Start the ingest query over a file-drop directory of carbon line files
+    (the production shape: the socket bridge in sources.bridge rolls TCP/UDP
+    traffic into files; Kafka would slot in identically via readStream).
+
+    Returns the StreamingQuery. Caller owns awaitTermination/stop.
+    """
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .text(lines_dir)
+    )
+    writer = lines.writeStream.foreachBatch(
+        lambda df, bid: _write_batch(df, bid, config, out_dir)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, resolution_s: int, date_bucket: str
+) -> None:
+    """Merge partial rows into one row per (path, window) for one partition —
+    the streaming-era analog of the reference's window flush
+    (datastore/metricstore.go:85-185), run as a periodic batch job.
+
+    Touches exactly one (resolution_s, date_bucket) partition: read, re-agg,
+    overwrite. At scale this is an embarrassingly parallel per-partition job
+    driven by partition listing, not a full-table rewrite.
+    """
+    path = f"{store_dir}/resolution_s={resolution_s}/date_bucket={date_bucket}"
+    part = spark.read.parquet(path)
+    compacted = (
+        part.groupBy("path", "expression", "method", "time")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.max_by("vlast", "last_ts").alias("vlast"),
+            F.max("last_ts").alias("last_ts"),
+        )
+        .withColumn(
+            "stat",
+            F.when(F.col("method") == "average", F.col("vsum") / F.col("cnt"))
+            .when(F.col("method") == "max", F.col("vmax"))
+            .when(F.col("method") == "min", F.col("vmin"))
+            .when(F.col("method") == "sum", F.col("vsum"))
+            .when(F.col("method") == "last", F.col("vlast")),
+        )
+    )
+    compacted.cache().count()  # materialize before overwriting the source
+    compacted.repartition(1).sortWithinPartitions("path", "time").write.mode(
+        "overwrite"
+    ).parquet(path)
+    compacted.unpersist()

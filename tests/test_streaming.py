@@ -1,0 +1,92 @@
+"""Streaming ingest: file-drop source -> partial-agg append -> read path;
+compaction; UDP line reassembly; end-to-end equality with the batch path."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.operators.query import query_metrics
+from cassabon_spark.operators.rollup import rollup_finest, route
+from cassabon_spark.sources.bridge import LineReassembler
+from cassabon_spark.streaming.ingest import compact_store, ingest_stream
+
+CFG = RollupConfig.from_dict(
+    {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
+)
+
+
+def test_line_reassembler_carries_remainder():
+    ra = LineReassembler()
+    assert ra.feed("a.b 1 100\na.b 2 1") == ["a.b 1 100"]
+    assert ra.feed("01\n") == ["a.b 2 101"]  # split line completed
+    assert ra.feed("partial") == []
+    assert ra.flush() == ["partial"]
+    assert ra.flush() == []
+
+
+def test_streaming_matches_batch_and_reads_back(spark):
+    lines = [f"s.path {v}.0 {1000 + i}" for i, v in enumerate(range(1, 31))]
+    lines += ["junk line here extra", "s.other 5.0 1005"]
+    with tempfile.TemporaryDirectory() as d:
+        drop, out, ckpt = (os.path.join(d, x) for x in ("drop", "store", "ckpt"))
+        os.makedirs(drop)
+        # two files -> at least two microbatches worth of appended partials
+        with open(os.path.join(drop, "a.txt"), "w") as f:
+            f.write("\n".join(lines[:15]) + "\n")
+        with open(os.path.join(drop, "b.txt"), "w") as f:
+            f.write("\n".join(lines[15:]) + "\n")
+
+        q = ingest_stream(
+            spark, CFG, drop, out, ckpt, available_now=True, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+        store = spark.read.parquet(out)
+        # the read path merges partials: equality with batch rollup semantics
+        resp = query_metrics(spark, store, CFG, ["s.path"], 995, 1035, now_s=2000)
+        # windows close at 1010 (vals 1..10), 1020 (11..20), 1030 (21..30)
+        assert resp["series"]["s.path"] == [None, 5.5, 15.5, 25.5]
+
+        # partial rows may exist pre-compaction; compaction collapses them
+        res_dirs = os.listdir(out)
+        assert any(x.startswith("resolution_s=10") for x in res_dirs)
+        compact_store(spark, out, 10, "1970-01-01")
+        store2 = spark.read.parquet(out)
+        per_window = (
+            store2.filter(F.col("resolution_s") == 10)
+            .groupBy("path", "time")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert per_window == 1  # exactly one row per (path, window) now
+        resp2 = query_metrics(spark, store2, CFG, ["s.path"], 995, 1035, now_s=2000)
+        assert resp2["series"]["s.path"] == [None, 5.5, 15.5, 25.5]
+
+
+def test_late_data_merges_at_read(spark):
+    """The reference's 'accept anything, merge at read' model (A14): a late
+    partial for an already-written window is absorbed by the read path."""
+    with tempfile.TemporaryDirectory() as d:
+        drop, out, ckpt = (os.path.join(d, x) for x in ("drop", "store", "ckpt"))
+        os.makedirs(drop)
+        with open(os.path.join(drop, "a.txt"), "w") as f:
+            f.write("p.x 10.0 1001\n")
+        q = ingest_stream(spark, CFG, drop, out, ckpt, available_now=True)
+        q.awaitTermination(60)
+        # late arrival for the same window, separate microbatch run
+        with open(os.path.join(drop, "b.txt"), "w") as f:
+            f.write("p.x 20.0 1002\n")
+        q2 = ingest_stream(spark, CFG, drop, out, ckpt, available_now=True)
+        q2.awaitTermination(60)
+
+        store = spark.read.parquet(out)
+        # two partial rows for the same window
+        assert store.filter(F.col("resolution_s") == 10).count() == 2
+        resp = query_metrics(spark, store, CFG, ["p.x"], 995, 1015, now_s=2000)
+        assert resp["series"]["p.x"] == [None, 15.0]  # weighted merge, not overwrite

@@ -607,3 +607,182 @@ def multimodal_blob(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- SimHash dedup
+
+# 16-bit simhash over distinct tokens (md5-portable bit source). Candidate
+# blocking: split the signature into 4 nibble bands — any pair within
+# Hamming distance 3 MUST share at least one band (pigeonhole), so the
+# banded join is exact for the <=3 threshold, never a cross product.
+_SIMHASH_BITS = 16
+_HAMMING_MAX = 3
+
+_simhash_bit_sums = ",\n         ".join(
+    f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS)
+)
+_simhash_sig = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS))
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, lang, t.tok AS tok
+  FROM ({_TOKS}), UNNEST(t) AS t(tok)
+),
+hashed AS (
+  SELECT doc_id, lang, {_sql_h48('tok')} AS h FROM toks
+),
+sums AS (
+  SELECT doc_id, lang,
+         {_simhash_bit_sums}
+  FROM hashed GROUP BY doc_id, lang
+),
+sig AS (SELECT doc_id, lang, CAST({_simhash_sig} AS BIGINT) AS sig FROM sums),
+bands AS (
+  SELECT doc_id, lang, sig, b.band AS band, (sig >> (b.band * 4)) & 15 AS nib
+  FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig1, b.sig AS sig2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.nib = b.nib AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT d1, d2, CAST(BIT_COUNT(XOR(sig1, sig2)) AS BIGINT) AS hamming
+FROM cand
+WHERE BIT_COUNT(XOR(sig1, sig2)) <= {_HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_simhash",
+    _SIMHASH_SQL,
+    "SimHash(16-bit) near-dup pairs, nibble-band blocking (exact for Hamming<=3 by pigeonhole)",
+)
+def dedup_simhash(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("tok"))
+        .distinct()
+    )
+    hashed = toks.select("doc_id", "lang", md5_bucket_expr(F.col("tok")).alias("h"))
+    sums = hashed.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum((F.shiftright("h", b).bitwiseAND(F.lit(1))) * 2 - 1).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig_expr = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = sums.select("doc_id", "lang", sig_expr.cast("bigint").alias("sig"))
+    # shiftright needs a literal bit count — precompute each band's nibble
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", "lang", "sig", F.explode(band_structs).alias("bn")
+    ).select("doc_id", "lang", "sig", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    return (
+        cand.filter(ham <= _HAMMING_MAX)
+        .select("d1", "d2", ham.cast("bigint").alias("hamming"))
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------- HLL approx distinct
+
+
+@register(
+    "agg_approx_count_distinct",
+    None,
+    "HyperLogLog++ approximate distinct (the 100 TB path for cardinality); rows-only — "
+    "DuckDB's approx sketch differs by construction, exactness is covered by agg_count_distinct",
+)
+def agg_approx(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- streaming ingest e2e
+
+
+@register(
+    "carbon_streaming_ingest",
+    None,
+    "Structured Streaming ingest end-to-end (A1/A9 re-architected): lines -> availableNow "
+    "microbatches -> partial-agg parquet appends -> merge-at-read; rows-only (streaming job)",
+)
+def carbon_streaming(spark, sf_dir):
+    import os
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.operators.query import query_metrics_df
+    from cassabon_spark.queries import EV
+    from cassabon_spark.streaming.ingest import ingest_stream
+
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "average", "windows": ["1h:365d", "6h:730d"]}}
+    )
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s %s %d",
+            F.concat(F.lit("evt."), F.col("event_type")),
+            F.col("value").cast("string"),
+            F.floor(F.col("ts").cast("double")).cast("bigint"),
+        ).alias("line")
+    )
+    tmp = tempfile.mkdtemp(prefix="cassabon_stream_")
+    drop, out, ckpt = (os.path.join(tmp, x) for x in ("drop", "store", "ckpt"))
+    lines.coalesce(4).write.mode("overwrite").text(drop)
+    q = ingest_stream(spark, cfg, drop, out, ckpt, available_now=True, max_files_per_trigger=2)
+    q.awaitTermination(300)
+    store = spark.read.parquet(out)
+    grid = query_metrics_df(
+        spark,
+        store,
+        paths=["evt.click", "evt.view"],
+        from_s=1704412800,
+        to_s=1704499200,
+        step=3600,
+        method="average",
+    )
+    return grid.select("path", "slot_s", F.round("stat", 4).alias("stat")).orderBy(
+        "path", "slot_s"
+    )

@@ -80,12 +80,18 @@ def rollup_finest(routed: DataFrame, config: RollupConfig) -> DataFrame:
     stamping matches the reference: row time = window end (metricstore.go:109-116),
     epoch-aligned (util.go:17-25 + SURVEY note ②).
     """
-    finest = None
+    # One scan + one shuffle per DISTINCT finest window size, not per
+    # expression: rows are already routed to exactly one expression, so all
+    # expressions sharing a finest window aggregate together (the common
+    # config has ONE finest size -> exactly one pass over the raw data).
+    by_w: dict[int, list[str]] = {}
     for d in config.rollups:
-        w = d.finest.window_s
+        by_w.setdefault(d.finest.window_s, []).append(d.expression)
+    finest = None
+    for w, exprs in sorted(by_w.items()):
+        part = routed if len(by_w) == 1 else routed.filter(F.col("expression").isin(exprs))
         part = (
-            routed.filter(F.col("expression") == d.expression)
-            .groupBy(
+            part.groupBy(
                 "path",
                 "expression",
                 "method",
@@ -115,37 +121,52 @@ def rollup_coarser(finest: DataFrame, config: RollupConfig) -> DataFrame:
     seconds. Lossless: sum/min/max re-aggregate directly, average re-derives
     from (vsum, cnt), last = max_by(vlast, last_ts).
     """
-    out = None
+    # Same batching as rollup_finest: one re-aggregation per DISTINCT coarse
+    # window size, with all expressions carrying that window handled together.
+    by_w: dict[int, list[str]] = {}
+    n_exprs = 0
     for d in config.rollups:
+        n_exprs += 1
         for w in d.windows[1:]:  # windows sorted finest-first
-            W = w.window_s
-            end_s = F.unix_timestamp("time")
-            coarse_close = (F.floor((end_s + W - 1) / W) * W).cast("bigint")
-            part = (
-                finest.filter(F.col("expression") == d.expression)
-                .withColumn("ctime", F.timestamp_seconds(coarse_close))
-                .groupBy("path", "expression", "method", "ctime")
-                .agg(
-                    F.sum("cnt").alias("cnt"),
-                    F.sum("vsum").alias("vsum"),
-                    F.min("vmin").alias("vmin"),
-                    F.max("vmax").alias("vmax"),
-                    F.max_by("vlast", "last_ts").alias("vlast"),
-                    F.max("last_ts").alias("last_ts"),
-                )
-                .withColumnRenamed("ctime", "time")
-                .withColumn("resolution_s", F.lit(W).cast("bigint"))
+            by_w.setdefault(w.window_s, []).append(d.expression)
+    out = None
+    for W, exprs in sorted(by_w.items()):
+        part = finest if len(exprs) == n_exprs else finest.filter(
+            F.col("expression").isin(exprs)
+        )
+        end_s = F.unix_timestamp("time")
+        coarse_close = (F.floor((end_s + W - 1) / W) * W).cast("bigint")
+        part = (
+            part.withColumn("ctime", F.timestamp_seconds(coarse_close))
+            .groupBy("path", "expression", "method", "ctime")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                F.sum("vsum").alias("vsum"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+                F.max_by("vlast", "last_ts").alias("vlast"),
+                F.max("last_ts").alias("last_ts"),
             )
-            out = part if out is None else out.unionByName(part)
+            .withColumnRenamed("ctime", "time")
+            .withColumn("resolution_s", F.lit(W).cast("bigint"))
+        )
+        out = part if out is None else out.unionByName(part)
     if out is None:
         return finest.limit(0)
     return out.withColumn("stat", _stat_expr())
 
 
 def rollup_all_tiers(metrics: DataFrame, config: RollupConfig) -> DataFrame:
-    """route -> finest agg -> coarse re-agg; union of all tiers (A8)."""
+    """route -> finest agg -> coarse re-agg; union of all tiers (A8).
+
+    finest is cached (MEMORY_AND_DISK): it feeds BOTH union branches and
+    Catalyst does not reuse the aggregation subtree across them — without the
+    cache the expensive raw-data shuffle runs twice. The production write
+    path avoids this differently (finest is persisted to the store, coarse
+    tiers re-aggregate the stored rows).
+    """
     routed = route(metrics, config)
-    finest = rollup_finest(routed, config)
+    finest = rollup_finest(routed, config).cache()
     coarse = rollup_coarser(finest, config)
     return finest.unionByName(coarse)
 

@@ -42,10 +42,20 @@ def register(name: str, sql: str | None, doc: str = ""):
     return deco
 
 
-def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def T(spark: SparkSession, sf_dir: str, name: str, wide: bool = False) -> DataFrame:
+    """Load a testdata table. wide=True round-robin repartitions to the
+    session's full parallelism — for compute-heavy per-row work (tokenize /
+    shingle / hash) over inputs small enough to arrive as one split. At
+    cluster scale the file count already provides the parallelism and the
+    repartition collapses to a cheap rebalance of already-distributed splits.
+    """
     if name == "events":
-        return EV(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = EV(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if wide and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def R(col, n: int = 4):

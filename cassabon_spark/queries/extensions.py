@@ -68,7 +68,7 @@ ORDER BY source
 @register("dedup_exact", _EXACT_SQL, "exact dedup: content-hash groupBy, keep-first")
 def dedup_exact(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    docs = T(spark, sf_dir, "documents", wide=True).withColumn("h", F.md5("text"))
     return (
         docs.groupBy("source")
         .agg(
@@ -107,7 +107,7 @@ ORDER BY lang
 )
 def dedup_fp(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents").withColumn("fp", fingerprint_expr("text"))
+    docs = T(spark, sf_dir, "documents", wide=True).withColumn("fp", fingerprint_expr("text"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -144,11 +144,14 @@ ORDER BY d1, d2
 )
 def dedup_jaccard(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    # cached: feeds both sides of the shingle self-join plus the size table —
+    # three consumers, one tokenize/shingle pass
     sh = (
         toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
         .distinct()
+        .cache()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -223,7 +226,7 @@ ORDER BY d1, d2
 )
 def dedup_minhash(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
     # cache: the shingle set feeds banding, sizes AND pair verification
     sh = (
@@ -233,12 +236,15 @@ def dedup_minhash(spark, sf_dir):
     )
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
     # collect_list array round trip — each shingle is md5'd once per seed
+    # cache the signature table too: a self-join materializes BOTH sides, and
+    # without this the 8-way md5 aggregation runs twice (one row per doc —
+    # tiny relative to the corpus at any scale)
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_bucket_expr(F.col("s"), prefix=f"{seed}|")).alias(f"h{seed}")
             for seed in range(_N_HASHES)
         ]
-    )
+    ).cache()
     # one posexplode pass — a union of per-band selects would recompute the
     # minhash aggregation once per band
     band_keys = F.array(
@@ -311,7 +317,7 @@ ORDER BY doc_id
 )
 def minhash_sigs(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs = T(spark, sf_dir, "documents", wide=True).filter(F.col("doc_id") < 50)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
     sh = (
         toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
@@ -364,7 +370,7 @@ def similarity_topk(spark, sf_dir):
     prep(spark)
     from pyspark.sql import Window
 
-    emb = T(spark, sf_dir, "embeddings")
+    emb = T(spark, sf_dir, "embeddings", wide=True)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -408,7 +414,7 @@ ORDER BY v1, v2
 )
 def dedup_embedding(spark, sf_dir):
     prep(spark)
-    emb = T(spark, sf_dir, "embeddings")
+    emb = T(spark, sf_dir, "embeddings", wide=True)
     a = emb.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("embedding").alias("e2"))
     pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
@@ -439,7 +445,7 @@ ORDER BY lang
 @register("text_token_stats", _TOKSTATS_SQL, "token counting / vocabulary stats per language")
 def text_tokens(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     t = docs.select("lang", tokens_expr("text").alias("t"))
     return (
         t.groupBy("lang")
@@ -492,7 +498,7 @@ def text_langid(spark, sf_dir):
     prep(spark)
     from cassabon_spark.functions.text import stopword_hits_expr
 
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     t = docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
     hits = t.select(
         "lang",
@@ -552,7 +558,7 @@ def text_quality(spark, sf_dir):
     prep(spark)
     from cassabon_spark.functions.text import quality_score_expr
 
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     scored = docs.select("source", quality_score_expr("text").alias("q"))
     return (
         scored.groupBy("source")
@@ -591,7 +597,7 @@ ORDER BY source
 )
 def multimodal_blob(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     b = docs.select(
         "doc_id", "source", F.encode("text", "utf-8").alias("blob")
     )
@@ -660,7 +666,7 @@ ORDER BY d1, d2
 )
 def dedup_simhash(spark, sf_dir):
     prep(spark)
-    docs = T(spark, sf_dir, "documents")
+    docs = T(spark, sf_dir, "documents", wide=True)
     toks = (
         docs.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("tok"))
         .distinct()
@@ -676,7 +682,9 @@ def dedup_simhash(spark, sf_dir):
     for b in range(_SIMHASH_BITS):
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig_expr = term if sig_expr is None else sig_expr + term
-    sig = sums.select("doc_id", "lang", sig_expr.cast("bigint").alias("sig"))
+    # cached: the band self-join materializes both sides — without this the
+    # 16-column bit-sum aggregation runs twice (one row per doc, tiny)
+    sig = sums.select("doc_id", "lang", sig_expr.cast("bigint").alias("sig")).cache()
     # shiftright needs a literal bit count — precompute each band's nibble
     band_structs = F.array(
         *[

@@ -794,3 +794,83 @@ def carbon_streaming(spark, sf_dir):
     return grid.select("path", "slot_s", F.round("stat", 4).alias("stat")).orderBy(
         "path", "slot_s"
     )
+
+
+# ---------------------------------------------------------------- ANN: LSH buckets
+
+# Random-hyperplane LSH top-k (the 100 TB similarity path). The hyperplanes
+# are md5-derived constants generated HERE, so the identical literal planes
+# are emitted into the DuckDB oracle — making an *approximate* index
+# exact-oracle-checkable: both engines build the same buckets, probe the
+# same Hamming-1 neighborhood, and rank the same candidates.
+_ANN_DIM = 64
+_ANN_BITS = 8
+
+
+def _ann_sql() -> str:
+    from cassabon_spark.operators.similarity import _hyperplane
+
+    plane_rows = ", ".join(
+        "({b}, [{xs}]::DOUBLE[])".format(
+            b=b, xs=", ".join(repr(x) for x in _hyperplane(_ANN_DIM, b))
+        )
+        for b in range(_ANN_BITS)
+    )
+    return f"""
+WITH planes AS (SELECT b, p FROM (VALUES {plane_rows}) t(b, p)),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_ANN_DIM}),
+                       i -> CAST(embedding[i] AS DOUBLE) * p[i])) >= 0
+                  THEN 1 << b ELSE 0 END) AS INTEGER) AS sig
+  FROM embeddings, planes GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id AS qid,
+         UNNEST([sig] || LIST_TRANSFORM(GENERATE_SERIES(0, {_ANN_BITS - 1}),
+                                        b -> XOR(sig, 1 << b))) AS bucket
+  FROM sigs WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT p.qid, s.vec_id AS cid
+  FROM probes p JOIN sigs s ON s.sig = p.bucket
+  WHERE s.vec_id <> p.qid
+),
+pairs AS (
+  SELECT qid, cid,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+            JOIN embeddings c ON c.vec_id = cand.cid
+),
+ranked AS (
+  SELECT qid, cid, ROUND(ROUND(dot / (qn * cn), 8), 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk
+  FROM pairs
+)
+SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_ann_lsh",
+    _ann_sql(),
+    "ANN top-k via random-hyperplane LSH buckets + Hamming-1 multiprobe; "
+    "md5-seeded planes make the approximate index exact-oracle-checkable",
+)
+def similarity_ann(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import lsh_bucket_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    q = emb.filter(F.col("vec_id") < 5)
+    res = lsh_bucket_topk(emb, q, dim=_ANN_DIM, k=5, n_bits=_ANN_BITS, multiprobe=1)
+    return (
+        res.select("qid", "cid", R(F.col("cosine"), 4).alias("cosine"),
+                   F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("qid", "rnk")
+    )

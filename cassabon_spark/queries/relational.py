@@ -838,3 +838,151 @@ def sessionize(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------- EXISTS subquery
+
+_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "subq_exists_discounted",
+    _EXISTS_SQL,
+    "TPC-H Q4-shaped EXISTS subquery: Catalyst rewrites to a left-semi join "
+    "(one shuffle, no per-row subquery execution)",
+)
+def subq_exists(spark, sf_dir):
+    prep(spark)
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- correlated scalar subquery
+
+_SCALAR_SUBQ_SQL = """
+SELECT l_partkey,
+       ROUND(SUM(l_extendedprice), 2) AS below_avg_revenue,
+       COUNT(*) AS n_small
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l_partkey
+HAVING COUNT(*) >= 3
+ORDER BY l_partkey
+"""
+
+
+@register(
+    "subq_scalar_below_avg",
+    _SCALAR_SUBQ_SQL,
+    "TPC-H Q17-shaped correlated scalar subquery, de-correlated as agg + "
+    "self-join on the correlation key (what Catalyst's rewrite produces)",
+)
+def subq_scalar(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    avg_by_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_by_part, li.l_partkey == avg_by_part.ap_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .groupBy("l_partkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("below_avg_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+        .filter(F.col("n_small") >= 3)
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------- GROUPING SETS
+
+_GSETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+       ROUND(SUM(l_extendedprice), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    _GSETS_SQL,
+    "explicit GROUPING SETS (finer than rollup/cube) via the SQL surface",
+)
+def agg_gsets(spark, sf_dir):
+    prep(spark)
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------- distribution window fns
+
+_NTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total,
+       CAST(NTILE(4) OVER w AS BIGINT)      AS quartile,
+       ROUND(ROUND(CUME_DIST() OVER w, 8), 4)       AS cume,
+       ROUND(ROUND(PERCENT_RANK() OVER w, 8), 4)    AS pct_rank
+FROM spend
+WINDOW w AS (ORDER BY total DESC, o_custkey)
+ORDER BY total DESC, o_custkey
+LIMIT 100
+"""
+
+
+@register(
+    "win_ntile_cume_dist",
+    _NTILE_SQL,
+    "distribution window functions: ntile / cume_dist / percent_rank",
+)
+def win_ntile(spark, sf_dir):
+    prep(spark)
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            "total",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            R(F.cume_dist().over(w), 4).alias("cume"),
+            R(F.percent_rank().over(w), 4).alias("pct_rank"),
+        )
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(100)
+    )

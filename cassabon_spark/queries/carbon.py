@@ -484,14 +484,37 @@ def carbon_glob(spark, sf_dir):
     return search_glob(idx, "evt.*.u3")
 
 
-# ---------------------------------------------------------------- A4 pearson (compat, rows-only)
+# ---------------------------------------------------------------- A4 pearson compat
+
+# The permutation table is formula-derived (entry k = high nibble k%16, low
+# nibble 15-k//16 — pearson/pearson.go:9-26), so the oracle rebuilds it in
+# SQL and folds the path bytes through it with list_reduce: the pandas-UDF
+# hash is verified bit-for-bit, not just structurally.
+_PEARSON_SQL = """
+WITH tab AS (
+  SELECT LIST_TRANSFORM(GENERATE_SERIES(0, 255),
+                        k -> ((k % 16) * 16) | (15 - k // 16)) AS t
+),
+paths AS (SELECT DISTINCT 'evt.' || event_type AS path FROM events),
+hashed AS (
+  SELECT path,
+         LIST_REDUCE(
+           [0] || LIST_TRANSFORM(GENERATE_SERIES(1, LEN(path)),
+                                 i -> ORD(SUBSTR(path, i, 1))),
+           (acc, b) -> t[XOR(acc, b) + 1]) AS h
+  FROM paths, tab
+)
+SELECT path, CAST(h AS BIGINT) AS hash8, CAST(h % 4 AS BIGINT) AS shard
+FROM hashed ORDER BY path
+"""
 
 
 @register(
     "carbon_pearson_shards",
-    None,
-    "A4: bit-compatible Pearson-hash shard assignment (pearson.go:30-41, peerlist.go:113-120); "
-    "rows-only — the hash is not expressible in ANSI SQL",
+    _PEARSON_SQL,
+    "A4: bit-compatible Pearson-hash shard assignment (pearson.go:30-41, "
+    "peerlist.go:113-120), exact-oracle-checked by rebuilding the formula-derived "
+    "permutation table in SQL",
 )
 def carbon_pearson(spark, sf_dir):
     prep(spark)
@@ -500,8 +523,8 @@ def carbon_pearson(spark, sf_dir):
     m = _metrics(spark, sf_dir).select("path").distinct()
     h = pearson_hash8_udf()
     return (
-        m.withColumn("shard", h(F.col("path")) % 4)
-        .groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n_paths"))
-        .orderBy("shard")
+        m.withColumn("hash8", h(F.col("path")).cast("bigint"))
+        .withColumn("shard", (F.col("hash8") % 4).cast("bigint"))
+        .select("path", "hash8", "shard")
+        .orderBy("path")
     )

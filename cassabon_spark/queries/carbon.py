@@ -528,3 +528,48 @@ def carbon_pearson(spark, sf_dir):
         .select("path", "hash8", "shard")
         .orderBy("path")
     )
+
+
+# ---------------------------------------------------------------- A20 index delete
+
+_IDX_DEL_SQL = """
+WITH paths AS (
+  SELECT DISTINCT 'evt.' || event_type || '.u' || CAST(user_id % 10 AS VARCHAR) AS full_path
+  FROM events
+),
+parts AS (SELECT full_path, STRING_SPLIT(full_path, '.') AS p FROM paths),
+expanded AS (
+  SELECT ARRAY_TO_STRING(p[1:d], '.') AS path, CAST(d AS INT) AS depth, '' AS tenant,
+         d = LEN(p) AS leaf
+  FROM parts, UNNEST(GENERATE_SERIES(1, LEN(p))) AS g(d)
+),
+idx AS (SELECT path, depth, tenant, MAX(leaf) AS leaf FROM expanded GROUP BY 1, 2, 3)
+SELECT path, depth, tenant, leaf
+FROM idx
+WHERE NOT (depth = 3 AND REGEXP_MATCHES(path, '^evt\\.error\\..*$'))
+ORDER BY path
+"""
+
+
+@register(
+    "carbon_index_delete",
+    _IDX_DEL_SQL,
+    "A20: DELETE /paths — routed but unimplemented upstream (api.go:50, "
+    "indexmanager.go:294-296); implemented here as a depth-scoped anti-filter "
+    "on the index table",
+)
+def carbon_index_delete(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.index import delete_paths
+
+    ev = EV(spark, sf_dir)
+    paths = ev.select(
+        F.concat(
+            F.lit("evt."),
+            F.col("event_type"),
+            F.lit(".u"),
+            (F.col("user_id") % 10).cast("string"),
+        ).alias("path")
+    ).distinct()
+    idx = expand_ancestors(paths)
+    return delete_paths(idx, "evt.error.*").orderBy("path")

@@ -7,6 +7,9 @@ by DataFrame/Catalyst plans, Structured Streaming state, and partitioned Parquet
 storage. See SURVEY.md for the full mapping.
 
 Layout:
+    engine      — Engine facade: the reference's full API surface (ingest,
+                  GET /metrics, GET /paths, DELETE /metrics, DELETE /paths)
+                  over one durable store
     config      — rollup configuration model + validation (reference: config/)
     sources     — carbon line-protocol parsing, testdata table loaders
     operators   — rollup aggregation, read path (gap-fill), path index,
@@ -18,5 +21,15 @@ Layout:
 
 from cassabon_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name):
+    # lazy: Engine pulls in the operator modules, keep bare import cheap
+    if name == "Engine":
+        from cassabon_spark.engine import Engine
+
+        return Engine
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "Engine"]
 __version__ = "0.1.0"

@@ -1,0 +1,211 @@
+"""Engine facade: the reference's full user-facing surface over one durable
+store — what a cassabon user switches to.
+
+Reference API surface (api/api.go:44-52):
+  POST (carbon line ingest, TCP/UDP)  -> ingest_lines / start_streaming_ingest
+  GET    /metrics?path&from&to        -> get_metrics
+  GET    /paths?query=glob            -> get_paths
+  DELETE /metrics                     -> delete_metrics (dry-run default TRUE,
+                                         api.go:188-191)
+  DELETE /paths                       -> delete_paths (unimplemented upstream,
+                                         indexmanager.go:294-296; implemented)
+
+Storage:
+  store_dir  — rollup rows, parquet partitioned by (resolution_s, date_bucket)
+  index_dir  — path index (path, depth, tenant, leaf), small parquet
+
+Scale notes:
+  * DELETE /metrics is a PARTITION-SCOPED rewrite: only (resolution_s,
+    date_bucket) partitions that actually contain hits are read and
+    rewritten (dynamic partition overwrite); partitions left empty by the
+    delete are dropped as directories. Nothing touches the rest of a 100 TB
+    store.
+  * Index maintenance is incremental: new paths are discovered per ingest
+    with an anti-join against the existing index and appended.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.operators import query as qmod
+from cassabon_spark.operators.index import (
+    expand_ancestors,
+    glob_depth,
+    glob_to_regex,
+    search_glob,
+)
+from cassabon_spark.operators.rollup import (
+    rollup_all_tiers,
+    route,
+    sweep_retention,
+    write_rollups,
+)
+from cassabon_spark.sources.carbon import parse_carbon_lines
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: RollupConfig,
+        store_dir: str,
+        index_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config
+        self.store_dir = store_dir
+        self.index_dir = index_dir or f"{store_dir}_index"
+
+    # ------------------------------------------------------------ store access
+
+    @property
+    def store(self) -> DataFrame:
+        return self.spark.read.parquet(self.store_dir)
+
+    @property
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_dir)
+
+    def _has_store(self) -> bool:
+        return any(Path(self.store_dir).glob("resolution_s=*"))
+
+    def _has_index(self) -> bool:
+        p = Path(self.index_dir)
+        return p.exists() and any(p.iterdir())
+
+    # ------------------------------------------------------------ write path
+
+    def ingest_lines(self, lines: DataFrame, line_col: str = "line") -> dict:
+        """Batch ingest (the backfill path): carbon wire lines -> parse/
+        validate -> route -> all rollup tiers -> partitioned store append;
+        index updated incrementally. Returns ingest counters."""
+        metrics, obs = parse_carbon_lines(lines, line_col=line_col, observe=True)
+        n_ok = metrics.count()  # also populates the malformed-count observation
+        tiers = rollup_all_tiers(metrics, self.config)
+        write_rollups(tiers, self.store_dir)
+        self._update_index(metrics)
+        return {"received": n_ok, "rejected": obs.get["malformed"]}
+
+    def start_streaming_ingest(self, lines_dir: str, checkpoint_dir: str, **kw):
+        """Streaming ingest (partial-agg appends + merge-at-read; see
+        streaming.ingest). Index updates ride compaction or a periodic
+        ingest of new paths."""
+        from cassabon_spark.streaming.ingest import ingest_stream
+
+        return ingest_stream(
+            self.spark, self.config, lines_dir, self.store_dir, checkpoint_dir, **kw
+        )
+
+    def _update_index(self, metrics: DataFrame) -> None:
+        """Incremental A18: expand ancestors of NEW paths only (anti-join
+        against the existing index) and append."""
+        paths = metrics.select("path").distinct()
+        if self._has_index():
+            existing_leaves = self.index.filter(F.col("leaf")).select("path")
+            paths = paths.join(existing_leaves, "path", "left_anti")
+        new_rows = expand_ancestors(paths)
+        if self._has_index():
+            new_rows = new_rows.join(self.index.select("path"), "path", "left_anti")
+        new_rows.write.mode("append").parquet(self.index_dir)
+
+    def sweep_retention(self, now_s: int) -> list[str]:
+        return sweep_retention(self.spark, self.store_dir, self.config, now_s)
+
+    # ------------------------------------------------------------ read path
+
+    def get_metrics(
+        self, paths: list[str], from_s: int, to_s: int, now_s: int | None = None
+    ) -> dict:
+        """GET /metrics -> MetricResponse-shaped dict (A10-A16)."""
+        return qmod.query_metrics(
+            self.spark, self.store, self.config, paths, from_s, to_s, now_s=now_s
+        )
+
+    def get_paths(self, glob: str) -> list[dict]:
+        """GET /paths -> [IndexResponse] sorted by path (A17)."""
+        rows = search_glob(self.index, glob).collect()
+        return [
+            {"path": r["path"], "depth": r["depth"], "tenant": r["tenant"], "leaf": r["leaf"]}
+            for r in rows
+        ]
+
+    # ------------------------------------------------------------ deletes
+
+    def delete_metrics(
+        self, paths: list[str], from_s: int, to_s: int, dry_run: bool = True
+    ) -> list[dict]:
+        """DELETE /metrics (A19): per (path, tier) hit counts; unless
+        dry-run, rewrite ONLY the hit (resolution_s, date_bucket) partitions
+        without the matched rows. Dry-run defaults TRUE like the reference."""
+        hit = (
+            F.col("path").isin(paths)
+            & (F.unix_timestamp("time") >= from_s)
+            & (F.unix_timestamp("time") <= to_s)
+        )
+        store = self.store
+        report = [
+            {"path": r["path"], "resolution_s": r["resolution_s"], "count": r["cnt"]}
+            for r in store.filter(hit)
+            .groupBy("path", "resolution_s")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("path", "resolution_s")
+            .collect()
+        ]
+        if dry_run:
+            return report
+
+        touched = (
+            store.filter(hit)
+            .select("resolution_s", F.date_format("time", "yyyy-MM-dd").alias("date_bucket"))
+            .distinct()
+            .collect()
+        )
+        for t in touched:
+            part_dir = (
+                f"{self.store_dir}/resolution_s={t['resolution_s']}/"
+                f"date_bucket={t['date_bucket']}"
+            )
+            part = self.spark.read.parquet(part_dir)
+            remaining = part.filter(
+                ~(
+                    F.col("path").isin(paths)
+                    & (F.unix_timestamp("time") >= from_s)
+                    & (F.unix_timestamp("time") <= to_s)
+                )
+            )
+            kept = remaining.cache()
+            if kept.count() == 0:
+                kept.unpersist()
+                shutil.rmtree(part_dir)
+                continue
+            # materialized above, so the overwrite does not race its own scan
+            kept.write.mode("overwrite").parquet(part_dir)
+            kept.unpersist()
+        return report
+
+    def delete_paths(self, glob: str) -> int:
+        """DELETE /paths (A20, unimplemented upstream — implemented here):
+        drop index entries matching the depth-scoped glob; returns the
+        number of entries removed. The index is small (paths, not data);
+        a full rewrite is the honest cost."""
+        hit = (F.col("depth") == glob_depth(glob)) & F.col("path").rlike(
+            glob_to_regex(glob)
+        )
+        idx = self.index
+        n = idx.filter(hit).count()
+        if n == 0:
+            return 0
+        remaining = idx.filter(~hit).cache()
+        remaining.count()
+        tmp = self.index_dir + "_rewrite"
+        remaining.write.mode("overwrite").parquet(tmp)
+        remaining.unpersist()
+        shutil.rmtree(self.index_dir)
+        Path(tmp).rename(self.index_dir)
+        return n

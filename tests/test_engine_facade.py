@@ -1,0 +1,103 @@
+"""Engine facade: the reference's full API surface end-to-end over one
+durable store — ingest, GET /metrics, GET /paths, DELETE /metrics (dry-run
+default + partition-scoped rewrite), DELETE /paths."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.engine import Engine
+
+CFG = RollupConfig.from_dict(
+    {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
+)
+
+
+def _engine(spark, d):
+    return Engine(spark, CFG, os.path.join(d, "store"), os.path.join(d, "idx"))
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "line string")
+
+
+def test_ingest_query_index_roundtrip(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    counters = eng.ingest_lines(
+        _lines(
+            spark,
+            [f"svc.api.latency {v}.0 {1000 + i}" for i, v in enumerate(range(1, 21))]
+            + ["svc.api.errors 3.0 1004", "bogus line", "svc.api.errors 5.0 1016"],
+        )
+    )
+    assert counters == {"received": 22, "rejected": 1}
+
+    # GET /metrics: windows close at 1010 (1..10 avg 5.5), 1020 (11..20 avg 15.5)
+    resp = eng.get_metrics(["svc.api.latency"], 995, 1025, now_s=2000)
+    assert resp["step"] == 10
+    assert resp["series"]["svc.api.latency"] == [None, 5.5, 15.5]
+
+    # GET /paths: ancestors indexed, glob+depth semantics
+    assert [p["path"] for p in eng.get_paths("svc.api.*")] == [
+        "svc.api.errors",
+        "svc.api.latency",
+    ]
+    assert [p["path"] for p in eng.get_paths("svc.*")] == ["svc.api"]
+    assert not eng.get_paths("svc.api")[0]["leaf"]
+
+    # incremental index update: re-ingesting known paths adds nothing
+    eng.ingest_lines(_lines(spark, ["svc.api.latency 9.0 2000"]))
+    assert eng.index.count() == 4  # svc, svc.api, + 2 leaves
+
+
+def test_delete_metrics_dry_run_then_rewrite(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    # two days of data so the delete is partition-scoped
+    day1, day9 = 86400, 9 * 86400
+    eng.ingest_lines(
+        _lines(
+            spark,
+            [f"p.x 1.0 {day1 + i}" for i in range(5)]
+            + [f"p.x 2.0 {day9 + i}" for i in range(5)]
+            + [f"p.y 7.0 {day9 + i}" for i in range(5)],
+        )
+    )
+    before_files = set(os.listdir(os.path.join(str(tmp_path), "store")))
+
+    # dry-run (the default): reports, deletes nothing
+    report = eng.delete_metrics(["p.x"], day1, day1 + 100)
+    assert {(r["path"], r["resolution_s"]) for r in report} == {("p.x", 10), ("p.x", 60)}
+    assert eng.store.filter(F.col("path") == "p.x").count() > 0
+    assert set(os.listdir(os.path.join(str(tmp_path), "store"))) == before_files
+
+    # real delete: day1 partitions emptied -> dropped; day9 rows untouched
+    eng.delete_metrics(["p.x"], day1, day1 + 100, dry_run=False)
+    left = eng.store
+    assert left.filter(F.unix_timestamp("time") < day9).count() == 0
+    assert left.filter(F.col("path") == "p.x").count() == 2  # day9, both tiers
+    assert left.filter(F.col("path") == "p.y").count() == 2
+    resp = eng.get_metrics(["p.x"], day1 - 5, day1 + 15, now_s=day1 + 3000)
+    assert all(v is None for v in resp["series"]["p.x"])
+
+
+def test_delete_metrics_partial_partition_rewrite(spark, tmp_path):
+    """Deleting one path leaves the other path's rows in the SAME partition."""
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(_lines(spark, ["a.one 1.0 1001", "a.two 2.0 1001"]))
+    eng.delete_metrics(["a.one"], 0, 5000, dry_run=False)
+    assert eng.store.select("path").distinct().collect()[0]["path"] == "a.two"
+    assert eng.store.count() == 2  # a.two in both tiers
+
+
+def test_delete_paths_glob_scoped(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(
+        _lines(spark, ["svc.api.latency 1.0 1000", "svc.db.latency 2.0 1000"])
+    )
+    assert eng.delete_paths("svc.api.*") == 1
+    assert eng.delete_paths("svc.api.*") == 0  # idempotent
+    remaining = {r["path"] for r in eng.index.collect()}
+    assert remaining == {"svc", "svc.api", "svc.db", "svc.db.latency"}

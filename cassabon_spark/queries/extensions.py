@@ -874,3 +874,53 @@ def similarity_ann(spark, sf_dir):
                    F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("qid", "rnk")
     )
+
+
+# ---------------------------------------------------------------- BPE-ish tokens
+
+# GPT-2-style pretokenizer classes, restricted to lookahead-free constructs
+# so the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB):
+# contractions | space?+letter-run | space?+digit-run | space?+other-run.
+_BPE_RX = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+_BPE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         REGEXP_EXTRACT_ALL(LOWER(text), '{_BPE_RX.replace("'", "''")}') AS t
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(LEN(t)) AS BIGINT)                  AS total_tokens,
+       CAST(SUM(LEN(LIST_DISTINCT(t))) AS BIGINT)   AS total_distinct,
+       ROUND(ROUND(AVG(LEN(t)), 8), 4)              AS avg_tokens_per_doc,
+       ROUND(ROUND(SUM(LEN(LIST_FILTER(t, x -> x LIKE '''%'))) * 1.0
+                   / SUM(LEN(t)), 8), 4)            AS contraction_ratio
+FROM toks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_bpe_token_count",
+    _BPE_SQL,
+    "BPE-ish subword pretokenization (GPT-2 classes, lookahead-free so the "
+    "identical regex runs on Spark/Java and DuckDB/RE2) + per-language stats",
+)
+def text_bpe(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    t = docs.select(
+        "lang", F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RX), 0).alias("t")
+    )
+    contraction = F.size(F.filter("t", lambda x: x.startswith("'")))
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum(F.size("t")).cast("bigint").alias("total_tokens"),
+            F.sum(F.size(F.array_distinct("t"))).cast("bigint").alias("total_distinct"),
+            R(F.avg(F.size("t")), 4).alias("avg_tokens_per_doc"),
+            R(F.sum(contraction) / F.sum(F.size("t")), 4).alias("contraction_ratio"),
+        )
+        .orderBy("lang")
+    )

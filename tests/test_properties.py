@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis): invariants of the fiddly pure
+functions (the reference's semantics edge cases live there) plus a couple
+of Spark-side invariants at low example counts.
+
+The reference had zero property tests (SURVEY §5); these pin the behaviors
+the oracle queries rely on for ALL inputs, not just the fixture values."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cassabon_spark.functions.pearson import _T, pearson_hash8, pearson_hash64
+from cassabon_spark.operators.index import glob_depth, glob_to_regex, route_pure
+from cassabon_spark.operators.query import normalize_from
+
+# ---------------------------------------------------------------- pure functions
+
+
+@given(st.integers(min_value=0, max_value=2**40), st.integers(min_value=1, max_value=10**6))
+def test_normalize_from_always_advances_to_boundary(from_s, step):
+    """A12 (metricquery.go:124): normalFrom ALWAYS advances (even when
+    already aligned), lands on a step boundary, and advances at most one
+    full step."""
+    n = normalize_from(from_s, step)
+    assert n > from_s
+    assert n % step == 0 or step == 1
+    assert n - from_s <= step
+
+
+@given(st.text(min_size=0, max_size=64))
+def test_pearson_hash8_range_and_determinism(s):
+    h = pearson_hash8(s)
+    assert 0 <= h <= 255
+    assert h == pearson_hash8(s)
+
+
+@given(st.text(min_size=1, max_size=32))
+def test_pearson_hash64_segments_in_range(s):
+    segs = pearson_hash64(s)
+    assert len(segs) == 8
+    assert all(0 <= x <= 255 for x in segs)
+
+
+def test_pearson_table_is_a_permutation():
+    assert sorted(_T) == list(range(256))
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4).map(lambda s: s),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_glob_regex_matches_itself(segments):
+    """A17: a literal glob (no wildcards) matches exactly its own path at
+    its own depth."""
+    import re
+
+    path = ".".join(segments)
+    rx = glob_to_regex(path)
+    assert re.match(rx, path)
+    assert glob_depth(path) == len(segments)
+    assert not re.match(rx, path + "x")
+
+
+@given(
+    st.lists(st.sampled_from(["^a\\.", "^b\\.", "c$", "default"]), min_size=1, max_size=4),
+    st.lists(st.text(alphabet="abc.", min_size=1, max_size=8), min_size=1, max_size=5),
+)
+def test_route_pure_first_match_wins_and_total(patterns, paths):
+    """A5: every path routes somewhere; a path matching pattern i never
+    routes to a later pattern."""
+    routed = route_pure(paths, patterns)
+    assert len(routed) == len(paths)
+    import re
+
+    compiled = [(p, re.compile(p)) for p in patterns if p != "default"]
+    for path, got in zip(paths, routed):
+        first = next((src for src, rx in compiled if rx.search(path)), "default")
+        assert got == first
+
+
+# ---------------------------------------------------------------- spark-side
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p.a", "p.b"]),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.integers(min_value=1000, max_value=1300),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_gapfill_grid_shape_and_coverage(spark, rows):
+    """A13: the grid always has exactly (to-nfrom)/step+1 slots per queried
+    path; a slot is non-null iff a store row bucketed into it."""
+    import pyspark.sql.functions as F
+
+    from cassabon_spark.operators.query import query_metrics_df
+
+    store = spark.createDataFrame(
+        [(p, float(v), float(ts)) for p, v, ts in rows],
+        "path string, value double, ts double",
+    ).select(
+        "path",
+        F.timestamp_seconds(
+            ((F.floor(F.col("ts") / 60) * 60) + 60).cast("bigint")
+        ).alias("time"),
+        F.col("value").alias("vsum"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    merged = store.groupBy("path", "time").agg(
+        F.sum("vsum").alias("vsum"), F.sum("cnt").alias("cnt")
+    )
+    from_s, to_s, step = 980, 1400, 60
+    grid = query_metrics_df(
+        spark, merged, ["p.a", "p.b"], from_s, to_s, step, "average"
+    ).collect()
+    nfrom = normalize_from(from_s, step)
+    expected_slots = (to_s - nfrom) // step + 1
+    by_path = {}
+    for r in grid:
+        by_path.setdefault(r["path"], set()).add(r["slot_s"])
+    assert set(by_path) == {"p.a", "p.b"}
+    for slots in by_path.values():
+        assert len(slots) == expected_slots
+        assert min(slots) == nfrom and max(slots) <= to_s
+    # non-null slots == windows that actually received data (within range)
+    closes = {
+        (p, int(ts // 60) * 60 + 60)
+        for p, _, ts in rows
+        if nfrom <= int(ts // 60) * 60 + 60 <= to_s
+    }
+    non_null = {(r["path"], r["slot_s"]) for r in grid if r["stat"] is not None}
+    assert non_null == closes

@@ -924,3 +924,125 @@ def text_bpe(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------- tf-idf
+
+# Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's formula — portable, no
+# divide-by-zero); tf = raw count within doc. Top-3 terms per doc for the
+# first 20 docs, ranked by tfidf then term for determinism.
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM ({_TOKS}), UNNEST(t) AS t(tok)
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (LN((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term), n
+),
+ranked AS (
+  SELECT doc_id, term, ROUND(ROUND(tfidf, 8), 4) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored WHERE doc_id < 20
+)
+SELECT doc_id, term, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+@register(
+    "text_tfidf_top_terms",
+    _TFIDF_SQL,
+    "tf-idf as groupBy + broadcast-joined document frequencies (no vocabulary "
+    "collect); smoothed idf, top-3 terms per doc",
+)
+def text_tfidf(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = toks.select(F.count_distinct("doc_id").alias("n"))
+    # df is vocabulary-sized (bounded, zipf-tailed): broadcast both it and
+    # the 1-row corpus count; tf (the big side) never reshuffles for the join
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.filter(F.col("doc_id") < 20)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", R(F.col("tfidf"), 4).alias("tfidf"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------- lexicon sentiment
+
+_POS = ["good", "great", "best", "new", "first"]
+_NEG = ["bad", "worst", "old", "last", "wrong"]
+
+_SENTIMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, t.tok AS tok
+  FROM ({_TOKS}), UNNEST(t) AS t(tok)
+),
+scored AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN LIST_CONTAINS({_POS!r}, tok) THEN 1
+                  WHEN LIST_CONTAINS({_NEG!r}, tok) THEN -1
+                  ELSE 0 END) AS score,
+         COUNT(*) AS n_toks
+  FROM toks GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(score) AS BIGINT) AS net_sentiment,
+       ROUND(ROUND(AVG(score * 1.0 / n_toks), 8), 4) AS avg_polarity
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_sentiment_lexicon",
+    _SENTIMENT_SQL,
+    "lexicon sentiment as a constant-folded CASE over tokens (tiny lexicons "
+    "inline as literals; a real lexicon would be a broadcast join)",
+)
+def text_sentiment(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "source", F.explode(tokens_expr("text")).alias("tok"))
+    pos = F.array(*[F.lit(w) for w in _POS])
+    neg = F.array(*[F.lit(w) for w in _NEG])
+    score_tok = (
+        F.when(F.array_contains(pos, F.col("tok")), 1)
+        .when(F.array_contains(neg, F.col("tok")), -1)
+        .otherwise(0)
+    )
+    per_doc = toks.groupBy("doc_id", "source").agg(
+        F.sum(score_tok).alias("score"), F.count(F.lit(1)).alias("n_toks")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score").cast("bigint").alias("net_sentiment"),
+            R(F.avg(F.col("score") / F.col("n_toks")), 4).alias("avg_polarity"),
+        )
+        .orderBy("source")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -99,3 +100,94 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     ).repartition("key")
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    key_col: str = "key",
+    blob_col: str = "blob",
+    resizer=None,
+) -> DataFrame:
+    """df(key, blob BINARY) -> (key, width, height, resized BINARY).
+
+    Same mapInPandas contract as decode_blobs. `resizer(payload, w, h) ->
+    bytes` is injected (codecs not in this container); the default raises
+    like decode_image. The deterministic fake used in tests truncates/pads
+    the payload to w*h bytes — enough to verify batch shapes and the
+    BinaryType round trip end-to-end."""
+    if resizer is None:
+        def resizer(payload, w, h):  # pragma: no cover - stub
+            raise NotImplementedError(
+                "image codecs unavailable in this container; pass resizer= explicitly"
+            )
+
+    def _resize(batches):
+        for pdf in batches:
+            out = pdf[[key_col]].rename(columns={key_col: "key"})
+            out["width"] = target_w
+            out["height"] = target_h
+            out["resized"] = pdf[blob_col].map(lambda b: resizer(b, target_w, target_h))
+            yield out
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    key_col: str = "key",
+    blob_col: str = "blob",
+    sample_rate: int = 16_000,
+    decoder=None,
+) -> DataFrame:
+    """df(key, blob BINARY) -> (key, n_bytes, duration_s, rms, peak).
+
+    `decoder(payload) -> np.ndarray[float]` of PCM samples is injected
+    (audio codecs not in this container; the default raises). Feature math
+    (duration/RMS/peak) runs vectorized in numpy over the Arrow batch —
+    the shape real librosa-style extraction would take."""
+    import numpy as np
+
+    if decoder is None:
+        def decoder(payload):  # pragma: no cover - stub
+            raise NotImplementedError(
+                "audio codecs unavailable in this container; pass decoder= explicitly"
+            )
+
+    def _features(batches):
+        for pdf in batches:
+            out = pdf[[key_col]].rename(columns={key_col: "key"})
+            out["n_bytes"] = pdf[blob_col].map(len)
+            samples = pdf[blob_col].map(decoder)
+            out["duration_s"] = samples.map(lambda a: len(a) / sample_rate)
+            out["rms"] = samples.map(
+                lambda a: float(np.sqrt(np.mean(np.square(a)))) if len(a) else 0.0
+            )
+            out["peak"] = samples.map(
+                lambda a: float(np.max(np.abs(a))) if len(a) else 0.0
+            )
+            yield out
+
+    return df.mapInPandas(_features, AUDIO_FEATURES_SCHEMA)

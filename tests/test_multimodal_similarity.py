@@ -63,3 +63,54 @@ def test_lsh_deterministic(spark, sf_dir):
     r1 = sorted(map(tuple, lsh_bucket_topk(emb, q, dim=64, k=3).collect()))
     r2 = sorted(map(tuple, lsh_bucket_topk(emb, q, dim=64, k=3).collect()))
     assert r1 == r2
+
+
+
+def test_resize_images_plumbing(spark):
+    from cassabon_spark.operators.multimodal import resize_images
+
+    def fake_resize(payload, w, h):
+        target = w * h
+        return bytes(payload[:target]).ljust(target, b"\x00")
+
+    df = spark.createDataFrame(
+        [("a", bytearray(b"x" * 100)), ("b", bytearray(b"y" * 5))],
+        "key string, blob binary",
+    )
+    out = {
+        r["key"]: r
+        for r in resize_images(df, 4, 8, resizer=fake_resize).collect()
+    }
+    assert (out["a"]["width"], out["a"]["height"]) == (4, 8)
+    assert len(out["a"]["resized"]) == 32 and len(out["b"]["resized"]) == 32
+    assert bytes(out["b"]["resized"][:5]) == b"yyyyy"
+
+
+def test_resize_images_default_is_stubbed(spark):
+    import pytest as _pytest
+
+    from cassabon_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([("a", bytearray(b"x"))], "key string, blob binary")
+    with _pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        resize_images(df, 2, 2).collect()
+
+
+def test_extract_audio_features_plumbing(spark):
+    import numpy as np
+
+    from cassabon_spark.operators.multimodal import extract_audio_features
+
+    def fake_pcm(payload):
+        # deterministic fake: bytes -> centered floats in [-1, 1)
+        return (np.frombuffer(bytes(payload), dtype=np.uint8).astype("float64") - 128.0) / 128.0
+
+    df = spark.createDataFrame(
+        [("tone", bytearray(bytes([128 + 64, 128 - 64] * 8000)))],
+        "key string, blob binary",
+    )
+    row = extract_audio_features(df, sample_rate=16_000, decoder=fake_pcm).collect()[0]
+    assert row["n_bytes"] == 16000
+    assert row["duration_s"] == 1.0
+    assert abs(row["rms"] - 0.5) < 1e-9  # alternating +/-0.5 square wave
+    assert row["peak"] == 0.5

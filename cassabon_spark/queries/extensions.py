@@ -1046,3 +1046,99 @@ def text_sentiment(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- dedup clusters
+
+# Connected components over the verified MinHash near-dup pair graph:
+# canonical-representative selection (keep min doc_id per component) — the
+# step a real dedup pipeline runs after pair generation. Spark side is
+# min-label propagation (one join + groupBy-min per iteration, converges in
+# O(component diameter) rounds — near-dup components are tiny and
+# star-shaped, so 2-4 rounds; each iteration localCheckpoints to cut
+# lineage). Oracle: DuckDB recursive CTE reachability with MIN labels.
+_CLUSTERS_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, MIN(lab) AS component FROM r GROUP BY node
+)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_removable
+FROM reach
+GROUP BY component
+ORDER BY component
+"""
+
+
+@register(
+    "dedup_minhash_clusters",
+    _CLUSTERS_SQL,
+    "connected components over the near-dup pair graph (min-label propagation; "
+    "canonical = min doc_id per component) — the keep/remove decision step",
+)
+def dedup_clusters(spark, sf_dir):
+    prep(spark)
+    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
+    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(16):  # diameter bound; near-dup components are tiny
+        # neighbor labels (edges reversed: label flows src -> dst) + own label
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)  # cut iterative lineage
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lab").alias("component"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("component")
+    )

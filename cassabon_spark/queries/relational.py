@@ -986,3 +986,87 @@ def win_ntile(spark, sf_dir):
         .orderBy(F.desc("total"), F.asc("o_custkey"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- value window fns
+
+_NTH_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice)  OVER w AS latest_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "win_first_last_nth",
+    _NTH_SQL,
+    "value window functions: first_value / last_value / nth_value over an "
+    "unbounded frame",
+)
+def win_nth(spark, sf_dir):
+    prep(spark)
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.first_value("o_totalprice").over(w).alias("first_price"),
+            F.last_value("o_totalprice").over(w).alias("latest_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- map functions
+
+_MAP_SQL = """
+WITH m AS (
+  SELECT p_brand,
+         MAP(['size', 'retail'], [CAST(p_size AS DOUBLE), p_retailprice]) AS props
+  FROM part
+)
+SELECT p_brand,
+       COUNT(*) AS n,
+       ROUND(SUM(props['size'][1]), 2)   AS total_size,
+       ROUND(SUM(props['retail'][1]), 2) AS total_retail
+FROM m
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+@register(
+    "scalar_map_funcs",
+    _MAP_SQL,
+    "map construction + element_at access (MapType surface)",
+)
+def scalar_map(spark, sf_dir):
+    prep(spark)
+    p = T(spark, sf_dir, "part")
+    props = F.create_map(
+        F.lit("size"), F.col("p_size").cast("double"),
+        F.lit("retail"), F.col("p_retailprice"),
+    )
+    m = p.select("p_brand", props.alias("props"))
+    return (
+        m.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.element_at("props", F.lit("size"))), 2).alias("total_size"),
+            F.round(F.sum(F.element_at("props", F.lit("retail"))), 2).alias("total_retail"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1070,3 +1070,66 @@ def scalar_map(spark, sf_dir):
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------- q6 forecast revenue
+
+_Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_candidates
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "q6_forecast_revenue",
+    _Q6_SQL,
+    "TPC-H Q6: pure filter + agg — every predicate rides the parquet scan "
+    "(min/max row-group skipping), the canonical pushdown query",
+)
+def q6(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+
+
+# ---------------------------------------------------------------- q14 promo effect
+
+_Q14_SQL = """
+SELECT ROUND(ROUND(100.00 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 8), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate <  TIMESTAMP '1995-10-01'
+"""
+
+
+@register(
+    "q14_promo_effect",
+    _Q14_SQL,
+    "TPC-H Q14: fact-dim join + conditional aggregation; part broadcasts",
+)
+def q14(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        R(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+    )

@@ -111,3 +111,34 @@ def test_delete_dry_run_counts_per_tier(spark):
     report2, remaining2 = delete_metrics(s, ["p"], 0, 5000, dry_run=False)
     assert remaining2.filter(F.col("path") == "p").count() == 0
     assert remaining2.filter(F.col("path") == "q").count() > 0
+
+
+def test_store_read_partition_prunes_tier_and_date(spark, tmp_path):
+    """A10 at the plan level: a tier-selected, time-bounded read of the
+    partitioned store must show PartitionFilters on resolution_s AND touch
+    only the matching date buckets — the property that keeps a query
+    against a 100 TB store from listing, let alone reading, cold data."""
+    import os
+
+    from cassabon_spark.operators.rollup import write_rollups
+
+    day1, day9 = 86400.0, 9 * 86400.0
+    metrics = spark.createDataFrame(
+        [("p", 1.0, day1 + 5), ("p", 2.0, day9 + 5)],
+        "path string, value double, ts double",
+    )
+    store_dir = os.path.join(str(tmp_path), "store")
+    write_rollups(rollup_all_tiers(metrics, CFG), store_dir)
+
+    store = spark.read.parquet(store_dir)
+    q = store.filter(
+        (F.col("resolution_s") == 60)
+        & (F.col("date_bucket") == "1970-01-10")
+        & (F.col("path") == "p")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "resolution_s" in pf and "date_bucket" in pf
+    # path predicate is DATA-level: pushed to parquet, not partition
+    assert "PushedFilters: [IsNotNull(path), EqualTo(path,p)]" in plan
+    assert q.count() == 1

@@ -142,3 +142,29 @@ def test_arrival_order_rollup_last_semantics(spark, tmp_path):
     assert got[("a", 10.0)] == (3, 13.0, 9.0)  # arrival-order LAST
     assert got[("a", 20.0)] == (1, 5.0, 5.0)
     assert got[("b", 20.0)] == (1, 7.0, 7.0)
+
+
+def test_windowed_stream_matches_batch_rollup(spark, tmp_path):
+    """State-store path parity: the watermarked streaming aggregation must
+    produce exactly the batch rollup's rows for the same input (both define
+    LAST as latest-by-timestamp)."""
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.operators.rollup import rollup_finest, route
+
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "average", "windows": ["10s:1h"]}}
+    )
+    m_stream = _metrics_stream(spark, [ROWS], str(tmp_path / "drop"))
+    out = _run_stream(
+        spark, windowed_rollup_stream(m_stream, window_s=10, watermark_s=5), "t_parity"
+    )
+    streaming = {
+        (r["path"], r["time"].timestamp()): (r["cnt"], r["vsum"], r["vmin"], r["vmax"], r["vlast"])
+        for r in out.collect()
+    }
+    m_batch = spark.createDataFrame(ROWS, "path string, value double, ts double")
+    batch = {
+        (r["path"], r["time"].timestamp()): (r["cnt"], r["vsum"], r["vmin"], r["vmax"], r["vlast"])
+        for r in rollup_finest(route(m_batch, cfg), cfg).collect()
+    }
+    assert streaming == batch

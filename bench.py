@@ -32,8 +32,12 @@ HEADLINE = [
     "carbon_multi_tier_fanout",
     "carbon_read_gapfill",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk_cosine",
+    "similarity_ann_lsh",
     "text_quality_score",
+    "text_bpe_token_count",
+    "q6_forecast_revenue",
 ]
 
 

@@ -617,12 +617,18 @@ def multimodal_blob(spark, sf_dir):
 
 # ---------------------------------------------------------------- SimHash dedup
 
-# 16-bit simhash over distinct tokens (md5-portable bit source). Candidate
-# blocking: split the signature into 4 nibble bands — any pair within
+# 60-bit simhash over distinct tokens (md5-portable bit source; 60 bits so
+# the signature stays a positive BIGINT in both engines). Candidate
+# blocking: split the signature into 4 15-bit bands — any pair within
 # Hamming distance 3 MUST share at least one band (pigeonhole), so the
 # banded join is exact for the <=3 threshold, never a cross product.
-_SIMHASH_BITS = 16
+# 16 bits saturates (1.5M+ false candidates on the 50k-doc corpus);
+# 60 bits keeps Hamming<=3 meaning "near-duplicate" at data scale.
+_SIMHASH_BITS = 60
 _HAMMING_MAX = 3
+_SIMHASH_BANDS = 4
+_BAND_BITS = _SIMHASH_BITS // _SIMHASH_BANDS
+_BAND_MASK = (1 << _BAND_BITS) - 1
 
 _simhash_bit_sums = ",\n         ".join(
     f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(_SIMHASH_BITS)
@@ -644,7 +650,8 @@ sums AS (
 ),
 sig AS (SELECT doc_id, lang, CAST({_simhash_sig} AS BIGINT) AS sig FROM sums),
 bands AS (
-  SELECT doc_id, lang, sig, b.band AS band, (sig >> (b.band * 4)) & 15 AS nib
+  SELECT doc_id, lang, sig, b.band AS band,
+         (sig >> (b.band * 15)) & 32767 AS nib
   FROM sig, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS band) b
 ),
 cand AS (
@@ -662,7 +669,7 @@ ORDER BY d1, d2
 @register(
     "dedup_simhash",
     _SIMHASH_SQL,
-    "SimHash(16-bit) near-dup pairs, nibble-band blocking (exact for Hamming<=3 by pigeonhole)",
+    "SimHash(60-bit) near-dup pairs, 15-bit-band blocking (exact for Hamming<=3 by pigeonhole)",
 )
 def dedup_simhash(spark, sf_dir):
     prep(spark)
@@ -690,9 +697,11 @@ def dedup_simhash(spark, sf_dir):
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("sig", 4 * b).bitwiseAND(F.lit(15)).alias("nib"),
+                F.shiftright("sig", _BAND_BITS * b)
+                .bitwiseAND(F.lit(_BAND_MASK))
+                .alias("nib"),
             )
-            for b in range(4)
+            for b in range(_SIMHASH_BANDS)
         ]
     )
     bands = sig.select(
@@ -748,11 +757,40 @@ def agg_approx(spark, sf_dir):
 # ---------------------------------------------------------------- streaming ingest e2e
 
 
+# The streaming result IS oracle-checkable despite the microbatching: the
+# stateless design appends (sum, count) partials and the read path merges
+# them with a weighted average, so the final grid equals the plain batch
+# average regardless of how the data was sliced into microbatches. The
+# oracle computes that batch result directly.
+_STREAMING_SQL = """
+WITH m AS (
+  SELECT 'evt.' || event_type AS path, value, FLOOR(EPOCH(ts)) AS ts FROM events
+),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  HAVING time_s >= 1704412800 AND time_s <= 1704499200
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES(1704416400, 1704499200, 3600)) AS slot_s) s
+)
+SELECT spine.path, spine.slot_s, ROUND(vsum / cnt, 4) AS stat
+FROM spine LEFT JOIN store
+  ON store.path = spine.path AND store.time_s = spine.slot_s
+ORDER BY spine.path, spine.slot_s
+"""
+
+
 @register(
     "carbon_streaming_ingest",
-    None,
+    _STREAMING_SQL,
     "Structured Streaming ingest end-to-end (A1/A9 re-architected): lines -> availableNow "
-    "microbatches -> partial-agg parquet appends -> merge-at-read; rows-only (streaming job)",
+    "microbatches -> partial-agg parquet appends -> merge-at-read. Exact oracle: the "
+    "(sum,count) partial design makes the merged result microbatch-invariant",
 )
 def carbon_streaming(spark, sf_dir):
     import os

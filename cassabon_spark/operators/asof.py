@@ -81,3 +81,74 @@ def asof_join(
         *[F.col(f"_match.{v}").alias(f"{v}{suffix}") for v in value_cols],
     )
     return out
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_on: str | None = None,
+    by: list[str] | None = None,
+    right_by: list[str] | None = None,
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join via grouped-map applyInPandas (pandas merge_asof
+    per equality-key group).
+
+    Same semantics as asof_join. Use ONLY when per-group data is small and
+    Python-side logic is unavoidable — it ships both sides through Arrow and
+    Python workers, where asof_join stays entirely JVM-side. Exists as the
+    documented grouped-map UDF pattern (SURVEY §2 Part B, UDF row) and as a
+    differential-testing oracle for asof_join.
+    """
+    import pandas as pd
+
+    right_on = right_on or on
+    by = by or []
+    right_by = right_by or by
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(right_by) | {right_on}
+    ]
+
+    from pyspark.sql.types import StructType
+
+    # copy: StructType.add mutates in place, and left.schema is the frame's
+    # cached schema object — adding to it directly corrupts left.columns
+    out_schema = StructType(list(left.schema.fields))
+    for v in value_cols:
+        out_schema = out_schema.add(f"{v}{suffix}", right.schema[v].dataType)
+
+    lkey = [F.col(c).alias(f"__k{i}") for i, c in enumerate(by)]
+    rkey = [F.col(c).alias(f"__k{i}") for i, c in enumerate(right_by)]
+    l_tag = left.select("*", *lkey, F.lit(1).alias("__side"))
+    r_tag = right.select("*", *rkey, F.lit(0).alias("__side"))
+    keys = [f"__k{i}" for i in range(len(by))]
+    # one cogroup-style frame per key: union the tagged sides, group, split
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    left_cols = list(left.columns)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["__side"] == 1]
+        rpdf = pdf[pdf["__side"] == 0]
+        lpdf = lpdf[left_cols].sort_values(on, kind="mergesort")
+        rsel = rpdf[[right_on, *value_cols]].sort_values(right_on, kind="mergesort")
+        rsel = rsel.rename(columns={v: f"{v}{suffix}" for v in value_cols})
+        if lpdf.empty:
+            return lpdf.assign(**{f"{v}{suffix}": [] for v in value_cols})
+        merged = pd.merge_asof(
+            lpdf,
+            rsel,
+            left_on=on,
+            right_on=right_on,
+            direction="backward",
+            suffixes=("", "__r"),
+        )
+        if right_on in left_cols:
+            drop = [c for c in merged.columns if c.endswith("__r")]
+            merged = merged.drop(columns=drop)
+        elif right_on not in [f"{v}{suffix}" for v in value_cols]:
+            merged = merged.drop(columns=[right_on], errors="ignore")
+        return merged[list(left_cols) + [f"{v}{suffix}" for v in value_cols]]
+
+    return unioned.groupBy(*keys).applyInPandas(_merge, out_schema)

@@ -1133,3 +1133,46 @@ def q14(spark, sf_dir):
     return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
         R(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
     )
+
+
+# ---------------------------------------------------------------- math scalars
+
+_MATH_SQL = """
+SELECT l_linenumber,
+       COUNT(*) AS n,
+       ROUND(SUM(ABS(l_extendedprice - l_quantity * 1000)), 2) AS sum_abs_dev,
+       ROUND(SUM(POW(l_discount, 2)), 4)                       AS sum_disc_sq,
+       ROUND(SUM(LN(l_extendedprice)), 4)                      AS sum_log_price,
+       ROUND(SUM(FLOOR(l_quantity / 7)), 1)                    AS sum_floor_q7,
+       ROUND(SUM(CEIL(l_tax * 100)), 1)                        AS sum_ceil_tax,
+       CAST(SUM(CAST(l_orderkey AS BIGINT) % 7) AS BIGINT)     AS sum_mod7
+FROM lineitem
+GROUP BY l_linenumber
+ORDER BY l_linenumber
+"""
+
+
+@register(
+    "scalar_math_funcs",
+    _MATH_SQL,
+    "math scalar functions: abs/pow/ln/floor/ceil/pmod, all whole-stage codegen",
+)
+def scalar_math(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_quantity") * 1000)), 2)
+            .alias("sum_abs_dev"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_disc_sq"),
+            F.round(F.sum(F.log("l_extendedprice")), 4).alias("sum_log_price"),
+            F.round(F.sum(F.floor(F.col("l_quantity") / 7)), 1).alias("sum_floor_q7"),
+            F.round(F.sum(F.ceil(F.col("l_tax") * 100)), 1).alias("sum_ceil_tax"),
+            F.sum(F.pmod(F.col("l_orderkey").cast("bigint"), F.lit(7)))
+            .cast("bigint")
+            .alias("sum_mod7"),
+        )
+        .orderBy("l_linenumber")
+    )

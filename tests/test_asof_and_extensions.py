@@ -74,3 +74,24 @@ def test_cosine_sim(spark):
     out = [r["c"] for r in df.select(cosine_sim_expr("a", "b").alias("c")).collect()]
     assert out[0] == 1.0
     assert abs(out[1]) < 1e-12
+
+
+def test_asof_pandas_matches_jvm_implementation(spark):
+    """Differential test: the grouped-map pandas merge_asof path must agree
+    with the JVM union+last_value path row for row."""
+    from cassabon_spark.operators.asof import asof_join, asof_join_pandas
+
+    left = spark.createDataFrame(
+        [("a", 5.0, "l1"), ("a", 11.0, "l2"), ("b", 3.0, "l3"), ("c", 9.0, "l4")],
+        "k string, t double, payload string",
+    )
+    right = spark.createDataFrame(
+        [("a", 4.0, 40.0), ("a", 10.0, 100.0), ("b", 7.0, 70.0)],
+        "k string, t double, px double",
+    )
+    jvm = asof_join(left, right, on="t", by=["k"], value_cols=["px"])
+    pnd = asof_join_pandas(left, right, on="t", by=["k"], value_cols=["px"])
+    key = lambda rows: sorted((r["k"], r["t"], r["payload"], r["px_right"]) for r in rows)
+    assert key(jvm.collect()) == key(pnd.collect())
+    got = {(r["k"], r["t"]): r["px_right"] for r in pnd.collect()}
+    assert got == {("a", 5.0): 40.0, ("a", 11.0): 100.0, ("b", 3.0): None, ("c", 9.0): None}

@@ -117,6 +117,27 @@ class Engine:
     def sweep_retention(self, now_s: int) -> list[str]:
         return sweep_retention(self.spark, self.store_dir, self.config, now_s)
 
+    def compact(self, resolution_s: int | None = None, date_bucket: str | None = None) -> int:
+        """Collapse streaming partials to one row per (path, window) — the
+        reference's flush, run as maintenance (streaming.ingest.compact_store).
+        Without arguments compacts every existing partition (fine locally;
+        at scale schedule per recent partition). Returns partitions touched."""
+        from cassabon_spark.streaming.ingest import compact_store
+
+        root = Path(self.store_dir)
+        touched = 0
+        for res_dir in sorted(root.glob("resolution_s=*")):
+            res = int(res_dir.name.split("=", 1)[1])
+            if resolution_s is not None and res != resolution_s:
+                continue
+            for date_dir in sorted(res_dir.glob("date_bucket=*")):
+                day = date_dir.name.split("=", 1)[1]
+                if date_bucket is not None and day != date_bucket:
+                    continue
+                compact_store(self.spark, self.store_dir, res, day)
+                touched += 1
+        return touched
+
     # ------------------------------------------------------------ read path
 
     def get_metrics(

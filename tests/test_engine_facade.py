@@ -101,3 +101,28 @@ def test_delete_paths_glob_scoped(spark, tmp_path):
     assert eng.delete_paths("svc.api.*") == 0  # idempotent
     remaining = {r["path"] for r in eng.index.collect()}
     assert remaining == {"svc", "svc.api", "svc.db", "svc.db.latency"}
+
+
+def test_streaming_ingest_then_compact_via_engine(spark, tmp_path):
+    """Facade wiring of the streaming path: microbatch partials land in the
+    store, Engine.compact collapses them, queries agree before and after."""
+    import os
+
+    eng = _engine(spark, str(tmp_path))
+    drop, ckpt = str(tmp_path / "drop"), str(tmp_path / "ckpt")
+    os.makedirs(drop)
+    with open(os.path.join(drop, "a.txt"), "w") as f:
+        f.write("".join(f"s.m {v}.0 {1000 + i}\n" for i, v in enumerate(range(1, 11))))
+    with open(os.path.join(drop, "b.txt"), "w") as f:
+        f.write("".join(f"s.m {v}.0 {1010 + i}\n" for i, v in enumerate(range(11, 21))))
+    q = eng.start_streaming_ingest(drop, ckpt, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    before = eng.get_metrics(["s.m"], 995, 1025, now_s=2000)
+    assert before["series"]["s.m"] == [None, 5.5, 15.5]
+    n_rows_before = eng.store.count()
+    touched = eng.compact()
+    assert touched >= 1
+    assert eng.store.count() <= n_rows_before
+    after = eng.get_metrics(["s.m"], 995, 1025, now_s=2000)
+    assert after == before

@@ -1180,3 +1180,121 @@ def dedup_clusters(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------- ANN: IVF cells
+
+# IVF-style coarse quantization with DETERMINISTIC pivots: the centroids are
+# the 16 corpus vectors with smallest md5(vec_id) (a fixed pseudo-random
+# sample) instead of trained k-means — same probe structure as IVF (assign
+# corpus to nearest cell once; queries search only their nprobe=2 nearest
+# cells), but reproducible bit-for-bit in SQL, so the index is
+# exact-oracle-checked like the LSH variant. At 100 TB: cell assignment is
+# one broadcast pass over the corpus; each query touches ~nprobe/k of it.
+_IVF_K = 16
+_IVF_NPROBE = 2
+
+_IVF_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_IVF_NORM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+_IVF_SQL = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe
+  FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+),
+cells AS (  -- nearest pivot per corpus vector (cosine, deterministic ties)
+  SELECT vec_id, embedding, pivot_id FROM (
+    SELECT e.vec_id, e.embedding, p.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+  ) WHERE prnk = 1
+),
+qprobe AS (  -- each query's nprobe nearest pivots
+  SELECT vec_id AS qid, embedding AS qe, pivot_id FROM (
+    SELECT e.vec_id, e.embedding, p.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+    WHERE e.vec_id < 5
+  ) WHERE prnk <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT q.qid, q.qe, c.vec_id AS cid, c.embedding AS ce
+  FROM qprobe q JOIN cells c USING (pivot_id)
+  WHERE c.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, cid,
+         ROUND(ROUND({_IVF_DOT.format(a="qe", b="ce")}
+               / ({_IVF_NORM.format(a="qe")} * {_IVF_NORM.format(a="ce")}), 8), 4) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY {_IVF_DOT.format(a="qe", b="ce")}
+                    / ({_IVF_NORM.format(a="qe")} * {_IVF_NORM.format(a="ce")}) DESC, cid
+         ) AS rnk
+  FROM cand
+)
+SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    _IVF_SQL,
+    "IVF-style ANN: deterministic md5-chosen pivots as the coarse quantizer, "
+    "corpus bucketed by nearest pivot, queries probe nprobe=2 cells — "
+    "exact-oracle-checked like the LSH variant",
+)
+def similarity_ivf(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+    )
+    sim_p = cosine_sim_expr("embedding", "pe")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_assign))
+    )
+    cells = assigned.filter(F.col("prnk") == 1).select("vec_id", "embedding", "pivot_id")
+    qprobe = (
+        assigned.filter(F.col("vec_id") < 5)
+        .filter(F.col("prnk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "pivot_id")
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "pivot_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .distinct()
+    )
+    sim = cosine_sim_expr("qe", "ce")
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    return (
+        cand.withColumn("cosine", R(sim, 4))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
+    )

@@ -161,6 +161,41 @@ class RollupConfig:
         defs.sort(key=lambda d: _priority_key(d.expression))
         return cls(rollups=defs, errors=errors)
 
+    @classmethod
+    def from_yaml(cls, text_or_path: str) -> "RollupConfig":
+        """Parse the reference's YAML config shape
+        (config/cassabon.yaml.template:58-83, parsed at
+        config/config_parser.go:270-324):
+
+            rollups:
+              ^foo.*:
+                retention: ["6s:30m", "1m:30d"]
+                aggregation: sum
+
+        Accepts a path or a YAML string; a document without a top-level
+        `rollups` key is treated as the rollups mapping itself. Field names
+        map retention->windows, aggregation->method onto from_dict.
+        """
+        import os
+
+        import yaml
+
+        if os.path.exists(text_or_path):
+            with open(text_or_path) as f:
+                doc = yaml.safe_load(f)
+        else:
+            doc = yaml.safe_load(text_or_path)
+        doc = doc or {}
+        rollups = doc.get("rollups", doc) or {}
+        raw = {
+            expr: {
+                "method": (spec or {}).get("aggregation", ""),
+                "windows": list((spec or {}).get("retention", [])),
+            }
+            for expr, spec in rollups.items()
+        }
+        return cls.from_dict(raw)
+
     def route(self, path: str) -> RollupDef:
         """First-match-wins routing (reference: datastore/metricstore.go:11-22)."""
         for d in self.rollups:

@@ -34,12 +34,7 @@ from pyspark.sql import functions as F
 
 from cassabon_spark.config import RollupConfig
 from cassabon_spark.operators import query as qmod
-from cassabon_spark.operators.index import (
-    expand_ancestors,
-    glob_depth,
-    glob_to_regex,
-    search_glob,
-)
+from cassabon_spark.operators.index import glob_depth, glob_to_regex, search_glob
 from cassabon_spark.operators.rollup import (
     rollup_all_tiers,
     route,
@@ -94,10 +89,11 @@ class Engine:
 
     def start_streaming_ingest(self, lines_dir: str, checkpoint_dir: str, **kw):
         """Streaming ingest (partial-agg appends + merge-at-read; see
-        streaming.ingest). Index updates ride compaction or a periodic
-        ingest of new paths."""
+        streaming.ingest). New paths ride each microbatch into the index
+        (reference SURVEY §3.1 step 8)."""
         from cassabon_spark.streaming.ingest import ingest_stream
 
+        kw.setdefault("index_dir", self.index_dir)
         return ingest_stream(
             self.spark, self.config, lines_dir, self.store_dir, checkpoint_dir, **kw
         )
@@ -105,14 +101,9 @@ class Engine:
     def _update_index(self, metrics: DataFrame) -> None:
         """Incremental A18: expand ancestors of NEW paths only (anti-join
         against the existing index) and append."""
-        paths = metrics.select("path").distinct()
-        if self._has_index():
-            existing_leaves = self.index.filter(F.col("leaf")).select("path")
-            paths = paths.join(existing_leaves, "path", "left_anti")
-        new_rows = expand_ancestors(paths)
-        if self._has_index():
-            new_rows = new_rows.join(self.index.select("path"), "path", "left_anti")
-        new_rows.write.mode("append").parquet(self.index_dir)
+        from cassabon_spark.operators.index import update_index_incremental
+
+        update_index_incremental(self.spark, metrics, self.index_dir)
 
     def sweep_retention(self, now_s: int) -> list[str]:
         return sweep_retention(self.spark, self.store_dir, self.config, now_s)

@@ -102,3 +102,25 @@ def route_pure(paths: list[str], patterns: list[str]) -> list[str]:
                 break
         out.append(hit)
     return out
+
+
+def update_index_incremental(spark, metrics: DataFrame, index_dir: str) -> None:
+    """A18 incremental maintenance: expand ancestors of NEW paths only
+    (anti-join against the stored index) and append. Mirrors the reference's
+    new-path detection during ingest (datastore/metricstore.go:67-74 ->
+    indexmanager.go:225-278) with one durable parquet table instead of ES.
+    Used by both the Engine facade and the streaming foreachBatch writer.
+    """
+    import os
+
+    paths = metrics.select("path").distinct()
+    has_index = os.path.isdir(index_dir) and any(os.scandir(index_dir))
+    if has_index:
+        existing = spark.read.parquet(index_dir)
+        paths = paths.join(existing.filter(F.col("leaf")).select("path"), "path", "left_anti")
+        new_rows = expand_ancestors(paths).join(
+            existing.select("path"), "path", "left_anti"
+        )
+    else:
+        new_rows = expand_ancestors(paths)
+    new_rows.write.mode("append").parquet(index_dir)

@@ -38,7 +38,13 @@ from cassabon_spark.operators.rollup import rollup_finest, route
 from cassabon_spark.sources.carbon import parse_carbon_lines
 
 
-def _write_batch(batch_df: DataFrame, batch_id: int, config: RollupConfig, out_dir: str):
+def _write_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    config: RollupConfig,
+    out_dir: str,
+    index_dir: str | None = None,
+):
     metrics, _ = parse_carbon_lines(batch_df, line_col="value")
     finest = rollup_finest(route(metrics, config), config)
     if finest is None:
@@ -49,6 +55,12 @@ def _write_batch(batch_df: DataFrame, batch_id: int, config: RollupConfig, out_d
         .mode("append")
         .parquet(out_dir)
     )
+    if index_dir is not None:
+        # reference step 8 (SURVEY §3.1): new paths ride the same batch into
+        # the index, anti-joined so only first sightings expand
+        from cassabon_spark.operators.index import update_index_incremental
+
+        update_index_incremental(batch_df.sparkSession, metrics, index_dir)
 
 
 def ingest_stream(
@@ -60,6 +72,7 @@ def ingest_stream(
     available_now: bool = False,
     trigger_seconds: int = 5,
     max_files_per_trigger: int = 64,
+    index_dir: str | None = None,
 ):
     """Start the ingest query over a file-drop directory of carbon line files
     (the production shape: the socket bridge in sources.bridge rolls TCP/UDP
@@ -72,7 +85,7 @@ def ingest_stream(
         .text(lines_dir)
     )
     writer = lines.writeStream.foreachBatch(
-        lambda df, bid: _write_batch(df, bid, config, out_dir)
+        lambda df, bid: _write_batch(df, bid, config, out_dir, index_dir)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -83,3 +83,46 @@ def test_tier_selection_finest_covering():
 def test_table_name_encodes_retention():
     cfg = RollupConfig.from_dict({"default": {"method": "average", "windows": ["10s:1h"]}})
     assert cfg.rollups[0].windows[0].table == "rollup_000003600"
+
+
+def test_from_yaml_reference_template_shape():
+    """Parses the reference's YAML layout (cassabon.yaml.template:58-83):
+    rollups -> {expr: {retention: [...], aggregation: m}}."""
+    from cassabon_spark.config import RollupConfig
+
+    cfg = RollupConfig.from_yaml(
+        """
+rollups:
+  ^foo.*:
+    retention:
+      - 6s:30m
+      - 1m:30d
+    aggregation: sum
+  default:
+    retention:
+      - 10s:1h
+    aggregation: average
+"""
+    )
+    assert [d.expression for d in cfg.rollups] == ["^foo.*", "default"]
+    foo = cfg.by_expression("^foo.*")
+    assert foo.method == "sum"
+    assert [w.window_s for w in foo.windows] == [6, 60]
+    assert cfg.route("foo.bar").method == "sum"
+    assert cfg.route("other").method == "average"
+
+
+def test_from_yaml_invalid_entries_dropped_with_default_fallback():
+    from cassabon_spark.config import RollupConfig
+
+    cfg = RollupConfig.from_yaml(
+        """
+rollups:
+  ^bad.*:
+    retention: ["10q:1h"]
+    aggregation: garbage
+"""
+    )
+    # hostile entry dropped, catchall default injected (config_parser.go:438-455)
+    assert cfg.errors
+    assert cfg.rollups[-1].is_default

@@ -90,3 +90,28 @@ def test_late_data_merges_at_read(spark):
         assert store.filter(F.col("resolution_s") == 10).count() == 2
         resp = query_metrics(spark, store, CFG, ["p.x"], 995, 1015, now_s=2000)
         assert resp["series"]["p.x"] == [None, 15.0]  # weighted merge, not overwrite
+
+
+def test_streaming_ingest_maintains_index(spark):
+    """Reference §3.1 step 8: new paths ride the microbatch into the index;
+    re-sighted paths add nothing."""
+    with tempfile.TemporaryDirectory() as d:
+        drop, out, ckpt, idx = (os.path.join(d, x) for x in ("drop", "store", "ckpt", "idx"))
+        os.makedirs(drop)
+        with open(os.path.join(drop, "a.txt"), "w") as f:
+            f.write("svc.api.lat 1.0 1001\n")
+        q = ingest_stream(spark, CFG, drop, out, ckpt, available_now=True, index_dir=idx)
+        q.awaitTermination(60)
+        idx_df = spark.read.parquet(idx)
+        assert {r["path"] for r in idx_df.collect()} == {"svc", "svc.api", "svc.api.lat"}
+
+        # second batch: one known path, one new
+        with open(os.path.join(drop, "b.txt"), "w") as f:
+            f.write("svc.api.lat 2.0 1002\nsvc.db.err 3.0 1003\n")
+        q2 = ingest_stream(spark, CFG, drop, out, ckpt, available_now=True, index_dir=idx)
+        q2.awaitTermination(60)
+        rows = spark.read.parquet(idx).collect()
+        assert {r["path"] for r in rows} == {
+            "svc", "svc.api", "svc.api.lat", "svc.db", "svc.db.err"
+        }
+        assert len(rows) == 5  # no duplicate entries for re-sighted paths

@@ -68,7 +68,8 @@ class Engine:
         return self.spark.read.parquet(self.index_dir)
 
     def _has_store(self) -> bool:
-        return any(Path(self.store_dir).glob("resolution_s=*"))
+        p = Path(self.store_dir)
+        return p.exists() and any(p.glob("resolution_s=*"))
 
     def _has_index(self) -> bool:
         p = Path(self.index_dir)
@@ -134,13 +135,31 @@ class Engine:
     def get_metrics(
         self, paths: list[str], from_s: int, to_s: int, now_s: int | None = None
     ) -> dict:
-        """GET /metrics -> MetricResponse-shaped dict (A10-A16)."""
+        """GET /metrics -> MetricResponse-shaped dict (A10-A16). An engine
+        with no data yet answers an all-null grid, like the reference
+        answering from empty tables."""
+        if not self._has_store():
+            step = min(
+                (self.config.route(p).finest.window_s for p in paths), default=0
+            )
+            if not paths or step == 0:
+                return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+            nfrom = qmod.normalize_from(from_s, step)
+            n_slots = max((to_s - nfrom) // step + 1, 0)
+            return {
+                "from": nfrom,
+                "to": to_s,
+                "step": step,
+                "series": {p: [None] * n_slots for p in paths},
+            }
         return qmod.query_metrics(
             self.spark, self.store, self.config, paths, from_s, to_s, now_s=now_s
         )
 
     def get_paths(self, glob: str) -> list[dict]:
         """GET /paths -> [IndexResponse] sorted by path (A17)."""
+        if not self._has_index():
+            return []
         rows = search_glob(self.index, glob).collect()
         return [
             {"path": r["path"], "depth": r["depth"], "tenant": r["tenant"], "leaf": r["leaf"]}
@@ -155,6 +174,8 @@ class Engine:
         """DELETE /metrics (A19): per (path, tier) hit counts; unless
         dry-run, rewrite ONLY the hit (resolution_s, date_bucket) partitions
         without the matched rows. Dry-run defaults TRUE like the reference."""
+        if not self._has_store():
+            return []
         hit = (
             F.col("path").isin(paths)
             & (F.unix_timestamp("time") >= from_s)
@@ -206,6 +227,8 @@ class Engine:
         drop index entries matching the depth-scoped glob; returns the
         number of entries removed. The index is small (paths, not data);
         a full rewrite is the honest cost."""
+        if not self._has_index():
+            return 0
         hit = (F.col("depth") == glob_depth(glob)) & F.col("path").rlike(
             glob_to_regex(glob)
         )

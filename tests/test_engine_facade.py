@@ -126,3 +126,15 @@ def test_streaming_ingest_then_compact_via_engine(spark, tmp_path):
     assert eng.store.count() <= n_rows_before
     after = eng.get_metrics(["s.m"], 995, 1025, now_s=2000)
     assert after == before
+
+
+def test_empty_engine_is_graceful(spark, tmp_path):
+    """Endpoints on a fresh engine answer like the reference over empty
+    tables: null grid, empty listings, zero deletes — no exceptions."""
+    eng = _engine(spark, str(tmp_path))
+    resp = eng.get_metrics(["no.such.path"], 995, 1025, now_s=2000)
+    assert resp["step"] == 10
+    assert resp["series"] == {"no.such.path": [None, None, None]}
+    assert eng.get_paths("*.*") == []
+    assert eng.delete_metrics(["x"], 0, 10) == []
+    assert eng.delete_paths("x.*") == 0

@@ -138,3 +138,27 @@ def test_empty_engine_is_graceful(spark, tmp_path):
     assert eng.get_paths("*.*") == []
     assert eng.delete_metrics(["x"], 0, 10) == []
     assert eng.delete_paths("x.*") == 0
+
+
+def test_mixed_tier_paths_query(spark, tmp_path):
+    """Paths routed to different finest windows answer in one call; the
+    response step is the finest across groups (documented divergence: the
+    reference serves the first path's tier for all, metricquery.go:102-121)."""
+    import os
+
+    cfg = RollupConfig.from_dict(
+        {
+            r"^fast\..*": {"method": "sum", "windows": ["10s:1h"]},
+            "default": {"method": "average", "windows": ["60s:1d"]},
+        }
+    )
+    eng = Engine(spark, cfg, os.path.join(str(tmp_path), "store"))
+    eng.ingest_lines(
+        _lines(spark, ["fast.a 1.0 1001", "fast.a 2.0 1002", "slow.b 10.0 1001"])
+    )
+    resp = eng.get_metrics(["fast.a", "slow.b"], 995, 1065, now_s=2000)
+    assert resp["step"] == 10
+    # fast.a on the 10s grid: window close 1010 carries sum 3.0
+    assert resp["series"]["fast.a"][:2] == [None, 3.0]
+    # slow.b answered on its own 60s tier (one slot, close 1020 -> merged at 1020)
+    assert any(v == 10.0 for v in resp["series"]["slow.b"] if v is not None)

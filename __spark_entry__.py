@@ -5,8 +5,9 @@ entry(spark)    — flagship query: the full carbon read path (tier rollup ->
 queries()       — every implemented operator from SURVEY.md §2
                   (Part A carbon surface, Part B relational surface,
                   Part C training-data extensions).
-oracle_sql()    — matching DuckDB SQL for each; rows-only entries (non-SQL
-                  ops like the Pearson compat hash) are omitted.
+oracle_sql()    — matching DuckDB SQL for each; the single rows-only entry
+                  (approx_count_distinct — HLL sketches are engine-specific)
+                  is omitted.
 """
 
 from __future__ import annotations

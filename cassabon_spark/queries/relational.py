@@ -1176,3 +1176,39 @@ def scalar_math(spark, sf_dir):
         )
         .orderBy("l_linenumber")
     )
+
+
+# ---------------------------------------------------------------- unpivot
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 2)      AS qty,
+         ROUND(SUM(l_discount), 2)      AS disc,
+         ROUND(SUM(l_tax), 2)           AS tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value
+FROM wide UNPIVOT (value FOR metric IN (qty, disc, tax))
+ORDER BY l_returnflag, metric
+"""
+
+
+@register(
+    "unpivot_lineitem_sums",
+    _UNPIVOT_SQL,
+    "unpivot/melt: wide per-flag sums to long (metric, value) form — the "
+    "inverse of the pivot query",
+)
+def unpivot_sums(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_discount"), 2).alias("disc"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["qty", "disc", "tax"], "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )

@@ -139,3 +139,33 @@ def test_gapfill_grid_shape_and_coverage(spark, rows):
     }
     non_null = {(r["path"], r["slot_s"]) for r in grid if r["stat"] is not None}
     assert non_null == closes
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab.", min_size=1, max_size=10).filter(lambda s: s.strip(".")),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_routing_when_chain_matches_driver_routing(spark, paths):
+    """A5 consistency: the distributed Catalyst when-chain must route every
+    path to the same expression as the driver-side Python router."""
+    from cassabon_spark.config import RollupConfig
+
+    cfg = RollupConfig.from_dict(
+        {
+            r"^a\.b\..*": {"method": "sum", "windows": ["10s:1h"]},
+            r"^a\..*": {"method": "max", "windows": ["10s:1h"]},
+            r"\.b$": {"method": "min", "windows": ["10s:1h"]},
+            "default": {"method": "average", "windows": ["10s:1h"]},
+        }
+    )
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    got = {
+        r["path"]: r["expression"]
+        for r in df.withColumn("expression", cfg.routing_when_chain()).collect()
+    }
+    for p in set(paths):
+        assert got[p] == cfg.route(p).expression, p

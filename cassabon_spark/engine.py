@@ -212,14 +212,23 @@ class Engine:
                     & (F.unix_timestamp("time") <= to_s)
                 )
             )
-            kept = remaining.cache()
-            if kept.count() == 0:
-                kept.unpersist()
+            if remaining.isEmpty():
                 shutil.rmtree(part_dir)
                 continue
-            # materialized above, so the overwrite does not race its own scan
-            kept.write.mode("overwrite").parquet(part_dir)
-            kept.unpersist()
+            # write-then-rename: a cache-materialize-overwrite would corrupt
+            # the partition if the cache were evicted mid-write (the recompute
+            # would scan the directory being overwritten); the tmp dir makes
+            # the rewrite safe at any memory pressure and near-atomic
+            # tmp lives OUTSIDE the store root so partition discovery never
+            # sees a half-written bucket
+            tmp_dir = (
+                f"{self.store_dir}__rewrite_tmp/resolution_s={t['resolution_s']}"
+                f"/date_bucket={t['date_bucket']}"
+            )
+            remaining.write.mode("overwrite").parquet(tmp_dir)
+            shutil.rmtree(part_dir)
+            Path(tmp_dir).rename(part_dir)
+        shutil.rmtree(f"{self.store_dir}__rewrite_tmp", ignore_errors=True)
         return report
 
     def delete_paths(self, glob: str) -> int:

@@ -126,8 +126,17 @@ def compact_store(
             .when(F.col("method") == "last", F.col("vlast")),
         )
     )
-    compacted.cache().count()  # materialize before overwriting the source
+    # write-then-rename: materializing via cache and overwriting the source
+    # corrupts the partition if the cache is evicted mid-write (recompute
+    # would scan the directory being overwritten); tmp lives outside the
+    # store root so partition discovery never sees a half-written bucket
+    import shutil
+    from pathlib import Path
+
+    tmp = f"{store_dir}__compact_tmp/resolution_s={resolution_s}/date_bucket={date_bucket}"
     compacted.repartition(1).sortWithinPartitions("path", "time").write.mode(
         "overwrite"
-    ).parquet(path)
-    compacted.unpersist()
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    Path(tmp).rename(path)
+    shutil.rmtree(f"{store_dir}__compact_tmp", ignore_errors=True)

@@ -166,6 +166,35 @@ class Engine:
             for r in rows
         ]
 
+    def stats(self) -> dict:
+        """Operational summary (the state the reference exposed via statsd
+        gauges, logging/stats.go): rows and distinct paths per tier, stored
+        time range, index size."""
+        out: dict = {"tiers": {}, "index_entries": 0, "leaf_paths": 0}
+        if self._has_store():
+            rows = (
+                self.store.groupBy("resolution_s")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.approx_count_distinct("path").alias("approx_paths"),
+                    F.min("time").alias("t_min"),
+                    F.max("time").alias("t_max"),
+                )
+                .collect()
+            )
+            for r in rows:
+                out["tiers"][int(r["resolution_s"])] = {
+                    "rows": r["rows"],
+                    "approx_paths": r["approx_paths"],
+                    "from": str(r["t_min"]),
+                    "to": str(r["t_max"]),
+                }
+        if self._has_index():
+            idx = self.index
+            out["index_entries"] = idx.count()
+            out["leaf_paths"] = idx.filter(F.col("leaf")).count()
+        return out
+
     # ------------------------------------------------------------ deletes
 
     def delete_metrics(

@@ -162,3 +162,14 @@ def test_mixed_tier_paths_query(spark, tmp_path):
     assert resp["series"]["fast.a"][:2] == [None, 3.0]
     # slow.b answered on its own 60s tier (one slot, close 1020 -> merged at 1020)
     assert any(v == 10.0 for v in resp["series"]["slow.b"] if v is not None)
+
+
+def test_engine_stats(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    assert eng.stats() == {"tiers": {}, "index_entries": 0, "leaf_paths": 0}
+    eng.ingest_lines(_lines(spark, ["a.b 1.0 1001", "a.c 2.0 1002"]))
+    s = eng.stats()
+    assert set(s["tiers"]) == {10, 60}
+    assert s["tiers"][10]["rows"] == 2
+    assert s["index_entries"] == 3  # a, a.b, a.c
+    assert s["leaf_paths"] == 2

@@ -573,3 +573,124 @@ def carbon_index_delete(spark, sf_dir):
     ).distinct()
     idx = expand_ancestors(paths)
     return delete_paths(idx, "evt.error.*").orderBy("path")
+
+
+# ------------------------------------------------- Graphite-style series fns
+
+# The reference returns raw series and leaves function application to the
+# Graphite front-end (graphite-web); these two queries show the same
+# post-processing running INSIDE the engine over the gap-filled grid —
+# derivative (per-step delta, null across gaps like Graphite's derivative)
+# and a trailing 3-slot moving average (nulls excluded from the mean).
+
+_DERIV_SQL = f"""
+WITH m AS ({_M}),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  HAVING time_s >= {JAN_5 + 3600} AND time_s <= {JAN_8}
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 + 3600}, {JAN_8}, 3600)) AS slot_s) s
+),
+grid AS (
+  SELECT spine.path, spine.slot_s, vsum / cnt AS stat
+  FROM spine LEFT JOIN store ON store.path = spine.path AND store.time_s = spine.slot_s
+)
+SELECT path, slot_s,
+       ROUND(ROUND(stat - LAG(stat) OVER (PARTITION BY path ORDER BY slot_s), 8), 4) AS deriv
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_derivative",
+    _DERIV_SQL,
+    "Graphite derivative() over the gap-filled grid: per-step delta, null "
+    "across gaps (the post-processing graphite-web applies, in-engine)",
+)
+def carbon_derivative(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    w = Window.partitionBy("path").orderBy("slot_s")
+    return (
+        grid.withColumn("deriv", R(F.col("stat") - F.lag("stat").over(w), 4))
+        .select("path", "slot_s", "deriv")
+        .orderBy("path", "slot_s")
+    )
+
+
+_MOVAVG_SQL = f"""
+WITH m AS ({_M}),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  HAVING time_s >= {JAN_5 + 3600} AND time_s <= {JAN_8}
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 + 3600}, {JAN_8}, 3600)) AS slot_s) s
+),
+grid AS (
+  SELECT spine.path, spine.slot_s, vsum / cnt AS stat
+  FROM spine LEFT JOIN store ON store.path = spine.path AND store.time_s = spine.slot_s
+)
+SELECT path, slot_s,
+       ROUND(ROUND(AVG(stat) OVER (PARTITION BY path ORDER BY slot_s
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 8), 4) AS mov_avg
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_moving_avg",
+    _MOVAVG_SQL,
+    "Graphite movingAverage(3) over the gap-filled grid: trailing rows-frame "
+    "mean, nulls excluded (in-engine series post-processing)",
+)
+def carbon_moving_avg(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    w = Window.partitionBy("path").orderBy("slot_s").rowsBetween(-2, 0)
+    return (
+        grid.withColumn("mov_avg", R(F.avg("stat").over(w), 4))
+        .select("path", "slot_s", "mov_avg")
+        .orderBy("path", "slot_s")
+    )

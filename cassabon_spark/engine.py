@@ -166,6 +166,56 @@ class Engine:
             for r in rows
         ]
 
+    def render(
+        self,
+        target_glob: str,
+        from_s: int,
+        to_s: int,
+        funcs: list | None = None,
+        now_s: int | None = None,
+    ) -> dict:
+        """Graphite /render-shaped pipeline: expand the glob against the
+        path index (A17), answer the grid (A10-A16), then apply a chain of
+        series functions (functions.series) — all in-engine; the reference
+        delegates the function step to graphite-web.
+
+        funcs: list of (name, *args) tuples, e.g.
+        [("moving_average", 3), ("scale", 8)]. Returns the MetricResponse
+        dict shape with transformed values.
+        """
+        from cassabon_spark.functions import series as sfn
+        from cassabon_spark.operators.query import normalize_from, query_metrics_df
+
+        paths = [p["path"] for p in self.get_paths(target_glob) if p["leaf"]]
+        if not paths or not self._has_store():
+            return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+        d = self.config.route(paths[0])
+        now = now_s if now_s is not None else int(__import__("time").time())
+        tier = self.config.select_tier(d.expression, from_s, now)
+        step = tier.window_s
+        grid = query_metrics_df(
+            self.spark,
+            self.store,
+            paths,
+            from_s,
+            to_s,
+            step,
+            d.method,
+            resolution_s=tier.window_s,
+        )
+        for spec in funcs or []:
+            name, *args = spec if isinstance(spec, (list, tuple)) else (spec,)
+            grid = getattr(sfn, name)(grid, *args)
+        series: dict[str, list] = {p: [] for p in paths}
+        for r in grid.orderBy("path", "slot_s").collect():
+            series.setdefault(r["path"], []).append(r["stat"])
+        return {
+            "from": normalize_from(from_s, step),
+            "to": to_s,
+            "step": step,
+            "series": series,
+        }
+
     def stats(self) -> dict:
         """Operational summary (the state the reference exposed via statsd
         gauges, logging/stats.go): rows and distinct paths per tier, stored

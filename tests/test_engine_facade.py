@@ -173,3 +173,27 @@ def test_engine_stats(spark, tmp_path):
     assert s["tiers"][10]["rows"] == 2
     assert s["index_entries"] == 3  # a, a.b, a.c
     assert s["leaf_paths"] == 2
+
+
+def test_render_pipeline_with_function_chain(spark, tmp_path):
+    """Graphite /render in-engine: glob target -> index expansion -> grid ->
+    function chain."""
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(
+        _lines(
+            spark,
+            [f"svc.api.lat {v}.0 {1000 + i}" for i, v in enumerate(range(1, 21))]
+            + ["svc.db.lat 100.0 1005"],
+        )
+    )
+    # raw render over the glob: both leaves expanded
+    resp = eng.render("svc.*.lat", 995, 1025, now_s=2000)
+    assert set(resp["series"]) == {"svc.api.lat", "svc.db.lat"}
+    assert resp["series"]["svc.api.lat"] == [None, 5.5, 15.5]
+
+    # chained: scale then absolute-of-derivative
+    resp2 = eng.render(
+        "svc.api.*", 995, 1025, funcs=[("scale", 2), ("derivative",), ("absolute",)],
+        now_s=2000,
+    )
+    assert resp2["series"]["svc.api.lat"] == [None, None, 20.0]  # |2*15.5 - 2*5.5|

@@ -1212,3 +1212,111 @@ def unpivot_sums(spark, sf_dir):
         wide.unpivot("l_returnflag", ["qty", "disc", "tax"], "metric", "value")
         .orderBy("l_returnflag", "metric")
     )
+
+
+# ---------------------------------------------------------------- q10 returned items
+
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+       ROUND(c.c_acctbal, 2) AS acctbal
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY 1, 2, 3, c.c_acctbal
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    _Q10_SQL,
+    "TPC-H Q10: 4-way join (broadcast dims), agg, global top-20 by revenue",
+)
+def q10(spark, sf_dir):
+    prep(spark)
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    # exact decimal summation: float sums of ~1000 terms land on .xx5
+    # half-way cases that round differently per engine; decimal math is
+    # associative and identical in Spark and DuckDB
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- q18 big orders
+
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 210
+)
+SELECT c.c_name, o.o_orderkey,
+       CAST(EPOCH(o.o_orderdate) AS BIGINT) AS orderdate_s,
+       ROUND(o.o_totalprice, 2) AS totalprice,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY 1, 2, 3, o.o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "q18_large_volume_orders",
+    _Q18_SQL,
+    "TPC-H Q18: HAVING-filtered agg feeds an IN subquery (left-semi); "
+    "orders re-joined to lineitem for the report",
+)
+def q18(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 210)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )

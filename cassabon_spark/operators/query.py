@@ -105,6 +105,11 @@ def query_metrics_df(
     returns (path STRING, slot_s BIGINT, stat DOUBLE nullable), dense grid.
     """
     nfrom = normalize_from(from_s, step)
+    if nfrom > to_s:
+        # always-advance normalization stepped past `to`: the grid is empty
+        # (the reference returns zero slots for such a range; Spark's
+        # sequence() would throw on the inverted bounds)
+        return spark.createDataFrame([], "path string, slot_s bigint, stat double")
     scan = store.filter(F.col("path").isin(paths))
     if resolution_s is not None and "resolution_s" in store.columns:
         scan = scan.filter(F.col("resolution_s") == resolution_s)  # A10 partition pruning

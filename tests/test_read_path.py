@@ -142,3 +142,15 @@ def test_store_read_partition_prunes_tier_and_date(spark, tmp_path):
     # path predicate is DATA-level: pushed to parquet, not partition
     assert "PushedFilters: [IsNotNull(path), EqualTo(path,p)]" in plan
     assert q.count() == 1
+
+
+def test_sub_step_range_returns_empty_grid(spark):
+    """When always-advance normalization steps past `to` (range shorter than
+    one step), the grid is empty instead of throwing on inverted sequence
+    bounds."""
+    store = spark.createDataFrame([("p", 1.0)], "path string, stat double").selectExpr(
+        "path", "timestamp_seconds(1000) as time", "stat"
+    )
+    out = query_metrics_df(spark, store, ["p"], 1000, 1005, 10, "average")
+    assert out.count() == 0
+    assert out.columns == ["path", "slot_s", "stat"]

@@ -89,6 +89,6 @@ def EV(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_registry() -> dict[str, QueryDef]:
     """Import all query modules (side effect: fills REGISTRY)."""
-    from cassabon_spark.queries import carbon, extensions, relational  # noqa: F401
+    from cassabon_spark.queries import carbon, extensions, relational, tpch_rest  # noqa: F401
 
     return REGISTRY

@@ -73,7 +73,9 @@ def _rebucket(scan: DataFrame, step: int, method: str) -> DataFrame:
         agg = F.max("stat").alias("stat")
     elif method == "last":
         order = F.col("last_ts") if "last_ts" in scan.columns else F.unix_timestamp("time")
-        agg = F.max_by("stat", order).alias("stat")
+        # struct tie-break on value: partial rows for the same window (merge-
+        # at-read ingest) can share last_ts; keep LAST deterministic
+        agg = F.max_by("stat", F.struct(order.alias("o"), F.col("stat"))).alias("stat")
     else:
         raise ValueError(f"unknown method {method!r}")
     out = slotted.groupBy("path", "slot_s").agg(agg)

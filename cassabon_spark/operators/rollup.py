@@ -23,7 +23,11 @@ Spark-first design decisions:
     time, which is a weighted-average bug we fix and document (SURVEY §7
     hard-part 2).
   * LAST is latest-by-timestamp via max_by (deterministic refinement of the
-    reference's arrival-order LAST — SURVEY §2 note ①).
+    reference's arrival-order LAST — SURVEY §2 note ①). Timestamp ties are
+    broken by the larger VALUE (max_by over struct(ts, value)); NaN sorts
+    greatest in both Spark and DuckDB, so a NaN at the latest timestamp wins
+    the tie — consistent with NaN-poisoning — and the result is fully
+    deterministic under any row order (fuzz-checked).
 
 Storage schema (FIXTURES.md §1.4, extended for lossless re-agg):
   path STRING, time TIMESTAMP (window CLOSE), stat DOUBLE,
@@ -102,7 +106,7 @@ def rollup_finest(routed: DataFrame, config: RollupConfig) -> DataFrame:
                 F.sum("value").alias("vsum"),
                 F.min("value").alias("vmin"),
                 F.max("value").alias("vmax"),
-                F.max_by("value", "ts").alias("vlast"),
+                F.max_by("value", F.struct("ts", "value")).alias("vlast"),
                 F.max("ts").alias("last_ts"),
             )
             .withColumn("time", F.col("win.end"))
@@ -144,7 +148,7 @@ def rollup_coarser(finest: DataFrame, config: RollupConfig) -> DataFrame:
                 F.sum("vsum").alias("vsum"),
                 F.min("vmin").alias("vmin"),
                 F.max("vmax").alias("vmax"),
-                F.max_by("vlast", "last_ts").alias("vlast"),
+                F.max_by("vlast", F.struct("last_ts", "vlast")).alias("vlast"),
                 F.max("last_ts").alias("last_ts"),
             )
             .withColumnRenamed("ctime", "time")

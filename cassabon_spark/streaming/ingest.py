@@ -114,7 +114,7 @@ def compact_store(
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
-            F.max_by("vlast", "last_ts").alias("vlast"),
+            F.max_by("vlast", F.struct("last_ts", "vlast")).alias("vlast"),
             F.max("last_ts").alias("last_ts"),
         )
         .withColumn(

@@ -75,7 +75,7 @@ def windowed_rollup_stream(
             F.sum("value").alias("vsum"),
             F.min("value").alias("vmin"),
             F.max("value").alias("vmax"),
-            F.max_by("value", "ts").alias("vlast"),
+            F.max_by("value", F.struct("ts", "value")).alias("vlast"),
         )
         .select(
             "path",

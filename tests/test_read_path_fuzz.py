@@ -47,7 +47,11 @@ params_strategy = st.tuples(
 def _duckdb_expected(rows, method, step, from_s, to_s):
     """Independent DuckDB implementation: tier rollup (10s windows with
     close-time stamping, carried sum/count and latest-by-ts last), then
-    merge slot = ceil(close/step)*step with the method, then dense grid."""
+    merge slot = ceil(close/step)*step with the method, then dense grid.
+
+    LAST ties on the timestamp break to the larger value — max over the
+    (ts, value) struct, NaN greatest — matching the engine's deterministic
+    refinement (operators/rollup.py)."""
     con = duckdb.connect()
     con.execute("CREATE TABLE m(path VARCHAR, value DOUBLE, ts BIGINT)")
     con.executemany("INSERT INTO m VALUES (?, ?, ?)", rows)
@@ -59,7 +63,7 @@ def _duckdb_expected(rows, method, step, from_s, to_s):
         "sum": "SUM(vsum2)",
         "min": "MIN(vmin)",
         "max": "MAX(vmax)",
-        "last": "ARG_MAX(vlast, last_ts)",
+        "last": "MAX({'ts': last_ts, 'v': vlast}).v",
     }[method]
     q = f"""
     WITH tier AS (
@@ -67,7 +71,7 @@ def _duckdb_expected(rows, method, step, from_s, to_s):
              CAST(FLOOR(ts / {TIER_S}) * {TIER_S} + {TIER_S} AS BIGINT) AS close_s,
              COUNT(*) AS cnt, SUM(value) AS vsum, SUM(value) AS vsum2,
              MIN(value) AS vmin, MAX(value) AS vmax,
-             ARG_MAX(value, ts) AS vlast, MAX(ts) AS last_ts
+             MAX({{'ts': ts, 'v': value}}).v AS vlast, MAX(ts) AS last_ts
       FROM m GROUP BY 1, 2
       HAVING close_s >= {from_s} AND close_s <= {to_s}
     ),

@@ -51,16 +51,35 @@ class Engine:
         config: RollupConfig,
         store_dir: str,
         index_dir: str | None = None,
+        table_format: str = "dirs",
     ):
+        """table_format:
+          'dirs'     — plain partitioned parquet directories (write-then-
+                       rename rewrites; single writer assumed)
+          'snapshot' — manifest-based snapshot table (sources/snapshot.py):
+                       atomic commits, snapshot-isolated readers during
+                       delete/compact, manifest-only retention, time travel
+        """
         self.spark = spark
         self.config = config
         self.store_dir = store_dir
         self.index_dir = index_dir or f"{store_dir}_index"
+        if table_format not in ("dirs", "snapshot"):
+            raise ValueError(f"unknown table_format {table_format!r}")
+        self.table_format = table_format
+        if table_format == "snapshot":
+            from cassabon_spark.sources.snapshot import SnapshotTable
+
+            self.table = SnapshotTable(spark, store_dir)
+        else:
+            self.table = None
 
     # ------------------------------------------------------------ store access
 
     @property
     def store(self) -> DataFrame:
+        if self.table is not None:
+            return self.table.read()
         return self.spark.read.parquet(self.store_dir)
 
     @property
@@ -68,6 +87,8 @@ class Engine:
         return self.spark.read.parquet(self.index_dir)
 
     def _has_store(self) -> bool:
+        if self.table is not None:
+            return bool(self.table.snapshot()["files"])
         p = Path(self.store_dir)
         return p.exists() and any(p.glob("resolution_s=*"))
 
@@ -84,7 +105,15 @@ class Engine:
         metrics, obs = parse_carbon_lines(lines, line_col=line_col, observe=True)
         n_ok = metrics.count()  # also populates the malformed-count observation
         tiers = rollup_all_tiers(metrics, self.config)
-        write_rollups(tiers, self.store_dir)
+        if self.table is not None:
+            bucketed = (
+                tiers.withColumn("date_bucket", F.date_format("time", "yyyy-MM-dd"))
+                .repartition("resolution_s", "date_bucket", "path")
+                .sortWithinPartitions("path", "time")
+            )
+            self.table.append(bucketed, partition_cols=("resolution_s", "date_bucket"))
+        else:
+            write_rollups(tiers, self.store_dir)
         self._update_index(metrics)
         return {"received": n_ok, "rejected": obs.get["malformed"]}
 
@@ -95,6 +124,7 @@ class Engine:
         from cassabon_spark.streaming.ingest import ingest_stream
 
         kw.setdefault("index_dir", self.index_dir)
+        kw.setdefault("table_format", self.table_format)
         return ingest_stream(
             self.spark, self.config, lines_dir, self.store_dir, checkpoint_dir, **kw
         )
@@ -107,6 +137,24 @@ class Engine:
         update_index_incremental(self.spark, metrics, self.index_dir)
 
     def sweep_retention(self, now_s: int) -> list[str]:
+        if self.table is not None:
+            # manifest-only commit: expired partitions leave the snapshot
+            # instantly, bytes are reclaimed later by vacuum (no data IO
+            # on the sweep itself — scales with partition count)
+            from cassabon_spark.operators.rollup import retention_cutoff_days
+
+            cutoffs = retention_cutoff_days(self.config, now_s)
+
+            def expired(part: dict) -> bool:
+                cutoff = cutoffs.get(int(part["resolution_s"]))
+                return cutoff is not None and part["date_bucket"] < cutoff
+
+            _, dropped = self.table.drop_partitions(expired)
+            return [
+                f"{self.store_dir}/resolution_s={d['resolution_s']}/"
+                f"date_bucket={d['date_bucket']}"
+                for d in dropped
+            ]
         return sweep_retention(self.spark, self.store_dir, self.config, now_s)
 
     def compact(self, resolution_s: int | None = None, date_bucket: str | None = None) -> int:
@@ -114,7 +162,32 @@ class Engine:
         reference's flush, run as maintenance (streaming.ingest.compact_store).
         Without arguments compacts every existing partition (fine locally;
         at scale schedule per recent partition). Returns partitions touched."""
-        from cassabon_spark.streaming.ingest import compact_store
+        from cassabon_spark.streaming.ingest import compact_partials, compact_store
+
+        if self.table is not None:
+            parts = sorted(
+                {
+                    (f["partition"]["resolution_s"], f["partition"]["date_bucket"])
+                    for f in self.table.snapshot()["files"]
+                }
+            )
+            touched = 0
+            for res, day in parts:
+                if resolution_s is not None and int(res) != resolution_s:
+                    continue
+                if date_bucket is not None and day != date_bucket:
+                    continue
+                self.table.rewrite_partition(
+                    {"resolution_s": res, "date_bucket": day},
+                    lambda df: compact_partials(df.drop("resolution_s", "date_bucket"))
+                    .withColumn("resolution_s", F.lit(int(res)).cast("bigint"))
+                    .withColumn("date_bucket", F.lit(day))
+                    .repartition(1)
+                    .sortWithinPartitions("path", "time"),
+                    partition_cols=("resolution_s", "date_bucket"),
+                )
+                touched += 1
+            return touched
 
         root = Path(self.store_dir)
         touched = 0
@@ -270,6 +343,15 @@ class Engine:
             .collect()
         ]
         if dry_run:
+            return report
+
+        if self.table is not None:
+            # one atomic commit: only files containing hits are rewritten,
+            # concurrent readers keep the pre-delete snapshot, crash before
+            # commit changes nothing (orphans reclaimed by vacuum)
+            self.table.delete_where(
+                hit, partition_cols=("resolution_s", "date_bucket")
+            )
             return report
 
         touched = (

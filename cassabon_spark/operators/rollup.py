@@ -207,25 +207,41 @@ def sweep_retention(spark, store_dir: str, config: RollupConfig, now_s: int) -> 
     from pathlib import Path
 
     removed: list[str] = []
-    retention_by_window: dict[int, int] = {}
-    for d in config.rollups:
-        for w in d.windows:
-            r = retention_by_window.get(w.window_s, 0)
-            retention_by_window[w.window_s] = max(r, int(w.retention_s * 1.1))
+    cutoffs = retention_cutoff_days(config, now_s)
     root = Path(store_dir)
     if not root.exists():
         return removed
     for res_dir in root.glob("resolution_s=*"):
         res = int(res_dir.name.split("=", 1)[1])
-        ttl = retention_by_window.get(res)
-        if ttl is None:
+        cutoff = cutoffs.get(res)
+        if cutoff is None:
             continue
-        cutoff = datetime.fromtimestamp(now_s - ttl, tz=timezone.utc) - timedelta(days=1)
         for date_dir in res_dir.glob("date_bucket=*"):
-            day = datetime.strptime(date_dir.name.split("=", 1)[1], "%Y-%m-%d").replace(
-                tzinfo=timezone.utc
-            )
-            if day < cutoff:
+            if date_dir.name.split("=", 1)[1] < cutoff:
                 shutil.rmtree(date_dir)
                 removed.append(str(date_dir))
     return removed
+
+
+def retention_cutoff_days(config: RollupConfig, now_s: int) -> dict[int, str]:
+    """Per-resolution expiry cutoff: a date_bucket STRING strictly below the
+    cutoff string is past TTL (retention * 1.1, minus a day of slack for
+    bucket granularity). The cutoff keeps its time-of-day suffix so the
+    lexicographic compare reproduces `bucket_midnight < cutoff_datetime`
+    exactly ('2020-01-05' < '2020-01-05 14:00:00'; a cutoff landing on
+    midnight drops the suffix so equality is not a hit). Shared by the
+    directory sweeper above and the snapshot table's manifest-only
+    drop_partitions."""
+    from datetime import datetime, timedelta, timezone
+
+    cutoffs: dict[int, str] = {}
+    retention_by_window: dict[int, int] = {}
+    for d in config.rollups:
+        for w in d.windows:
+            r = retention_by_window.get(w.window_s, 0)
+            retention_by_window[w.window_s] = max(r, int(w.retention_s * 1.1))
+    for res, ttl in retention_by_window.items():
+        cutoff = datetime.fromtimestamp(now_s - ttl, tz=timezone.utc) - timedelta(days=1)
+        fmt = "%Y-%m-%d" if cutoff.strftime("%H:%M:%S") == "00:00:00" else "%Y-%m-%d %H:%M:%S"
+        cutoffs[res] = cutoff.strftime(fmt)
+    return cutoffs

@@ -1,0 +1,300 @@
+"""Manifest-based snapshot table format (Delta-lite, stdlib-only).
+
+The reference mutates Cassandra in place (INSERT batches, DELETE ranges —
+datastore/batchwriter.go:35-68, datastore/metricquery.go:25-84) and leans on
+the database for atomicity. The parquet-directory store replaced those with
+write-then-rename partition rewrites (engine.py), which is safe for a single
+writer but still exposes readers to a window where a partition directory is
+mid-swap, and a crashed rewrite loses the partition until repaired.
+
+This module upgrades the store to a versioned-manifest table:
+
+  root/
+    _manifests/v000000000042.json   <- the ONLY source of truth for contents
+    resolution_s=10/date_bucket=2020-01-01/<uuid>-part-....parquet
+
+  * A snapshot = the file list in the latest manifest. Readers resolve a
+    manifest ONCE and read exactly those files — a concurrent delete/compact
+    /append commits a NEW manifest and never touches files a reader holds:
+    snapshot isolation without locks.
+  * Commits are atomic: the manifest is staged to a tmp name and published
+    with os.link(tmp, final), which fails if the version already exists —
+    optimistic concurrency, the loser re-reads and retries (appends) or
+    surfaces the conflict (rewrites). On HDFS/S3 the same protocol rides
+    rename-if-absent / put-if-absent.
+  * DELETE/compaction rewrite only the files that contain hits; replaced
+    files stay on disk for older snapshots until vacuum() — time travel and
+    crash safety come free (a crashed rewrite leaves an orphan data file and
+    NO manifest: invisible, reclaimed by vacuum).
+  * Manifest-level pruning: partition predicates cut the file list BEFORE
+    Spark ever lists a directory — at 100 TB the driver plans from a few KB
+    of JSON instead of a 10M-file listing. (Spark still partition-prunes
+    and row-group-skips within the chosen files.)
+
+Single-table scope: no multi-table transactions, no schema evolution beyond
+add-only reads — the store schema is fixed (FIXTURES.md §1.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+STAGING_DIR = "_staging"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (optimistic concurrency)."""
+
+
+class SnapshotTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = str(root)
+        Path(self.root, MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+
+    # ------------------------------------------------------------ manifests
+
+    def _manifest_path(self, version: int) -> Path:
+        return Path(self.root, MANIFEST_DIR, f"v{version:012d}.json")
+
+    def versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:])
+            for p in Path(self.root, MANIFEST_DIR).glob("v*.json")
+        )
+
+    def version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _load(self, version: int) -> dict:
+        return json.loads(self._manifest_path(version).read_text())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.version() if version is None else version
+        if v is None:
+            return {"version": None, "files": [], "schema": None}
+        return self._load(v)
+
+    def _commit(self, parent: int | None, payload: dict) -> int:
+        """Publish payload as version parent+1 via atomic link-if-absent."""
+        next_v = 0 if parent is None else parent + 1
+        payload = {**payload, "version": next_v, "parent": parent}
+        tmp = Path(self.root, MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
+        tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
+        final = self._manifest_path(next_v)
+        try:
+            os.link(tmp, final)  # atomic; EEXIST if a racer won
+        except FileExistsError as e:
+            raise CommitConflict(f"version {next_v} already committed") from e
+        finally:
+            tmp.unlink(missing_ok=True)
+        return next_v
+
+    # ------------------------------------------------------------ read path
+
+    def _abs(self, rel: str) -> str:
+        return f"{self.root}/{rel}"
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: Callable[[dict], bool] | None = None,
+    ) -> DataFrame:
+        """DataFrame over one snapshot. partition_filter prunes the FILE LIST
+        driver-side from the manifest's partition values (strings, as they
+        appear in the directory names) before Spark plans anything."""
+        snap = self.snapshot(version)
+        files = snap["files"]
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f["partition"])]
+        if not files:
+            schema = snap.get("schema")
+            if schema is None:
+                raise ValueError(f"snapshot table {self.root} has no commits yet")
+            return self.spark.createDataFrame([], StructType.fromJson(schema))
+        return self.read_files(files, schema=snap.get("schema"))
+
+    # ------------------------------------------------------------ write path
+
+    def _stage(self, df: DataFrame, partition_cols: tuple[str, ...]) -> list[dict]:
+        """Write df into a staging dir, then hard-link each data file into
+        its final partition directory under root (same filesystem, so link
+        is cheap and atomic per file; files are invisible to readers until
+        the manifest commits). Returns manifest file entries."""
+        stage = Path(self.root, STAGING_DIR, uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(str(stage))
+        entries = []
+        for p in sorted(stage.rglob("*.parquet")):
+            rel_parts = p.relative_to(stage).parts[:-1]  # partition dirs
+            partition = dict(part.split("=", 1) for part in rel_parts)
+            dest_rel = "/".join((*rel_parts, f"{uuid.uuid4().hex[:12]}-{p.name}"))
+            dest = Path(self.root, dest_rel)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            os.link(p, dest)
+            entries.append(
+                {"path": dest_rel, "partition": partition, "bytes": p.stat().st_size}
+            )
+        # staged copies are hard links' sources; removing the staging dir
+        # leaves the linked data files intact
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+        return entries
+
+    def read_files(self, files: list[dict], schema: dict | None = None) -> DataFrame:
+        """Read an explicit file list. The stored schema (captured from the
+        first appended DataFrame) is applied so partition-column types are
+        exact — no directory-value inference (which would e.g. turn a
+        'yyyy-MM-dd' string bucket into a DATE) and no footer merging."""
+        r = self.spark.read
+        if schema is not None:
+            r = r.schema(StructType.fromJson(schema))
+        return r.option("basePath", self.root).parquet(
+            *[self._abs(f["path"]) for f in files]
+        )
+
+    def append(
+        self, df: DataFrame, partition_cols: tuple[str, ...] = (), max_retries: int = 5
+    ) -> int:
+        """Atomic multi-partition append. Data files land first (invisible),
+        then one manifest commit flips them live. Losing a commit race is
+        harmless for appends: re-read the new latest and retry the commit —
+        the data files need no rewrite."""
+        new = self._stage(df, partition_cols)
+        for _ in range(max_retries):
+            head = self.version()
+            snap = self.snapshot(head)
+            payload = {
+                "op": "append",
+                "files": snap["files"] + new,
+                "schema": snap.get("schema") or df.schema.jsonValue(),
+            }
+            try:
+                return self._commit(head, payload)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"append lost {max_retries} commit races")
+
+    # ------------------------------------------------------------ mutations
+
+    def delete_where(self, cond, partition_cols: tuple[str, ...] = ()) -> dict:
+        """DELETE WHERE cond: rewrite ONLY the data files that contain hits
+        (located via input_file_name — one scan), leave every other file
+        untouched, commit one manifest swapping old files for rewrites.
+        Readers on the old snapshot keep a complete, consistent table."""
+        from pyspark.sql import functions as F
+
+        head = self.version()
+        snap = self.snapshot(head)
+        if not snap["files"]:
+            return {"deleted": 0, "rewritten_files": 0, "version": head}
+        full = self.read_files(snap["files"], schema=snap.get("schema"))
+        hits = (
+            full.filter(cond)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not hits:
+            return {"deleted": 0, "rewritten_files": 0, "version": head}
+        n_deleted = sum(r["n"] for r in hits)
+        hit_uris = {r["f"] for r in hits}
+        hit_files = [f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)]
+        keep = [f for f in snap["files"] if f not in hit_files]
+        # DELETE semantics: a NULL predicate is NOT a hit — keep those rows
+        # (filter(~cond) alone would silently drop them)
+        keep_cond = ~F.coalesce(cond, F.lit(False))
+        remaining = self.read_files(hit_files, schema=snap.get("schema")).filter(keep_cond)
+        new = self._stage(remaining, partition_cols) if not remaining.isEmpty() else []
+        payload = {
+            "op": "delete",
+            "files": keep + new,
+            "schema": snap.get("schema"),
+        }
+        v = self._commit(head, payload)  # conflict -> caller retries the delete
+        return {"deleted": n_deleted, "rewritten_files": len(hit_files), "version": v}
+
+    def rewrite_partition(
+        self,
+        partition: dict,
+        transform: Callable[[DataFrame], DataFrame],
+        partition_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Replace one partition's files with transform(partition_df) —
+        the compaction primitive. One manifest commit; old files survive
+        for older snapshots."""
+        part = {k: str(v) for k, v in partition.items()}
+        head = self.version()
+        snap = self.snapshot(head)
+        old = [f for f in snap["files"] if f["partition"] == part]
+        if not old:
+            return head if head is not None else 0
+        out = transform(self.read_files(old, schema=snap.get("schema")))
+        new = self._stage(out, partition_cols)
+        keep = [f for f in snap["files"] if f["partition"] != part]
+        return self._commit(
+            head, {"op": "compact", "files": keep + new, "schema": snap.get("schema")}
+        )
+
+    def drop_partitions(self, pred: Callable[[dict], bool]) -> tuple[int, list[dict]]:
+        """Retention sweep: drop every partition whose (string) values match
+        pred — manifest-only, no data IO at all. Returns (version, dropped)."""
+        head = self.version()
+        snap = self.snapshot(head)
+        dropped = sorted(
+            {tuple(sorted(f["partition"].items())) for f in snap["files"] if pred(f["partition"])}
+        )
+        if not dropped:
+            return (head if head is not None else 0, [])
+        keep = [f for f in snap["files"] if not pred(f["partition"])]
+        v = self._commit(
+            head, {"op": "retention", "files": keep, "schema": snap.get("schema")}
+        )
+        return (v, [dict(d) for d in dropped])
+
+    # ------------------------------------------------------------ maintenance
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Physically delete data files referenced by NO retained snapshot
+        (and prune manifests older than the retained window). Crash-orphaned
+        staging output is reclaimed too. Returns deleted file paths."""
+        import shutil
+
+        vs = self.versions()
+        retained = vs[-retain_last:] if (vs and retain_last > 0) else []
+        live = {
+            f["path"] for v in retained for f in self._load(v)["files"]
+        }
+        deleted = []
+        for p in sorted(Path(self.root).rglob("*.parquet")):
+            rel = p.relative_to(self.root).as_posix()
+            if rel.startswith((MANIFEST_DIR, STAGING_DIR)):
+                continue
+            if rel not in live:
+                p.unlink()
+                deleted.append(rel)
+        # drop now-empty partition dirs, stale staging, old manifests
+        shutil.rmtree(Path(self.root, STAGING_DIR), ignore_errors=True)
+        for d in sorted((p for p in Path(self.root).rglob("*") if p.is_dir()), reverse=True):
+            if d.name != MANIFEST_DIR and not any(d.iterdir()):
+                d.rmdir()
+        for v in vs[:-retain_last] if retain_last > 0 else vs:
+            self._manifest_path(v).unlink(missing_ok=True)
+        return deleted
+
+
+def _uri_match(abs_path: str, uris: set[str]) -> bool:
+    """input_file_name() yields a URI (file:///...); match on the path part."""
+    return any(u.endswith(abs_path) or abs_path.endswith(u.removeprefix("file:")) for u in uris)

@@ -44,17 +44,28 @@ def _write_batch(
     config: RollupConfig,
     out_dir: str,
     index_dir: str | None = None,
+    table_format: str = "dirs",
 ):
     metrics, _ = parse_carbon_lines(batch_df, line_col="value")
     finest = rollup_finest(route(metrics, config), config)
     if finest is None:
         return
-    (
-        finest.withColumn("date_bucket", F.date_format("time", "yyyy-MM-dd"))
-        .write.partitionBy("resolution_s", "date_bucket")
-        .mode("append")
-        .parquet(out_dir)
-    )
+    bucketed = finest.withColumn("date_bucket", F.date_format("time", "yyyy-MM-dd"))
+    if table_format == "snapshot":
+        # one atomic manifest commit per microbatch: readers never see a
+        # half-written batch, and a crash before commit leaves only orphan
+        # files for vacuum (sources/snapshot.py)
+        from cassabon_spark.sources.snapshot import SnapshotTable
+
+        SnapshotTable(batch_df.sparkSession, out_dir).append(
+            bucketed, partition_cols=("resolution_s", "date_bucket")
+        )
+    else:
+        (
+            bucketed.write.partitionBy("resolution_s", "date_bucket")
+            .mode("append")
+            .parquet(out_dir)
+        )
     if index_dir is not None:
         # reference step 8 (SURVEY §3.1): new paths ride the same batch into
         # the index, anti-joined so only first sightings expand
@@ -73,6 +84,7 @@ def ingest_stream(
     trigger_seconds: int = 5,
     max_files_per_trigger: int = 64,
     index_dir: str | None = None,
+    table_format: str = "dirs",
 ):
     """Start the ingest query over a file-drop directory of carbon line files
     (the production shape: the socket bridge in sources.bridge rolls TCP/UDP
@@ -85,7 +97,7 @@ def ingest_stream(
         .text(lines_dir)
     )
     writer = lines.writeStream.foreachBatch(
-        lambda df, bid: _write_batch(df, bid, config, out_dir, index_dir)
+        lambda df, bid: _write_batch(df, bid, config, out_dir, index_dir, table_format)
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -94,20 +106,12 @@ def ingest_stream(
     return writer.start()
 
 
-def compact_store(
-    spark: SparkSession, store_dir: str, resolution_s: int, date_bucket: str
-) -> None:
-    """Merge partial rows into one row per (path, window) for one partition —
-    the streaming-era analog of the reference's window flush
-    (datastore/metricstore.go:85-185), run as a periodic batch job.
-
-    Touches exactly one (resolution_s, date_bucket) partition: read, re-agg,
-    overwrite. At scale this is an embarrassingly parallel per-partition job
-    driven by partition listing, not a full-table rewrite.
-    """
-    path = f"{store_dir}/resolution_s={resolution_s}/date_bucket={date_bucket}"
-    part = spark.read.parquet(path)
-    compacted = (
+def compact_partials(part: DataFrame) -> DataFrame:
+    """Merge partial rollup rows into one row per (path, window): the
+    additive re-aggregation every carried column supports (sum/cnt, min,
+    max, struct-tie-broken last). Shared by the directory compactor below
+    and the snapshot-table compaction path (engine.compact)."""
+    return (
         part.groupBy("path", "expression", "method", "time")
         .agg(
             F.sum("cnt").alias("cnt"),
@@ -126,6 +130,22 @@ def compact_store(
             .when(F.col("method") == "last", F.col("vlast")),
         )
     )
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, resolution_s: int, date_bucket: str
+) -> None:
+    """Merge partial rows into one row per (path, window) for one partition —
+    the streaming-era analog of the reference's window flush
+    (datastore/metricstore.go:85-185), run as a periodic batch job.
+
+    Touches exactly one (resolution_s, date_bucket) partition: read, re-agg,
+    overwrite. At scale this is an embarrassingly parallel per-partition job
+    driven by partition listing, not a full-table rewrite.
+    """
+    path = f"{store_dir}/resolution_s={resolution_s}/date_bucket={date_bucket}"
+    part = spark.read.parquet(path)
+    compacted = compact_partials(part)
     # write-then-rename: materializing via cache and overwriting the source
     # corrupts the partition if the cache is evicted mid-write (recompute
     # would scan the directory being overwritten); tmp lives outside the

@@ -1,0 +1,113 @@
+"""Engine facade in table_format='snapshot' mode: the same reference API
+surface (ingest / GET metrics / DELETE metrics / compact / retention) with
+the manifest-based snapshot store underneath — plus the properties only the
+snapshot format gives: reader isolation across deletes, manifest-only
+retention, time travel, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.engine import Engine
+
+CFG = RollupConfig.from_dict(
+    {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
+)
+
+
+def _engine(spark, d):
+    return Engine(
+        spark,
+        CFG,
+        os.path.join(d, "store"),
+        os.path.join(d, "idx"),
+        table_format="snapshot",
+    )
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "line string")
+
+
+def test_snapshot_ingest_query_roundtrip(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    counters = eng.ingest_lines(
+        _lines(
+            spark,
+            [f"svc.api.latency {v}.0 {1000 + i}" for i, v in enumerate(range(1, 21))]
+            + ["bogus line"],
+        )
+    )
+    assert counters == {"received": 20, "rejected": 1}
+    assert eng.table.version() == 0
+    resp = eng.get_metrics(["svc.api.latency"], 995, 1025, now_s=2000)
+    assert resp["step"] == 10
+    assert resp["series"]["svc.api.latency"] == [None, 5.5, 15.5]
+
+
+def test_snapshot_delete_isolates_readers_and_time_travels(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(
+        _lines(spark, ["a.one 1.0 1001", "a.two 2.0 1001", "a.one 3.0 86401"])
+    )
+    v0 = eng.table.version()
+    reader = eng.store  # resolved against v0's file list
+    rep = eng.delete_metrics(["a.one"], 0, 10**10, dry_run=False)
+    assert {(r["path"], r["resolution_s"]) for r in rep} == {("a.one", 10), ("a.one", 60)}
+    # new snapshot: a.one gone; the pre-delete reader still sees every row
+    assert eng.store.filter(F.col("path") == "a.one").count() == 0
+    assert reader.filter(F.col("path") == "a.one").count() == 4  # 2 windows x 2 tiers
+    # time travel: v0 still queryable by version
+    assert eng.table.read(version=v0).filter(F.col("path") == "a.one").count() == 4
+    # untouched files carried over, not rewritten
+    assert eng.store.filter(F.col("path") == "a.two").count() == 2
+
+
+def test_snapshot_compact_collapses_partials(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    # two ingests land partials for the SAME window
+    eng.ingest_lines(_lines(spark, ["a.one 1.0 1001"]))
+    eng.ingest_lines(_lines(spark, ["a.one 3.0 1002"]))
+    tier10 = eng.store.filter(F.col("resolution_s") == 10)
+    assert tier10.count() == 2  # two partial rows pre-compaction
+    touched = eng.compact()
+    assert touched == 2  # (10s, day) + (60s, day)
+    tier10 = eng.store.filter(F.col("resolution_s") == 10)
+    assert tier10.count() == 1
+    row = tier10.collect()[0]
+    assert row["cnt"] == 2 and row["stat"] == 2.0  # merged average (1+3)/2
+    # read path agrees after compaction
+    resp = eng.get_metrics(["a.one"], 995, 1015, now_s=2000)
+    assert resp["series"]["a.one"] == [None, 2.0]
+
+
+def test_snapshot_retention_is_manifest_only_then_vacuum(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    old_ts, new_ts = 1000, 40 * 86400
+    eng.ingest_lines(_lines(spark, [f"a.one 1.0 {old_ts}", f"a.one 2.0 {new_ts}"]))
+    removed = eng.sweep_retention(now_s=new_ts + 3600)
+    # 10s tier (1h ttl) drops the old bucket; 60s tier (1d ttl) likewise
+    assert len(removed) == 2
+    assert all("1970-01-01" in r for r in removed)
+    assert eng.store.filter(F.unix_timestamp("time") < 86400).count() == 0
+    # bytes still on disk (manifest-only) until vacuum
+    deleted = eng.table.vacuum(retain_last=1)
+    assert deleted  # expired + pre-delete-version files reclaimed
+    assert eng.store.filter(F.unix_timestamp("time") > 86400).count() == 2
+
+
+def test_snapshot_streaming_ingest_commits_per_batch(spark, tmp_path):
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "batch0.txt").write_text("s.x 1.0 1001\ns.x 3.0 1002\n")
+    eng = _engine(spark, str(tmp_path))
+    q = eng.start_streaming_ingest(
+        str(lines_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert eng.table.version() is not None
+    resp = eng.get_metrics(["s.x"], 995, 1015, now_s=2000)
+    assert resp["series"]["s.x"] == [None, 2.0]

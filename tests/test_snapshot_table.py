@@ -1,0 +1,147 @@
+"""SnapshotTable (sources/snapshot.py): the manifest-based Delta-lite store.
+
+Covers the ACID properties the parquet-directory store can't give:
+snapshot-isolated readers across delete/compact, atomic commit (link-if-
+absent -> CommitConflict for racers), manifest-level partition pruning,
+time travel, retention as a manifest-only commit, vacuum reclamation."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassabon_spark.sources.snapshot import CommitConflict, SnapshotTable
+
+
+def _mk(spark, tmp_path, rows):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(rows, "k string, v bigint, res bigint, day string")
+    t.append(df, partition_cols=("res", "day"))
+    return t
+
+
+ROWS = [
+    ("a", 1, 10, "2020-01-01"),
+    ("a", 2, 10, "2020-01-02"),
+    ("b", 3, 10, "2020-01-01"),
+    ("b", 4, 60, "2020-01-01"),
+]
+
+
+def test_append_read_roundtrip_and_partition_columns(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    got = {(r["k"], r["v"], r["res"], r["day"]) for r in t.read().collect()}
+    assert got == set(ROWS)
+    assert t.version() == 0
+    # second append becomes a new snapshot containing both
+    t.append(
+        spark.createDataFrame([("c", 5, 10, "2020-01-03")], "k string, v bigint, res bigint, day string"),
+        partition_cols=("res", "day"),
+    )
+    assert t.version() == 1
+    assert t.read().count() == 5
+    assert t.read(version=0).count() == 4  # time travel
+
+
+def test_manifest_partition_pruning_cuts_file_list(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    pruned = t.read(partition_filter=lambda p: p["res"] == "10" and p["day"] == "2020-01-01")
+    rows = pruned.collect()
+    assert {(r["k"], r["v"]) for r in rows} == {("a", 1), ("b", 3)}
+    # the pruned plan reads strictly fewer files than the full snapshot
+    n_all = len(t.snapshot()["files"])
+    n_hit = len([f for f in t.snapshot()["files"] if f["partition"]["day"] == "2020-01-01" and f["partition"]["res"] == "10"])
+    assert n_hit < n_all
+
+
+def test_delete_rewrites_only_hit_files_and_isolates_readers(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    before = t.read()  # resolved against v0's file list
+    before_files = set(f["path"] for f in t.snapshot()["files"])
+    rep = t.delete_where(F.col("k") == "a", partition_cols=("res", "day"))
+    assert rep["deleted"] == 2
+    # only the files containing k='a' were rewritten
+    assert rep["rewritten_files"] == 2
+    after_files = set(f["path"] for f in t.snapshot()["files"])
+    assert before_files & after_files  # untouched files carried over
+    # new snapshot lost the rows; the old READER still sees them (files intact)
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+    assert before.filter(F.col("k") == "a").count() == 2
+    # crash-safety shape: old files still on disk until vacuum
+    assert t.read(version=0).count() == 4
+
+
+def test_delete_dropping_whole_file_leaves_no_replacement(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    rep = t.delete_where(F.col("res") == 60, partition_cols=("res", "day"))
+    assert rep["deleted"] == 1
+    snap = t.snapshot()
+    assert all(f["partition"]["res"] != "60" for f in snap["files"])
+    assert t.read().count() == 3
+
+
+def test_rewrite_partition_compacts_to_fewer_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    # append a second batch into the same partition -> 2+ files there
+    t.append(
+        spark.createDataFrame([("a", 9, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"),
+        partition_cols=("res", "day"),
+    )
+    part = {"res": "10", "day": "2020-01-01"}
+    n_before = len([f for f in t.snapshot()["files"] if f["partition"] == part])
+    assert n_before >= 2
+    t.rewrite_partition(part, lambda df: df.coalesce(1), partition_cols=("res", "day"))
+    files = [f for f in t.snapshot()["files"] if f["partition"] == part]
+    assert len(files) == 1
+    assert t.read().filter((F.col("res") == 10) & (F.col("day") == "2020-01-01")).count() == 3
+
+
+def test_drop_partitions_is_manifest_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    data_files_before = {p.as_posix() for p in Path(t.root).rglob("*.parquet")}
+    v, dropped = t.drop_partitions(lambda p: p["day"] == "2020-01-02")
+    assert dropped == [{"day": "2020-01-02", "res": "10"}]
+    # no data IO: every physical file still present, only the manifest changed
+    assert {p.as_posix() for p in Path(t.root).rglob("*.parquet")} == data_files_before
+    assert t.read().count() == 3
+    assert t.read(version=0).count() == 4
+
+
+def test_commit_conflict_detected_and_append_retries(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    # simulate a racing writer publishing version 1 first
+    racer = json.dumps({"version": 1, "parent": 0, "op": "append", "files": t.snapshot()["files"], "schema": t.snapshot()["schema"]})
+    (Path(t.root) / "_manifests" / "v000000000001.json").write_text(racer)
+    with pytest.raises(CommitConflict):
+        t._commit(0, {"op": "x", "files": [], "schema": t.snapshot(0)["schema"]})
+    # append survives the race: retries against the racer's head
+    t.append(
+        spark.createDataFrame([("z", 7, 10, "2020-01-09")], "k string, v bigint, res bigint, day string"),
+        partition_cols=("res", "day"),
+    )
+    assert t.version() == 2
+    assert t.read().filter(F.col("k") == "z").count() == 1
+
+
+def test_vacuum_reclaims_unreferenced_files_and_old_manifests(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete_where(F.col("k") == "a", partition_cols=("res", "day"))
+    all_files = {p.relative_to(t.root).as_posix() for p in Path(t.root).rglob("*.parquet")}
+    live = {f["path"] for f in t.snapshot()["files"]}
+    assert all_files - live  # old-version files exist pre-vacuum
+    deleted = t.vacuum(retain_last=1)
+    assert set(deleted) == all_files - live
+    assert t.versions() == [1]
+    # table still reads cleanly after vacuum
+    assert {r["k"] for r in t.read().collect()} == {"b"}
+
+
+def test_empty_table_reads_as_typed_empty_after_full_delete(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS[:1])
+    t.delete_where(F.lit(True), partition_cols=("res", "day"))
+    out = t.read()
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v", "res", "day"}

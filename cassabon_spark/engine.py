@@ -73,6 +73,16 @@ class Engine:
             self.table = SnapshotTable(spark, store_dir)
         else:
             self.table = None
+        # GET /metrics result cache, keyed by snapshot version: sound ONLY
+        # in snapshot mode, where every write (ingest/delete/compact/
+        # retention) bumps the version and thereby invalidates — the 'dirs'
+        # store has no version to key on. The reference has no result cache
+        # (every GET re-queries Cassandra, datastore/metricquery.go:86-230);
+        # at 100 TB dashboards re-request identical ranges constantly and
+        # this short-circuits the whole scan for them.
+        self._result_cache: dict[tuple, dict] = {}
+        self._result_cache_max = 256
+        self.cache_stats = {"hits": 0, "misses": 0}
 
     # ------------------------------------------------------------ store access
 
@@ -225,9 +235,23 @@ class Engine:
                 "step": step,
                 "series": {p: [None] * n_slots for p in paths},
             }
-        return qmod.query_metrics(
+        key = None
+        if self.table is not None and now_s is not None:
+            # now_s=None means wall-clock tier selection — not a stable key
+            key = (tuple(sorted(paths)), from_s, to_s, now_s, self.table.version())
+            cached = self._result_cache.get(key)
+            if cached is not None:
+                self.cache_stats["hits"] += 1
+                return cached
+            self.cache_stats["misses"] += 1
+        resp = qmod.query_metrics(
             self.spark, self.store, self.config, paths, from_s, to_s, now_s=now_s
         )
+        if key is not None:
+            if len(self._result_cache) >= self._result_cache_max:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[key] = resp
+        return resp
 
     def get_paths(self, glob: str) -> list[dict]:
         """GET /paths -> [IndexResponse] sorted by path (A17)."""

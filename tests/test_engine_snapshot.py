@@ -111,3 +111,34 @@ def test_snapshot_streaming_ingest_commits_per_batch(spark, tmp_path):
     assert eng.table.version() is not None
     resp = eng.get_metrics(["s.x"], 995, 1015, now_s=2000)
     assert resp["series"]["s.x"] == [None, 2.0]
+
+
+def test_snapshot_result_cache_hits_and_version_invalidation(spark, tmp_path, monkeypatch):
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(_lines(spark, ["c.x 1.0 1001", "c.x 3.0 1002"]))
+
+    from cassabon_spark.operators import query as qmod
+
+    calls = {"n": 0}
+    real = qmod.query_metrics
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qmod, "query_metrics", counting)
+
+    r1 = eng.get_metrics(["c.x"], 995, 1015, now_s=2000)
+    r2 = eng.get_metrics(["c.x"], 995, 1015, now_s=2000)
+    assert r1 == r2 and calls["n"] == 1  # second call served from cache
+    assert eng.cache_stats == {"hits": 1, "misses": 1}
+
+    # any write bumps the snapshot version -> cache key changes -> recompute
+    eng.ingest_lines(_lines(spark, ["c.x 5.0 1003"]))
+    r3 = eng.get_metrics(["c.x"], 995, 1015, now_s=2000)
+    assert calls["n"] == 2
+    assert r3["series"]["c.x"] == [None, 3.0]  # (1+3+5)/3 in the 1010 window
+
+    # wall-clock queries (now_s=None) bypass the cache entirely
+    eng.get_metrics(["c.x"], 995, 1015)
+    assert eng.cache_stats["hits"] == 1

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassabon_spark.functions.text import md5_bucket_expr
-from cassabon_spark.functions.vectors import cosine_sim_expr
+from cassabon_spark.functions.vectors import cosine_sim_expr, l2_norm_expr
 
 
 def cosine_topk(
@@ -109,6 +109,87 @@ def lsh_bucket_topk(
         .filter(F.col("qid") != F.col("cid"))
         .dropDuplicates(["qid", "cid"])
     )
+    sim = cosine_sim_expr("qe", "ce")
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN with a LEARNED coarse quantizer (pyspark.ml KMeans) —
+    the production counterpart of the md5-pivot IVF in queries/extensions.
+
+    Vectors are L2-normalized before clustering so the quantizer's euclidean
+    cells align with cosine neighborhoods (on the unit sphere,
+    ||a-b||^2 = 2 - 2cos, monotone in cosine); the final rerank uses true
+    cosine on the original vectors (scale-invariant, so identical ranking).
+
+    Scale shape: training samples the corpus (k-means|| init), the corpus is
+    assigned to cells in ONE pass and bucketed; each query probes its nprobe
+    nearest centroids and scans only those cells — |corpus| * nprobe /
+    n_cells candidate evaluations instead of |corpus| * |queries|. Centroids
+    broadcast (n_cells x dim floats). Returns (qid, cid, cosine, rnk).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm_expr(F.col(vec_col))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("ce"),
+        array_to_vector(unit).alias("fv"),
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="fv", predictionCol="cell"
+    ).fit(c)
+    cells = model.transform(c).select("cid", "ce", "cell")
+
+    centers = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in ctr]).alias("ctr"),
+            )
+            for i, ctr in enumerate(model.clusterCenters())
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    # nprobe nearest centroids per query (euclidean on normalized query)
+    qn = q.withColumn("qu", F.transform(F.col("qe"), lambda x: x.cast("double") / l2_norm_expr(F.col("qe"))))
+    dist = F.aggregate(
+        F.zip_with(F.col("qu"), F.col("c.ctr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        qn.select("qid", "qe", "qu", F.explode(centers).alias("c"))
+        .withColumn("d2", dist)
+        .withColumn(
+            "prnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("c.cell"))
+            ),
+        )
+        .filter(F.col("prnk") <= nprobe)
+        .select("qid", "qe", F.col("c.cell").alias("cell"))
+    )
+    pairs = cells.join(F.broadcast(probes), "cell").filter(F.col("qid") != F.col("cid"))
     sim = cosine_sim_expr("qe", "ce")
     w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
     return (

@@ -1298,3 +1298,28 @@ def similarity_ivf(spark, sf_dir):
         .select("qid", "cid", "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+@register(
+    "similarity_ivf_kmeans",
+    None,  # learned quantizer (k-means|| sampling) is not SQL-reproducible:
+    # rows-only gate; recall vs the exact brute-force top-k is asserted in
+    # tests/test_multimodal_similarity.py instead
+    "IVF-flat ANN with a pyspark.ml KMeans coarse quantizer over "
+    "L2-normalized vectors (euclidean cells == cosine neighborhoods on the "
+    "unit sphere); nprobe=3 of 8 cells, cosine rerank "
+    "(operators/similarity.py::ivf_kmeans_topk)",
+)
+def similarity_ivf_kmeans(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    out = ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3
+    )
+    return (
+        out.withColumn("cosine", R(F.col("cosine"), 4))
+        .withColumn("rnk", F.col("rnk").cast("bigint"))
+        .orderBy("qid", "rnk")
+    )

@@ -149,8 +149,13 @@ def dedup_jaccard(spark, sf_dir):
     # cached: feeds both sides of the shingle self-join plus the size table —
     # three consumers, one tokenize/shingle pass
     sh = (
-        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
-        .distinct()
+        # distinct is LOCAL (array_distinct before explode): shingle sets are
+        # per-document, so a shuffle-distinct over the full shingle stream
+        # buys nothing — this removes the widest shuffle in the pipeline
+        toks.select(
+            "doc_id", "lang",
+            F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+        )
         .cache()
     )
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -230,8 +235,13 @@ def dedup_minhash(spark, sf_dir):
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
     # cache: the shingle set feeds banding, sizes AND pair verification
     sh = (
-        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
-        .distinct()
+        # distinct is LOCAL (array_distinct before explode): shingle sets are
+        # per-document, so a shuffle-distinct over the full shingle stream
+        # buys nothing — this removes the widest shuffle in the pipeline
+        toks.select(
+            "doc_id", "lang",
+            F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+        )
         .cache()
     )
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
@@ -320,8 +330,10 @@ def minhash_sigs(spark, sf_dir):
     docs = T(spark, sf_dir, "documents", wide=True).filter(F.col("doc_id") < 50)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
     sh = (
-        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"), 3)).alias("s"))
-        .distinct()
+        toks.select(
+            "doc_id", "lang",
+            F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+        )
     )
     return (
         sh.groupBy("doc_id", "lang")
@@ -674,9 +686,9 @@ ORDER BY d1, d2
 def dedup_simhash(spark, sf_dir):
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
-    toks = (
-        docs.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("tok"))
-        .distinct()
+    toks = docs.select(
+        # per-doc distinct via array_distinct: no shuffle over the token stream
+        "doc_id", "lang", F.explode(F.array_distinct(tokens_expr("text"))).alias("tok")
     )
     hashed = toks.select("doc_id", "lang", md5_bucket_expr(F.col("tok")).alias("h"))
     sums = hashed.groupBy("doc_id", "lang").agg(

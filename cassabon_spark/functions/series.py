@@ -9,8 +9,13 @@ collect. Each takes and returns a grid frame (path, slot_s, stat), so they
 chain: `top_series(moving_average(grid, 3), 5)`.
 
 Graphite function parity (graphite-web names):
-  derivative / nonNegativeDerivative / movingAverage / scale / offset /
-  absolute / keepLastValue / summarize / highest(Average|Max)
+  derivative / nonNegativeDerivative / perSecond / integral / movingAverage /
+  moving(Max|Min|Sum|Median) / stdev / scale / offset / absolute / invert /
+  logarithm / pow / squareRoot / timeShift / delay / transformNull /
+  removeAbove|BelowValue / keepLastValue / summarize / hitcount /
+  highest(Average|Max) / lowest(Average|Max) / alias / aliasByNode /
+  exclude / grep / groupByNode / (sum|average|max|min|count|stddev|range|
+  diff)Series / percentileOfSeries / linearRegression
 """
 
 from __future__ import annotations
@@ -21,6 +26,20 @@ from pyspark.sql import functions as F
 
 def _w(order: str = "slot_s"):
     return Window.partitionBy("path").orderBy(order)
+
+
+def _whole():
+    return Window.partitionBy("path").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+
+def _step_col():
+    """Per-series step inferred from consecutive grid slots (the grid is
+    uniform by construction, A13) — constant within each path partition."""
+    return F.first(
+        F.col("slot_s") - F.lag("slot_s").over(_w()), ignorenulls=True
+    ).over(_whole())
 
 
 def derivative(grid: DataFrame) -> DataFrame:
@@ -36,10 +55,52 @@ def non_negative_derivative(grid: DataFrame) -> DataFrame:
     return grid.withColumn("stat", F.when(d >= 0, d))
 
 
+def per_second(grid: DataFrame) -> DataFrame:
+    """nonNegativeDerivative scaled to a per-second rate using the series'
+    own step (perSecond())."""
+    d = F.col("stat") - F.lag("stat").over(_w())
+    return grid.withColumn("stat", F.when(d >= 0, d / _step_col()))
+
+
+def integral(grid: DataFrame) -> DataFrame:
+    """Running sum from the series head (integral()); null slots contribute
+    nothing but still display null."""
+    run = F.sum("stat").over(_w().rowsBetween(Window.unboundedPreceding, 0))
+    return grid.withColumn("stat", F.when(F.col("stat").isNotNull(), run))
+
+
 def moving_average(grid: DataFrame, n: int) -> DataFrame:
     """Trailing n-slot mean, nulls excluded (movingAverage(n))."""
     w = _w().rowsBetween(-(n - 1), 0)
     return grid.withColumn("stat", F.avg("stat").over(w))
+
+
+def _moving(grid: DataFrame, n: int, agg) -> DataFrame:
+    return grid.withColumn("stat", agg("stat").over(_w().rowsBetween(-(n - 1), 0)))
+
+
+def moving_max(grid: DataFrame, n: int) -> DataFrame:
+    return _moving(grid, n, F.max)
+
+
+def moving_min(grid: DataFrame, n: int) -> DataFrame:
+    return _moving(grid, n, F.min)
+
+
+def moving_sum(grid: DataFrame, n: int) -> DataFrame:
+    return _moving(grid, n, F.sum)
+
+
+def moving_median(grid: DataFrame, n: int) -> DataFrame:
+    """Trailing n-slot exact median (movingMedian(n)) — `percentile` is a
+    JVM aggregate, legal over a rows frame."""
+    w = _w().rowsBetween(-(n - 1), 0)
+    return grid.withColumn("stat", F.expr("percentile(stat, 0.5)").over(w))
+
+
+def stdev(grid: DataFrame, n: int) -> DataFrame:
+    """Trailing n-slot population stddev (stdev(n))."""
+    return _moving(grid, n, F.stddev_pop)
 
 
 def scale(grid: DataFrame, factor: float) -> DataFrame:
@@ -52,6 +113,58 @@ def offset(grid: DataFrame, amount: float) -> DataFrame:
 
 def absolute(grid: DataFrame) -> DataFrame:
     return grid.withColumn("stat", F.abs("stat"))
+
+
+def invert(grid: DataFrame) -> DataFrame:
+    """1/x (invert()); 0 -> null (Spark double division by zero yields
+    +-Infinity, Graphite yields None — null is the grid's None)."""
+    return grid.withColumn(
+        "stat", F.when(F.col("stat") != 0, F.lit(1.0) / F.col("stat"))
+    )
+
+
+def logarithm(grid: DataFrame, base: float = 10.0) -> DataFrame:
+    """log_base(x) for x > 0, else null (logarithm())."""
+    return grid.withColumn(
+        "stat", F.when(F.col("stat") > 0, F.log(float(base), "stat"))
+    )
+
+
+def power(grid: DataFrame, exponent: float) -> DataFrame:
+    """x^exponent (pow()); NaN (e.g. negative base, fractional exponent)
+    scrubbed to null like the read path's A15."""
+    p = F.pow("stat", F.lit(float(exponent)))
+    return grid.withColumn("stat", F.when(~F.isnan(p), p))
+
+
+def square_root(grid: DataFrame) -> DataFrame:
+    return power(grid, 0.5)
+
+
+def time_shift(grid: DataFrame, shift_s: int) -> DataFrame:
+    """Shift the series forward by shift_s seconds (timeShift(): compare
+    this week against last week by shifting last week's data forward)."""
+    return grid.withColumn("slot_s", (F.col("slot_s") + shift_s).cast("bigint"))
+
+
+def delay(grid: DataFrame, steps: int) -> DataFrame:
+    """Shift values by whole grid steps without moving timestamps
+    (delay(steps)); head slots become null."""
+    return grid.withColumn("stat", F.lag("stat", steps).over(_w()))
+
+
+def transform_null(grid: DataFrame, default: float = 0.0) -> DataFrame:
+    """Replace null slots with a constant (transformNull())."""
+    return grid.withColumn("stat", F.coalesce("stat", F.lit(float(default))))
+
+
+def remove_above_value(grid: DataFrame, n: float) -> DataFrame:
+    """Null out values above n (removeAboveValue()) — outlier clipping."""
+    return grid.withColumn("stat", F.when(F.col("stat") <= n, F.col("stat")))
+
+
+def remove_below_value(grid: DataFrame, n: float) -> DataFrame:
+    return grid.withColumn("stat", F.when(F.col("stat") >= n, F.col("stat")))
 
 
 def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
@@ -109,3 +222,161 @@ def top_series(grid: DataFrame, k: int, how: str = "avg") -> DataFrame:
         .select("path")
     )
     return grid.join(F.broadcast(ranked), "path", "left_semi")
+
+
+def bottom_series(grid: DataFrame, k: int, how: str = "avg") -> DataFrame:
+    """Keep the k series with the LOWEST aggregate value
+    (lowestAverage/lowestMax) — same broadcast-semi-join shape as
+    top_series."""
+    agg = {"avg": F.avg, "max": F.max, "sum": F.sum}[how]
+    ranked = (
+        grid.groupBy("path")
+        .agg(agg("stat").alias("__v"))
+        .orderBy(F.asc_nulls_last("__v"), "path")
+        .limit(k)
+        .select("path")
+    )
+    return grid.join(F.broadcast(ranked), "path", "left_semi")
+
+
+def hitcount(grid: DataFrame, bucket_s: int) -> DataFrame:
+    """Graphite hitcount(): re-bucket a RATE series into total hits per
+    bucket — sum of value*step, bucket labelled by close time like the
+    engine's windows (A7)."""
+    close = (F.floor((F.col("slot_s") + bucket_s - 1) / bucket_s) * bucket_s).cast(
+        "bigint"
+    )
+    return (
+        grid.withColumn("__hits", F.col("stat") * _step_col())
+        .withColumn("slot_s", close)
+        .groupBy("path", "slot_s")
+        .agg(F.sum("__hits").alias("stat"))
+    )
+
+
+# ------------------------------------------------------- path manipulation
+
+
+def alias_series(grid: DataFrame, name: str) -> DataFrame:
+    """Rename every series (alias())."""
+    return grid.withColumn("path", F.lit(name))
+
+
+def alias_by_node(grid: DataFrame, *nodes: int) -> DataFrame:
+    """Keep only the given dot-segments of the path (aliasByNode(1, 3));
+    node indices are 0-based like Graphite's."""
+    parts = F.split("path", r"\.")
+    segs = [F.element_at(parts, n + 1) for n in nodes]
+    return grid.withColumn("path", F.concat_ws(".", *segs))
+
+
+def exclude(grid: DataFrame, pattern: str) -> DataFrame:
+    """Drop series whose path matches the regex (exclude())."""
+    return grid.filter(~F.col("path").rlike(pattern))
+
+
+def grep(grid: DataFrame, pattern: str) -> DataFrame:
+    """Keep only series whose path matches the regex (grep())."""
+    return grid.filter(F.col("path").rlike(pattern))
+
+
+# --------------------------------------------------- across-series combine
+
+_COMBINE = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "count": F.count,
+    "stddev": F.stddev_pop,
+}
+
+
+def _combine(grid: DataFrame, how: str, label: str) -> DataFrame:
+    agg = _COMBINE[how]
+    return (
+        grid.groupBy("slot_s")
+        .agg(agg("stat").alias("stat"))
+        .select(F.lit(label).alias("path"), "slot_s", F.col("stat").cast("double"))
+    )
+
+
+def sum_series(grid: DataFrame) -> DataFrame:
+    """Element-wise sum of all input series (sumSeries()); one shuffle on
+    slot_s, partial aggregation map-side."""
+    return _combine(grid, "sum", "sumSeries")
+
+
+def average_series(grid: DataFrame) -> DataFrame:
+    return _combine(grid, "avg", "averageSeries")
+
+
+def max_series(grid: DataFrame) -> DataFrame:
+    return _combine(grid, "max", "maxSeries")
+
+
+def min_series(grid: DataFrame) -> DataFrame:
+    return _combine(grid, "min", "minSeries")
+
+
+def count_series(grid: DataFrame) -> DataFrame:
+    """Number of series with a non-null value per slot (countSeries())."""
+    return _combine(grid, "count", "countSeries")
+
+
+def stddev_series(grid: DataFrame) -> DataFrame:
+    return _combine(grid, "stddev", "stddevSeries")
+
+
+def range_series(grid: DataFrame) -> DataFrame:
+    """max - min across series per slot (rangeOfSeries())."""
+    return (
+        grid.groupBy("slot_s")
+        .agg((F.max("stat") - F.min("stat")).alias("stat"))
+        .select(F.lit("rangeOfSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
+    """base series minus the sum of all others per slot (diffSeries(base,
+    *rest)); expressed as conditional aggregates in ONE pass — no self-join."""
+    base = F.max(F.when(F.col("path") == base_path, F.col("stat")))
+    rest = F.sum(F.when(F.col("path") != base_path, F.col("stat")))
+    return (
+        grid.groupBy("slot_s")
+        .agg((base - F.coalesce(rest, F.lit(0.0))).alias("stat"))
+        .select(F.lit("diffSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def percentile_of_series(grid: DataFrame, p: float) -> DataFrame:
+    """Exact p-th percentile across series per slot (percentileOfSeries())."""
+    return (
+        grid.groupBy("slot_s")
+        .agg(F.expr(f"percentile(stat, {float(p) / 100.0})").alias("stat"))
+        .select(F.lit("percentileOfSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def group_by_node(grid: DataFrame, node: int, how: str = "sum") -> DataFrame:
+    """Aggregate series sharing the node-th path segment
+    (groupByNode(node, how)): `a.srv1.cpu` and `a.srv2.cpu` with node=2
+    combine into series `cpu`."""
+    agg = _COMBINE[how]
+    seg = F.element_at(F.split("path", r"\."), node + 1)
+    return (
+        grid.withColumn("path", seg)
+        .groupBy("path", "slot_s")
+        .agg(agg("stat").cast("double").alias("stat"))
+    )
+
+
+def linear_regression(grid: DataFrame) -> DataFrame:
+    """Least-squares fitted line per series (linearRegression()) — slope/
+    intercept via covariance window aggregates over the whole partition, no
+    collect, no second scan."""
+    w = _whole()
+    x = F.when(F.col("stat").isNotNull(), F.col("slot_s").cast("double"))
+    slope = F.covar_pop(x, "stat").over(w) / F.var_pop(x).over(w)
+    intercept = F.avg("stat").over(w) - slope * F.avg(x).over(w)
+    return grid.withColumn("stat", intercept + slope * F.col("slot_s"))

@@ -694,3 +694,110 @@ def carbon_moving_avg(spark, sf_dir):
         .select("path", "slot_s", "mov_avg")
         .orderBy("path", "slot_s")
     )
+
+
+_GRID_CTE = f"""
+WITH m AS ({_M}),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  HAVING time_s >= {JAN_5 + 3600} AND time_s <= {JAN_8}
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 + 3600}, {JAN_8}, 3600)) AS slot_s) s
+),
+grid AS (
+  SELECT spine.path, spine.slot_s, vsum / cnt AS stat
+  FROM spine LEFT JOIN store ON store.path = spine.path AND store.time_s = spine.slot_s
+)
+"""
+
+_PERSEC_INTEGRAL_SQL = f"""
+{_GRID_CTE},
+ps AS (
+  SELECT path, slot_s,
+         CASE WHEN stat - LAG(stat) OVER w >= 0
+              THEN (stat - LAG(stat) OVER w) / 3600.0 END AS rate
+  FROM grid
+  WINDOW w AS (PARTITION BY path ORDER BY slot_s)
+)
+SELECT path, slot_s,
+       ROUND(ROUND(CASE WHEN rate IS NOT NULL THEN
+         SUM(rate) OVER (PARTITION BY path ORDER BY slot_s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       END, 10), 6) AS cum_rate
+FROM ps
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_persecond_integral",
+    _PERSEC_INTEGRAL_SQL,
+    "Graphite perSecond() |> integral() chained over the gap-filled grid: "
+    "counter rate from the series' inferred step, then running total — the "
+    "render pipeline's function chaining, in-engine",
+)
+def carbon_persecond_integral(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import integral, per_second
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    chained = integral(per_second(grid))
+    return (
+        chained.select("path", "slot_s", R(F.col("stat"), 6).alias("cum_rate"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_GROUPBYNODE_SQL = f"""
+{_GRID_CTE}
+SELECT 'evt' AS path, slot_s, ROUND(ROUND(SUM(stat), 8), 4) AS stat
+FROM grid
+GROUP BY slot_s
+ORDER BY slot_s
+"""
+
+
+@register(
+    "carbon_series_groupbynode",
+    _GROUPBYNODE_SQL,
+    "Graphite groupByNode(0, sum) over the grid: series sharing a path "
+    "segment combine element-wise — one map-side-combined shuffle on the "
+    "(segment, slot) key",
+)
+def carbon_groupbynode(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import group_by_node
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return (
+        group_by_node(grid, 0, "sum")
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("slot_s")
+    )

@@ -7,14 +7,43 @@ import pyspark.sql.functions as F
 
 from cassabon_spark.functions.series import (
     absolute,
+    alias_by_node,
+    alias_series,
+    average_series,
+    bottom_series,
+    count_series,
+    delay,
     derivative,
+    diff_series,
+    exclude,
+    grep,
+    group_by_node,
+    hitcount,
+    integral,
+    invert,
     keep_last_value,
+    linear_regression,
+    logarithm,
     moving_average,
+    moving_max,
+    moving_median,
+    moving_sum,
     non_negative_derivative,
     offset,
+    per_second,
+    percentile_of_series,
+    power,
+    range_series,
+    remove_above_value,
+    remove_below_value,
     scale,
+    square_root,
+    stdev,
+    sum_series,
     summarize,
+    time_shift,
     top_series,
+    transform_null,
 )
 
 
@@ -70,6 +99,97 @@ def test_summarize_close_labeled(spark):
     out = {r["slot_s"]: r["stat"] for r in summarize(g, 20, "sum").collect()}
     # closes: 10->20, 20->20, 30->40, 40->40, 50->60
     assert out == {20: 5.0, 40: 2.0, 60: 7.0}
+
+
+def test_per_second_uses_inferred_step(spark):
+    g = _grid(spark, [("p", 10, 0.0), ("p", 20, 50.0), ("p", 30, 40.0)])
+    # step is 10s; 0->50 is +50 => 5.0/s; 50->40 is negative => null
+    assert _series(per_second(g)) == [None, 5.0, None]
+
+
+def test_integral_running_sum_keeps_nulls(spark):
+    g = _grid(spark, GRID)
+    assert _series(integral(g)) == [1.0, 5.0, None, 7.0, 14.0]
+
+
+def test_moving_family(spark):
+    g = _grid(spark, GRID)
+    assert _series(moving_max(g, 2)) == [1.0, 4.0, 4.0, 2.0, 7.0]
+    assert _series(moving_sum(g, 2)) == [1.0, 5.0, 4.0, 2.0, 9.0]
+    assert _series(moving_median(g, 3)) == [1.0, 2.5, 2.5, 3.0, 4.5]
+    s = _series(stdev(g, 2))
+    assert s[0] == 0.0 and round(s[1], 3) == 1.5
+
+
+def test_scalar_transforms(spark):
+    g = _grid(spark, [("p", 10, -2.0), ("p", 20, 0.0), ("p", 30, 4.0)])
+    assert _series(invert(g)) == [-0.5, None, 0.25]
+    assert _series(logarithm(g, 2)) == [None, None, 2.0]
+    assert _series(power(g, 2)) == [4.0, 0.0, 16.0]
+    assert _series(square_root(g)) == [None, 0.0, 2.0]
+    assert _series(transform_null(_grid(spark, [("p", 10, None)]), -1)) == [-1.0]
+    assert _series(remove_above_value(g, 1)) == [-2.0, 0.0, None]
+    assert _series(remove_below_value(g, 0)) == [None, 0.0, 4.0]
+
+
+def test_time_shift_and_delay(spark):
+    g = _grid(spark, GRID)
+    shifted = time_shift(g, 100)
+    assert [r["slot_s"] for r in shifted.orderBy("slot_s").collect()] == [
+        110, 120, 130, 140, 150,
+    ]
+    assert _series(delay(g, 1)) == [None, 1.0, 4.0, None, 2.0]
+
+
+def test_hitcount_rate_to_total(spark):
+    # 10s steps at 2/s and 3/s -> 20s buckets
+    g = _grid(spark, [("p", 10, 2.0), ("p", 20, 3.0), ("p", 30, 1.0)])
+    out = {r["slot_s"]: r["stat"] for r in hitcount(g, 20).collect()}
+    assert out == {20: 50.0, 40: 10.0}
+
+
+def test_path_manipulation(spark):
+    g = _grid(spark, [("a.s1.cpu", 10, 1.0), ("a.s2.cpu", 10, 3.0), ("a.s1.mem", 10, 9.0)])
+    assert set(r["path"] for r in alias_series(g, "x").collect()) == {"x"}
+    assert set(r["path"] for r in alias_by_node(g, 1, 2).collect()) == {
+        "s1.cpu", "s2.cpu", "s1.mem",
+    }
+    assert set(r["path"] for r in exclude(g, r"\.mem$").collect()) == {
+        "a.s1.cpu", "a.s2.cpu",
+    }
+    assert set(r["path"] for r in grep(g, r"\.mem$").collect()) == {"a.s1.mem"}
+    out = {(r["path"], r["stat"]) for r in group_by_node(g, 2, "sum").collect()}
+    assert out == {("cpu", 4.0), ("mem", 9.0)}
+
+
+def test_combine_series(spark):
+    g = _grid(
+        spark,
+        [("p", 10, 1.0), ("q", 10, 3.0), ("p", 20, None), ("q", 20, 5.0)],
+    )
+    assert _series(sum_series(g), "sumSeries") == [4.0, 5.0]
+    assert _series(average_series(g), "averageSeries") == [2.0, 5.0]
+    assert _series(count_series(g), "countSeries") == [2.0, 1.0]
+    assert _series(range_series(g), "rangeOfSeries") == [2.0, 0.0]
+    assert _series(diff_series(g, "q"), "diffSeries") == [2.0, 5.0]
+    assert _series(percentile_of_series(g, 50), "percentileOfSeries") == [2.0, 5.0]
+
+
+def test_bottom_series(spark):
+    rows = GRID + [("q", 10, 100.0), ("r", 10, 0.0)]
+    kept = {
+        r["path"]
+        for r in bottom_series(_grid(spark, rows), 2, "avg")
+        .select("path").distinct().collect()
+    }
+    assert kept == {"r", "p"}
+
+
+def test_linear_regression_exact_on_line(spark):
+    g = _grid(spark, [("p", 10, 2.0), ("p", 20, 4.0), ("p", 30, None), ("p", 40, 8.0)])
+    fitted = [round(v, 6) for v in _series(linear_regression(g))]
+    # points lie exactly on stat = 0.2*slot: fit reproduces them, fills the gap
+    assert fitted == [2.0, 4.0, 6.0, 8.0]
 
 
 def test_top_series_and_chaining(spark):

@@ -371,6 +371,103 @@ def group_by_node(grid: DataFrame, node: int, how: str = "sum") -> DataFrame:
     )
 
 
+def holt_winters_forecast(
+    grid: DataFrame,
+    season_slots: int = 24,
+    alpha: float = 0.1,
+    beta: float = 0.0035,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """Additive triple-exponential-smoothing forecast per series
+    (holtWintersForecast()), one fitted value per grid slot.
+
+    The recurrence is inherently sequential IN TIME but independent ACROSS
+    series, so this is the canonical applyInPandas case: each path's whole
+    (bounded: (to-from)/step slots) series lands in one pandas group and the
+    smoothing loop runs in numpy; parallelism comes from the number of
+    series, which is what actually grows at scale. Null observations advance
+    the forecast (level+trend+seasonal) without updating state.
+
+    Defaults mirror graphite-web's render/functions.py holtWintersAnalysis
+    (alpha=0.1, beta=0.0035, gamma=0.1); season_slots is the season length
+    in grid steps (Graphite hard-codes 1 day).
+    """
+    import pandas as pd
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("slot_s").reset_index(drop=True)
+        vals = pdf["stat"].to_numpy(dtype=float)  # nulls -> NaN
+        n = len(vals)
+        m = min(season_slots, max(n, 1))
+        fc = [None] * n
+        level = None
+        trend = 0.0
+        seasonal = [0.0] * m
+        for i in range(n):
+            v = vals[i]
+            s_idx = i % m
+            if level is None:
+                if v == v:  # first non-null seeds the state
+                    level = v
+                    fc[i] = v
+                continue
+            pred = level + trend + seasonal[s_idx]
+            fc[i] = pred
+            if v == v:
+                last_level = level
+                level = alpha * (v - seasonal[s_idx]) + (1 - alpha) * (level + trend)
+                trend = beta * (level - last_level) + (1 - beta) * trend
+                seasonal[s_idx] = gamma * (v - level) + (1 - gamma) * seasonal[s_idx]
+            else:
+                level = level + trend
+        out = pdf[["path", "slot_s"]].copy()
+        out["stat"] = pd.array(fc, dtype="Float64")
+        return out
+
+    return grid.groupBy("path").applyInPandas(
+        _fit, "path string, slot_s bigint, stat double"
+    )
+
+
+def holt_winters_confidence_bands(
+    grid: DataFrame,
+    season_slots: int = 24,
+    delta: float = 3.0,
+    **hw_kwargs,
+) -> DataFrame:
+    """Upper/lower deviation bands around the Holt-Winters forecast
+    (holtWintersConfidenceBands(delta)): band = forecast ± delta × smoothed
+    |residual|. Returns (path, slot_s, stat, upper, lower)."""
+    fc = holt_winters_forecast(grid, season_slots, **hw_kwargs).withColumnRenamed(
+        "stat", "fc"
+    )
+    joined = grid.join(fc, ["path", "slot_s"])
+    resid = F.abs(F.col("stat") - F.col("fc"))
+    # exponentially-weighted deviation ~ trailing mean of |residual| over one season
+    dev = F.avg(resid).over(_w().rowsBetween(-(season_slots - 1), 0))
+    return joined.select(
+        "path",
+        "slot_s",
+        "stat",
+        (F.col("fc") + delta * dev).alias("upper"),
+        (F.col("fc") - delta * dev).alias("lower"),
+    )
+
+
+def holt_winters_aberration(
+    grid: DataFrame, season_slots: int = 24, delta: float = 3.0, **hw_kwargs
+) -> DataFrame:
+    """Deviation outside the confidence bands, 0 inside
+    (holtWintersAberration()) — the anomaly-detection primitive."""
+    bands = holt_winters_confidence_bands(grid, season_slots, delta, **hw_kwargs)
+    ab = (
+        F.when(F.col("stat") > F.col("upper"), F.col("stat") - F.col("upper"))
+        .when(F.col("stat") < F.col("lower"), F.col("stat") - F.col("lower"))
+        .otherwise(F.when(F.col("stat").isNotNull(), F.lit(0.0)))
+    )
+    return bands.select("path", "slot_s", ab.alias("stat"))
+
+
 def linear_regression(grid: DataFrame) -> DataFrame:
     """Least-squares fitted line per series (linearRegression()) — slope/
     intercept via covariance window aggregates over the whole partition, no

@@ -72,6 +72,16 @@ def md5_bucket_expr(s: Column, prefix: str = "") -> Column:
     return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
 
 
+def md5_chunk_hash_expr(s: Column, i: int) -> Column:
+    """i-th 32-bit hash of a string, 4 hashes per md5 evaluation: the 32
+    hex chars of md5('<i//4>|' || s) split into four 8-hex-char chunks.
+    k MinHash components cost ceil(k/4) md5 calls instead of k — the md5 is
+    the dominant map-side cost of the LSH pipeline. Portable: DuckDB mirror
+    is CAST(('0x' || SUBSTR(MD5('<i//4>|' || s), 8*(i%4)+1, 8)) AS BIGINT)."""
+    h = F.md5(F.concat(F.lit(f"{i // 4}|"), s))
+    return F.conv(F.substring(h, 8 * (i % 4) + 1, 8), 16, 10).cast("bigint")
+
+
 def minhash_expr(shingles: Column, seed: int) -> Column:
     """One MinHash component: min over shingles of md5_bucket(seed || shingle).
     Empty shingle set -> 2^48 sentinel (matches oracle COALESCE)."""

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from cassabon_spark.functions.text import (
     fingerprint_expr,
     md5_bucket_expr,
+    md5_chunk_hash_expr,
     minhash_expr,
     tokens_expr,
     word_shingles_expr,
@@ -190,8 +191,16 @@ def dedup_jaccard(spark, sf_dir):
 _N_HASHES = 8
 _BAND_W = 2
 
+def _sql_chunk(expr: str, i: int) -> str:
+    """DuckDB mirror of functions.text.md5_chunk_hash_expr: i-th 32-bit
+    chunk of md5('<i//4>|' || expr)."""
+    return (
+        f"CAST(('0x' || SUBSTR(MD5('{i // 4}|' || {expr}), {8 * (i % 4) + 1}, 8)) AS BIGINT)"
+    )
+
+
 _mh_cols_sql = ",\n       ".join(
-    f"MIN({_sql_h48('s', repr(str(seed) + '|'))}) AS h{seed}" for seed in range(_N_HASHES)
+    f"MIN({_sql_chunk('s', seed)}) AS h{seed}" for seed in range(_N_HASHES)
 )
 _band_rows_sql = " UNION ALL ".join(
     f"SELECT doc_id, lang, {b} AS band, MD5(CAST(h{2*b} AS VARCHAR) || ',' || CAST(h{2*b+1} AS VARCHAR)) AS bkey FROM mh"
@@ -251,7 +260,7 @@ def dedup_minhash(spark, sf_dir):
     # tiny relative to the corpus at any scale)
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
-            F.min(md5_bucket_expr(F.col("s"), prefix=f"{seed}|")).alias(f"h{seed}")
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
             for seed in range(_N_HASHES)
         ]
     ).cache()
@@ -339,7 +348,7 @@ def minhash_sigs(spark, sf_dir):
         sh.groupBy("doc_id", "lang")
         .agg(
             *[
-                F.min(md5_bucket_expr(F.col("s"), prefix=f"{i}|")).alias(f"h{i}")
+                F.min(md5_chunk_hash_expr(F.col("s"), i)).alias(f"h{i}")
                 for i in range(4)
             ]
         )
@@ -720,25 +729,38 @@ def dedup_simhash(spark, sf_dir):
         "doc_id", "lang", "sig", F.explode(band_structs).alias("bn")
     ).select("doc_id", "lang", "sig", F.col("bn.band").alias("band"), F.col("bn.nib").alias("nib"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.nib") == F.col("b.nib"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.nib") == F.col("b.nib"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.sig").alias("sig1"),
+        F.col("b.sig").alias("sig2"),
+        F.col("a.band").alias("band"),
     )
-    ham = F.bit_count(F.col("sig1").bitwiseXOR(F.col("sig2")))
+    # Pair dedup WITHOUT a distinct-shuffle: a pair sharing k bands surfaces
+    # k times; keep only the row whose matched band is the pair's FIRST
+    # matching band. Pure predicate (codegen, no exchange) — on this corpus
+    # the distinct was shuffling 1.1M wide candidate rows.
+    xor = F.col("sig1").bitwiseXOR(F.col("sig2"))
+    # band b is the first match iff all earlier bands differ
+    earlier_all_differ = F.lit(True)
+    conds = []
+    for bb in range(_SIMHASH_BANDS):
+        conds.append((F.col("band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.shiftright(xor, _BAND_BITS * bb).bitwiseAND(F.lit(_BAND_MASK)) != 0
+        )
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    ham = F.bit_count(xor)
     return (
-        cand.filter(ham <= _HAMMING_MAX)
+        cand.filter((ham <= _HAMMING_MAX) & keep)
         .select("d1", "d2", ham.cast("bigint").alias("hamming"))
         .orderBy("d1", "d2")
     )

@@ -185,6 +185,37 @@ def test_bottom_series(spark):
     assert kept == {"r", "p"}
 
 
+def test_holt_winters_constant_series_is_fixed_point(spark):
+    from cassabon_spark.functions.series import (
+        holt_winters_aberration,
+        holt_winters_forecast,
+    )
+
+    g = _grid(spark, [("p", 10 * i, 5.0) for i in range(1, 13)])
+    fc = _series(holt_winters_forecast(g, season_slots=4))
+    assert [round(v, 9) for v in fc] == [5.0] * 12
+    ab = _series(holt_winters_aberration(g, season_slots=4))
+    assert [round(v, 9) for v in ab] == [0.0] * 12
+
+
+def test_holt_winters_nulls_advance_forecast(spark):
+    from cassabon_spark.functions.series import holt_winters_forecast
+
+    g = _grid(spark, [("p", 10, 5.0), ("p", 20, None), ("p", 30, 5.0)])
+    fc = _series(holt_winters_forecast(g, season_slots=2))
+    assert [round(v, 9) for v in fc] == [5.0, 5.0, 5.0]
+
+
+def test_holt_winters_bands_bracket_forecast(spark):
+    from cassabon_spark.functions.series import holt_winters_confidence_bands
+
+    rows = [("p", 10 * i, float(5 + (i % 4))) for i in range(1, 17)]
+    bands = holt_winters_confidence_bands(_grid(spark, rows), season_slots=4)
+    for r in bands.collect():
+        if r["upper"] is not None and r["lower"] is not None:
+            assert r["upper"] >= r["lower"]
+
+
 def test_linear_regression_exact_on_line(spark):
     g = _grid(spark, [("p", 10, 2.0), ("p", 20, 4.0), ("p", 30, None), ("p", 40, 8.0)])
     fitted = [round(v, 6) for v in _series(linear_regression(g))]

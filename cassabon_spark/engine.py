@@ -313,6 +313,65 @@ class Engine:
             "series": series,
         }
 
+    def render_target(
+        self,
+        target: str,
+        from_s: int,
+        to_s: int,
+        now_s: int | None = None,
+    ) -> dict:
+        """Graphite /render with a REAL target string:
+        `render_target("summarize(nonNegativeDerivative(evt.*), '1h', 'sum')",
+        from_s, to_s)`. Parses the graphite-web grammar
+        (functions.graphite), resolves each glob through the index + read
+        path, evaluates the function chain over grid DataFrames, collects
+        once at the end."""
+        from cassabon_spark.functions.graphite import (
+            evaluate_target,
+            parse_target,
+            target_globs,
+        )
+        from cassabon_spark.operators.query import normalize_from, query_metrics_df
+
+        node = parse_target(target)
+        globs = target_globs(node)
+        if not globs or not self._has_store():
+            return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+        now = now_s if now_s is not None else int(__import__("time").time())
+        step_holder: dict[str, int] = {}
+
+        def grid_for_glob(glob: str):
+            paths = [p["path"] for p in self.get_paths(glob) if p["leaf"]]
+            if not paths:
+                return self.spark.createDataFrame(
+                    [], "path string, slot_s bigint, stat double"
+                )
+            d = self.config.route(paths[0])
+            tier = self.config.select_tier(d.expression, from_s, now)
+            step_holder.setdefault("step", tier.window_s)
+            return query_metrics_df(
+                self.spark,
+                self.store,
+                paths,
+                from_s,
+                to_s,
+                tier.window_s,
+                d.method,
+                resolution_s=tier.window_s,
+            )
+
+        grid = evaluate_target(node, grid_for_glob)
+        step = step_holder.get("step", 0)
+        series: dict[str, list] = {}
+        for r in grid.orderBy("path", "slot_s").collect():
+            series.setdefault(r["path"], []).append(r["stat"])
+        return {
+            "from": normalize_from(from_s, step) if step else from_s,
+            "to": to_s,
+            "step": step,
+            "series": series,
+        }
+
     def stats(self) -> dict:
         """Operational summary (the state the reference exposed via statsd
         gauges, logging/stats.go): rows and distinct paths per tier, stored

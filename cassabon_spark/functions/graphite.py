@@ -1,0 +1,261 @@
+"""Graphite /render target-string parser + evaluator.
+
+The reference serves raw series and points a Graphite front-end at itself
+(README.md: cassabon is a Carbon daemon; graphite-web renders). graphite-web's
+user surface is the *target string* — nested function calls over metric
+globs, e.g.
+
+    movingAverage(scale(sumSeries(evt.click, evt.view), 10), 3)
+    summarize(nonNegativeDerivative(evt.*), "1h", "sum")
+
+This module parses that grammar and evaluates it against the engine's
+gap-filled grid DataFrames using functions.series — so `Engine.render`
+accepts real Graphite targets, not just pre-built function lists. Parsing is
+driver-side (strings are tiny); all evaluation stays in DataFrame land.
+
+Grammar (graphite-web render/grammar.py, reimplemented from the public
+syntax, not ported):
+    target  := call | path
+    call    := NAME '(' arg (',' arg)* ')'
+    arg     := target | number | quoted-string
+    path    := metric glob chars: alnum . _ - * ? [ ] { } % :
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from cassabon_spark.functions import series as sfn
+
+# --------------------------------------------------------------------- AST
+
+
+@dataclass
+class Call:
+    name: str
+    args: list = field(default_factory=list)
+
+
+@dataclass
+class PathGlob:
+    glob: str
+
+
+_NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
+_DUR_RE = re.compile(r'^"?(-?\d+)(s|min|m|h|d|w|y)"?$')
+_DUR_S = {"s": 1, "m": 60, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
+_PATH_CHARS = re.compile(r"[A-Za-z0-9_.\-*?\[\]{}%:]")
+
+
+class TargetSyntaxError(ValueError):
+    pass
+
+
+def parse_target(text: str):
+    """Parse a Graphite target string into Call/PathGlob/number/str nodes."""
+    pos = 0
+    n = len(text)
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and text[pos].isspace():
+            pos += 1
+
+    def parse_expr():
+        nonlocal pos
+        skip_ws()
+        if pos >= n:
+            raise TargetSyntaxError(f"unexpected end of target at {pos}: {text!r}")
+        c = text[pos]
+        if c in "'\"":
+            quote = c
+            end = text.find(quote, pos + 1)
+            if end < 0:
+                raise TargetSyntaxError(f"unterminated string at {pos}: {text!r}")
+            s = text[pos + 1 : end]
+            pos = end + 1
+            return s
+        # read a bare word: path chars (covers numbers too)
+        start = pos
+        while pos < n and _PATH_CHARS.match(text[pos]):
+            pos += 1
+        word = text[start:pos]
+        if not word:
+            raise TargetSyntaxError(f"unexpected char {c!r} at {pos}: {text!r}")
+        skip_ws()
+        if pos < n and text[pos] == "(":
+            pos += 1  # consume '('
+            args = []
+            skip_ws()
+            if pos < n and text[pos] == ")":
+                pos += 1
+            else:
+                while True:
+                    args.append(parse_expr())
+                    skip_ws()
+                    if pos < n and text[pos] == ",":
+                        pos += 1
+                        continue
+                    if pos < n and text[pos] == ")":
+                        pos += 1
+                        break
+                    raise TargetSyntaxError(
+                        f"expected ',' or ')' at {pos} in {text!r}"
+                    )
+            return Call(word, args)
+        if _NUM_RE.match(word):
+            return float(word) if "." in word else int(word)
+        return PathGlob(word)
+
+    node = parse_expr()
+    skip_ws()
+    if pos != n:
+        raise TargetSyntaxError(f"trailing input at {pos}: {text!r}")
+    return node
+
+
+# ---------------------------------------------------------------- evaluator
+
+def _dur_s(v) -> int:
+    """'1h' / '30m' / 90 -> seconds (graphite interval strings)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = _DUR_RE.match(v)
+    if not m:
+        raise TargetSyntaxError(f"unparseable interval {v!r}")
+    return int(m.group(1)) * _DUR_S[m.group(2)]
+
+
+def _how(v, default: str) -> str:
+    s = str(v).strip("\"'").lower() if v is not None else default
+    return {"average": "avg", "avg": "avg", "sum": "sum", "min": "min",
+            "max": "max", "last": "last", "count": "count",
+            "stddev": "stddev"}.get(s, s)
+
+
+# spec: graphite name -> callable(evaluated_series_grid, *raw_args) -> grid.
+# Series-combining names that accept MULTIPLE seriesList args get the UNION
+# of their grids (graphite semantics: the function sees all matched series).
+_SPECS: dict[str, Callable] = {
+    "derivative": lambda g: sfn.derivative(g),
+    "nonNegativeDerivative": lambda g: sfn.non_negative_derivative(g),
+    "perSecond": lambda g: sfn.per_second(g),
+    "integral": lambda g: sfn.integral(g),
+    "movingAverage": lambda g, w: sfn.moving_average(g, int(w)),
+    "movingMax": lambda g, w: sfn.moving_max(g, int(w)),
+    "movingMin": lambda g, w: sfn.moving_min(g, int(w)),
+    "movingSum": lambda g, w: sfn.moving_sum(g, int(w)),
+    "movingMedian": lambda g, w: sfn.moving_median(g, int(w)),
+    "stdev": lambda g, w: sfn.stdev(g, int(w)),
+    "scale": lambda g, k: sfn.scale(g, float(k)),
+    "offset": lambda g, k: sfn.offset(g, float(k)),
+    "absolute": lambda g: sfn.absolute(g),
+    "invert": lambda g: sfn.invert(g),
+    "logarithm": lambda g, base=10: sfn.logarithm(g, float(base)),
+    "log": lambda g, base=10: sfn.logarithm(g, float(base)),
+    "pow": lambda g, e: sfn.power(g, float(e)),
+    "squareRoot": lambda g: sfn.square_root(g),
+    "timeShift": lambda g, d: sfn.time_shift(g, _dur_s(d)),
+    "delay": lambda g, steps: sfn.delay(g, int(steps)),
+    "transformNull": lambda g, v=0: sfn.transform_null(g, float(v)),
+    "removeAboveValue": lambda g, v: sfn.remove_above_value(g, float(v)),
+    "removeBelowValue": lambda g, v: sfn.remove_below_value(g, float(v)),
+    "keepLastValue": lambda g, limit=None: sfn.keep_last_value(
+        g, None if limit is None else int(limit)
+    ),
+    "summarize": lambda g, b, how="sum": sfn.summarize(g, _dur_s(b), _how(how, "sum")),
+    "hitcount": lambda g, b: sfn.hitcount(g, _dur_s(b)),
+    "highestAverage": lambda g, k: sfn.top_series(g, int(k), "avg"),
+    "highestMax": lambda g, k: sfn.top_series(g, int(k), "max"),
+    "lowestAverage": lambda g, k: sfn.bottom_series(g, int(k), "avg"),
+    "lowestMax": lambda g, k: sfn.bottom_series(g, int(k), "max"),
+    "alias": lambda g, name: sfn.alias_series(g, str(name)),
+    "aliasByNode": lambda g, *nodes: sfn.alias_by_node(g, *[int(x) for x in nodes]),
+    "exclude": lambda g, pat: sfn.exclude(g, str(pat)),
+    "grep": lambda g, pat: sfn.grep(g, str(pat)),
+    "groupByNode": lambda g, node, how="sum": sfn.group_by_node(
+        g, int(node), _how(how, "sum")
+    ),
+    "sumSeries": lambda g: sfn.sum_series(g),
+    "averageSeries": lambda g: sfn.average_series(g),
+    "avg": lambda g: sfn.average_series(g),
+    "maxSeries": lambda g: sfn.max_series(g),
+    "minSeries": lambda g: sfn.min_series(g),
+    "countSeries": lambda g: sfn.count_series(g),
+    "stddevSeries": lambda g: sfn.stddev_series(g),
+    "rangeOfSeries": lambda g: sfn.range_series(g),
+    "percentileOfSeries": lambda g, p: sfn.percentile_of_series(g, float(p)),
+    "linearRegression": lambda g: sfn.linear_regression(g),
+    "holtWintersForecast": lambda g, season=24: sfn.holt_winters_forecast(
+        g, int(season)
+    ),
+    "holtWintersAberration": lambda g, season=24, delta=3: sfn.holt_winters_aberration(
+        g, int(season), float(delta)
+    ),
+}
+
+# diffSeries is special-cased: base path must be concrete (first arg).
+
+
+def evaluate_target(
+    node, grid_for_glob: Callable[[str], DataFrame]
+) -> DataFrame:
+    """Evaluate a parsed target against grid-producing glob resolver.
+
+    `grid_for_glob(glob)` returns the (path, slot_s, stat) grid for one
+    metric glob — the engine's A10-A16 read path. Series args union; scalar
+    args pass through raw.
+    """
+
+    def ev(nd) -> DataFrame:
+        if isinstance(nd, PathGlob):
+            return grid_for_glob(nd.glob)
+        if not isinstance(nd, Call):
+            raise TargetSyntaxError(f"a scalar {nd!r} is not a series expression")
+        if nd.name == "diffSeries":
+            if not nd.args or not isinstance(nd.args[0], PathGlob):
+                raise TargetSyntaxError(
+                    "diffSeries needs a concrete base path as its first argument"
+                )
+            base = nd.args[0].glob
+            if any(ch in base for ch in "*?[{"):
+                raise TargetSyntaxError("diffSeries base must not be a glob")
+            grids = [ev(a) for a in nd.args]
+            u = grids[0]
+            for g2 in grids[1:]:
+                u = u.unionByName(g2)
+            return sfn.diff_series(u, base)
+        spec = _SPECS.get(nd.name)
+        if spec is None:
+            raise TargetSyntaxError(f"unknown function {nd.name!r}")
+        series_grids = []
+        scalars = []
+        for a in nd.args:
+            if isinstance(a, (Call, PathGlob)):
+                series_grids.append(ev(a))
+            else:
+                scalars.append(a)
+        if not series_grids:
+            raise TargetSyntaxError(f"{nd.name}() needs a series argument")
+        g = series_grids[0]
+        for g2 in series_grids[1:]:
+            g = g.unionByName(g2)
+        return spec(g, *scalars)
+
+    return ev(node)
+
+
+def target_globs(node) -> list[str]:
+    """All metric globs referenced by a parsed target (for index expansion)."""
+    if isinstance(node, PathGlob):
+        return [node.glob]
+    if isinstance(node, Call):
+        out = []
+        for a in node.args:
+            out.extend(target_globs(a))
+        return out
+    return []

@@ -1,0 +1,121 @@
+"""Graphite target-string grammar: parse + evaluate over grid DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from cassabon_spark.functions.graphite import (
+    Call,
+    PathGlob,
+    TargetSyntaxError,
+    evaluate_target,
+    parse_target,
+    target_globs,
+)
+
+
+def test_parse_shapes():
+    n = parse_target("movingAverage(scale(evt.click, 10), 3)")
+    assert isinstance(n, Call) and n.name == "movingAverage"
+    inner, window = n.args
+    assert isinstance(inner, Call) and inner.name == "scale"
+    assert isinstance(inner.args[0], PathGlob) and inner.args[0].glob == "evt.click"
+    assert inner.args[1] == 10
+    assert window == 3
+
+    n = parse_target('summarize(evt.*, "1h", "sum")')
+    assert n.args[1] == "1h" and n.args[2] == "sum"
+
+    n = parse_target("offset(evt.a, -2.5)")
+    assert n.args[1] == -2.5
+
+    assert isinstance(parse_target("evt.server-1.cpu_load.*"), PathGlob)
+    assert target_globs(parse_target("sumSeries(a.b, diffSeries(c.d, e.*))")) == [
+        "a.b", "c.d", "e.*",
+    ]
+
+
+def test_parse_errors():
+    for bad in ["f(", "f(a,,b)", 'summarize(x, "1h']:
+        with pytest.raises(TargetSyntaxError):
+            parse_target(bad)
+    with pytest.raises(TargetSyntaxError):
+        parse_target("movingAverage(evt.a, 3) trailing")
+
+
+def _resolver(spark, rows):
+    df = spark.createDataFrame(rows, "path string, slot_s bigint, stat double")
+
+    def grid_for_glob(glob):
+        if glob.endswith("*"):
+            return df.filter(F.col("path").startswith(glob[:-1]))
+        return df.filter(F.col("path") == glob)
+
+    return grid_for_glob
+
+
+def _vals(grid, path):
+    return [
+        r["stat"] for r in grid.filter(F.col("path") == path).orderBy("slot_s").collect()
+    ]
+
+
+def test_evaluate_chain(spark):
+    rows = [("evt.a", 10, 1.0), ("evt.a", 20, 4.0), ("evt.b", 10, 2.0), ("evt.b", 20, 6.0)]
+    g = evaluate_target(
+        parse_target("scale(sumSeries(evt.*), 10)"), _resolver(spark, rows)
+    )
+    assert _vals(g, "sumSeries") == [30.0, 100.0]
+
+
+def test_evaluate_summarize_interval_and_how(spark):
+    rows = [("evt.a", 10, 1.0), ("evt.a", 20, 4.0), ("evt.a", 30, 2.0)]
+    g = evaluate_target(
+        parse_target('summarize(evt.a, "20s", "max")'), _resolver(spark, rows)
+    )
+    out = {r["slot_s"]: r["stat"] for r in g.collect()}
+    assert out == {20: 4.0, 40: 2.0}
+
+
+def test_evaluate_diff_series_base_not_glob(spark):
+    rows = [("evt.a", 10, 10.0), ("evt.b", 10, 3.0)]
+    g = evaluate_target(
+        parse_target("diffSeries(evt.a, evt.b)"), _resolver(spark, rows)
+    )
+    assert _vals(g, "diffSeries") == [7.0]
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(parse_target("diffSeries(evt.*, evt.b)"), _resolver(spark, rows))
+
+
+def test_evaluate_unknown_function(spark):
+    with pytest.raises(TargetSyntaxError):
+        evaluate_target(parse_target("noSuchFn(evt.a)"), _resolver(spark, []))
+
+
+def test_engine_render_target(spark, tmp_path):
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "average", "windows": ["10s:1h"]}}
+    )
+    eng = Engine(spark, cfg, str(tmp_path / "store"), str(tmp_path / "index"))
+    base = 1_700_000_000 - (1_700_000_000 % 10)
+    lines = [
+        f"evt.a {v} {base + i * 10}" for i, v in enumerate([1, 2, 3, 4, 5, 6])
+    ] + [
+        f"evt.b {v} {base + i * 10}" for i, v in enumerate([10, 20, 30, 40, 50, 60])
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    out = eng.render_target(
+        "sumSeries(evt.*)", base - 10, base + 60, now_s=base + 70
+    )
+    assert out["step"] == 10
+    # values at ts=base+10i land in windows closing base+10(i+1); the grid's
+    # first slot (base) is empty (A12 always-advance normalization)
+    assert out["series"]["sumSeries"] == [None, 11.0, 22.0, 33.0, 44.0, 55.0, 66.0]
+    out2 = eng.render_target(
+        'aliasByNode(movingSum(evt.a, 2), 1)', base - 10, base + 60, now_s=base + 70
+    )
+    assert out2["series"]["a"] == [None, 1.0, 3.0, 5.0, 7.0, 9.0, 11.0]

@@ -636,6 +636,110 @@ def multimodal_blob(spark, sf_dir):
     )
 
 
+# decode runs through the REAL mapInPandas plumbing (operators.multimodal.
+# decode_blobs) with the deterministic fake decoder — the oracle reproduces
+# the fake's arithmetic from byte lengths, so the Arrow batch path itself is
+# exact-checked, not just structurally tested.
+_DECODE_SQL = """
+WITH d AS (
+  SELECT OCTET_LENGTH(ENCODE(text)) AS n, source FROM documents
+),
+geo AS (
+  SELECT source, n,
+         n % 640 + 1 AS width,
+         n % 480 + 1 AS height,
+         CASE WHEN n % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode
+  FROM d
+)
+SELECT source, mode,
+       COUNT(*) AS n_images,
+       CAST(SUM(n) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS INTEGER) AS max_w,
+       CAST(MAX(height) AS INTEGER) AS max_h
+FROM geo
+GROUP BY source, mode
+ORDER BY source, mode
+"""
+
+
+@register(
+    "multimodal_decode_meta",
+    _DECODE_SQL,
+    "image decode via Arrow-batched mapInPandas (operators.multimodal.decode_blobs, "
+    "deterministic fake decoder standing in for the absent codec libs): the "
+    "distributed batch path is exact-checked end-to-end",
+)
+def multimodal_decode(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.multimodal import decode_blobs, fake_decoder
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    blobs = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("source")).alias("key"),
+        F.encode("text", "utf-8").alias("blob"),
+    )
+    decoded = decode_blobs(blobs, decoder=fake_decoder)
+    keyed = decoded.withColumn("source", F.split("key", r"\|")[1])
+    return (
+        keyed.groupBy("source", "mode")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.max("width").cast("int").alias("max_w"),
+            F.max("height").cast("int").alias("max_h"),
+        )
+        .orderBy("source", "mode")
+    )
+
+
+_FRAME_SQL = """
+WITH v AS (
+  SELECT doc_id::VARCHAR AS key, source, n_chars % 300 AS n_frames FROM documents
+),
+frames AS (
+  SELECT key, source, UNNEST(GENERATE_SERIES(0, GREATEST(n_frames - 1, 0), 30)) AS frame_idx
+  FROM v
+)
+SELECT source,
+       COUNT(*) AS n_sampled_frames,
+       CAST(MAX(frame_idx) AS BIGINT) AS max_frame_idx,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_videos
+FROM frames
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_frame_sample",
+    _FRAME_SQL,
+    "video frame-sampling plan (operators.multimodal.frame_sample_plan): one row per "
+    "sampled frame every 30 frames, co-partitioned by key — the schema/partitioning "
+    "contract for the stubbed frame decoder",
+)
+def multimodal_frames(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.multimodal import frame_sample_plan
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    videos = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        "source",
+        (F.col("n_chars") % 300).alias("n_frames"),
+    )
+    frames = frame_sample_plan(videos, every_n=30)
+    keyed = frames.join(videos.select("key", "source"), "key")
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+            F.countDistinct("key").alias("n_videos"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------- SimHash dedup
 
 # 60-bit simhash over distinct tokens (md5-portable bit source; 60 bits so

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Plan audit: .explain("formatted") every headline query and summarize the
+scale signals that matter at 100 TB — is the filter pushed to the scan, is
+the projection pruned, how many exchanges (shuffles) does the plan pay, did
+the small side broadcast, how much of the plan runs in whole-stage codegen.
+
+Usage: python tools/explain_audit.py [--sf DIR] [--only name,name] [--full name]
+  --full prints the entire formatted plan for one query.
+
+This is the review loop the build rules ask for ("after each operator
+works, explain the plan and iterate") in executable form.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cassabon_spark import get_spark  # noqa: E402
+from cassabon_spark.queries import load_registry  # noqa: E402
+from cassabon_spark.session import prep  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "win_topk_per_group", "agg_rollup", "asof_join_last_order", "sessionize_30m",
+    "carbon_rollup_tumbling_1h", "carbon_multi_tier_fanout", "carbon_read_gapfill",
+    "dedup_minhash_lsh", "dedup_simhash", "similarity_topk_cosine",
+    "similarity_ann_lsh", "text_quality_score", "text_bpe_token_count",
+    "q6_forecast_revenue",
+]
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def executed_plan(df) -> str:
+    """Run the query and return the FINAL adaptive plan — pre-execution
+    explain under AQE shows the initial plan with no codegen markers and
+    un-replanned joins; only the executed plan tells the truth. Must be
+    df.collect(), not count(): count() wraps the plan in a new query
+    execution and leaves THIS DataFrame's plan un-finalized."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(plan: str) -> dict:
+    # the executed-plan string repeats the tree under "== Initial Plan ==";
+    # audit only the final section
+    final = plan.split("== Initial Plan ==")[0]
+    scans = re.findall(r"Scan parquet|FileScan parquet", final)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", final)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", final)
+    return {
+        "exchanges": len(re.findall(r"\bExchange\b", final)),
+        "scans": len(scans),
+        "scans_with_pushdown": sum(1 for p in pushed if p.strip()),
+        "read_cols": sum(s.count(":") for s in schemas),
+        "bhj": len(re.findall(r"BroadcastHashJoin", final)),
+        "smj": len(re.findall(r"SortMergeJoin", final)),
+        "bnlj": len(re.findall(r"BroadcastNestedLoopJoin", final)),
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
+        "python_nodes": len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", final)),
+        "cartesian": len(re.findall(r"CartesianProduct", final)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--full", default=None)
+    args = ap.parse_args()
+
+    registry = load_registry()
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    prep(spark)
+
+    if args.full:
+        print(formatted_plan(registry[args.full].fn(spark, args.sf)))
+        return
+
+    names = args.only.split(",") if args.only else HEADLINE
+    cols = ["exchanges", "scans", "scans_with_pushdown", "read_cols",
+            "bhj", "smj", "bnlj", "codegen_spans", "python_nodes", "cartesian"]
+    print(f"{'query':32} " + " ".join(f"{c:>9}" for c in cols))
+    for name in names:
+        try:
+            plan = executed_plan(registry[name].fn(spark, args.sf))
+            a = audit(plan)
+            flags = []
+            if a["cartesian"]:
+                flags.append("CARTESIAN!")
+            if a["scans"] and a["scans_with_pushdown"] == 0 and "carbon" not in name:
+                flags.append("no-pushdown")
+            print(
+                f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
+                + ("  " + ",".join(flags) if flags else "")
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32} ERROR {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

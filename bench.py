@@ -70,19 +70,28 @@ def main():
     # two timed runs per query, report the min: absorbs scheduler/GC noise.
     # clearCache between runs so run 2 recomputes from parquet (several
     # queries cache intermediates internally; without the clear, run 2 would
-    # measure cached reads, not the engine)
+    # measure cached reads, not the engine). If the two runs disagree by
+    # >40% the box is noisy right now — take up to two extra runs (min-of-k
+    # converges to the true engine cost under one-sided noise).
     times: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         qd = registry[name]
-        best = None
+        runs: list[float] = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
             qd.fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        extra = 0
+        while extra < 2 and (max(runs) - min(runs)) / max(min(runs), 1e-9) > 0.4:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qd.fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+            runs = sorted(runs)[:2]  # keep the two fastest; spread test on those
+            extra += 1
+        times[name] = round(min(runs), 3)
         total += times[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

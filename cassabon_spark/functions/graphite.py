@@ -190,6 +190,13 @@ _SPECS: dict[str, Callable] = {
     "rangeOfSeries": lambda g: sfn.range_series(g),
     "percentileOfSeries": lambda g, p: sfn.percentile_of_series(g, float(p)),
     "linearRegression": lambda g: sfn.linear_regression(g),
+    "asPercent": lambda g, total=None: sfn.as_percent(
+        g, None if total is None else float(total)
+    ),
+    "averageAbove": lambda g, n: sfn.average_above(g, float(n)),
+    "averageBelow": lambda g, n: sfn.average_below(g, float(n)),
+    "currentAbove": lambda g, n: sfn.current_above(g, float(n)),
+    "currentBelow": lambda g, n: sfn.current_below(g, float(n)),
     "holtWintersForecast": lambda g, season=24: sfn.holt_winters_forecast(
         g, int(season)
     ),
@@ -216,6 +223,17 @@ def evaluate_target(
             return grid_for_glob(nd.glob)
         if not isinstance(nd, Call):
             raise TargetSyntaxError(f"a scalar {nd!r} is not a series expression")
+        if nd.name == "divideSeries":
+            if len(nd.args) != 2 or not isinstance(nd.args[1], PathGlob):
+                raise TargetSyntaxError(
+                    "divideSeries needs (dividendSeries, divisorPath) with a "
+                    "concrete divisor path"
+                )
+            divisor = nd.args[1].glob
+            if any(ch in divisor for ch in "*?[{"):
+                raise TargetSyntaxError("divideSeries divisor must not be a glob")
+            u = ev(nd.args[0]).unionByName(ev(nd.args[1]))
+            return sfn.divide_series(u, divisor)
         if nd.name == "diffSeries":
             if not nd.args or not isinstance(nd.args[0], PathGlob):
                 raise TargetSyntaxError(

@@ -349,6 +349,76 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def divide_series(grid: DataFrame, divisor_path: str) -> DataFrame:
+    """Divide every series by the divisor series, slot-wise
+    (divideSeries(dividend, divisor)): one pass of conditional aggregation
+    per slot to extract the divisor, broadcast back onto the grid — the
+    divisor grid is slots-sized, never data-sized. Division by 0/null and
+    missing divisor slots -> null (Graphite None)."""
+    div = grid.filter(F.col("path") == divisor_path).select(
+        "slot_s", F.col("stat").alias("__div")
+    )
+    out = grid.filter(F.col("path") != divisor_path).join(
+        F.broadcast(div), "slot_s", "left"
+    )
+    return out.select(
+        "path",
+        "slot_s",
+        F.when(F.col("__div") != 0, F.col("stat") / F.col("__div")).alias("stat"),
+    )
+
+
+def as_percent(grid: DataFrame, total: float | None = None) -> DataFrame:
+    """Each series as a percentage of the slot total across all series
+    (asPercent()), or of a constant when `total` is given."""
+    if total is not None:
+        return grid.withColumn("stat", F.col("stat") * (100.0 / float(total)))
+    w = Window.partitionBy("slot_s")
+    tot = F.sum("stat").over(w)
+    return grid.withColumn(
+        "stat", F.when(tot != 0, F.col("stat") * 100.0 / tot)
+    )
+
+
+def average_above(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose mean exceeds n (averageAbove()) — broadcast
+    semi-join like top_series."""
+    keep = (
+        grid.groupBy("path").agg(F.avg("stat").alias("__v"))
+        .filter(F.col("__v") > n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def average_below(grid: DataFrame, n: float) -> DataFrame:
+    keep = (
+        grid.groupBy("path").agg(F.avg("stat").alias("__v"))
+        .filter(F.col("__v") < n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def current_above(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose LAST non-null value exceeds n (currentAbove())."""
+    keep = (
+        grid.groupBy("path")
+        .agg(F.max_by("stat", F.when(F.col("stat").isNotNull(), F.col("slot_s"))).alias("__v"))
+        .filter(F.col("__v") > n)
+        .select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def current_below(grid: DataFrame, n: float) -> DataFrame:
+    keep = (
+        grid.groupBy("path")
+        .agg(F.max_by("stat", F.when(F.col("stat").isNotNull(), F.col("slot_s"))).alias("__v"))
+        .filter(F.col("__v") < n)
+        .select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
 def percentile_of_series(grid: DataFrame, p: float) -> DataFrame:
     """Exact p-th percentile across series per slot (percentileOfSeries())."""
     return (

@@ -93,6 +93,35 @@ def test_evaluate_unknown_function(spark):
         evaluate_target(parse_target("noSuchFn(evt.a)"), _resolver(spark, []))
 
 
+def test_divide_series_and_as_percent(spark):
+    rows = [
+        ("evt.a", 10, 8.0), ("evt.a", 20, 9.0),
+        ("evt.total", 10, 2.0), ("evt.total", 20, 0.0),
+    ]
+    g = evaluate_target(
+        parse_target("divideSeries(evt.a, evt.total)"), _resolver(spark, rows)
+    )
+    assert _vals(g, "evt.a") == [4.0, None]  # /0 -> null
+    with pytest.raises(TargetSyntaxError):
+        parse_target("divideSeries(evt.a)")  # parse ok...
+        evaluate_target(parse_target("divideSeries(evt.a)"), _resolver(spark, rows))
+
+    rows2 = [("evt.a", 10, 1.0), ("evt.b", 10, 3.0)]
+    g2 = evaluate_target(parse_target("asPercent(evt.*)"), _resolver(spark, rows2))
+    assert _vals(g2, "evt.a") == [25.0] and _vals(g2, "evt.b") == [75.0]
+
+
+def test_threshold_filters(spark):
+    rows = [
+        ("evt.hot", 10, 10.0), ("evt.hot", 20, 20.0),
+        ("evt.cold", 10, 1.0), ("evt.cold", 20, 0.0),
+    ]
+    g = evaluate_target(parse_target("averageAbove(evt.*, 5)"), _resolver(spark, rows))
+    assert {r["path"] for r in g.select("path").distinct().collect()} == {"evt.hot"}
+    g2 = evaluate_target(parse_target("currentBelow(evt.*, 5)"), _resolver(spark, rows))
+    assert {r["path"] for r in g2.select("path").distinct().collect()} == {"evt.cold"}
+
+
 def test_engine_render_target(spark, tmp_path):
     from cassabon_spark.config import RollupConfig
     from cassabon_spark.engine import Engine

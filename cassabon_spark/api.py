@@ -1,0 +1,174 @@
+"""HTTP API facade: the reference's full route surface over an Engine.
+
+Reference routes (api/api.go:44-52):
+    GET    /            app info                      (rootHandler, api.go:84-97)
+    GET    /healthcheck ALIVE/DEAD from a check file  (healthHandler, api.go:66-82)
+    GET    /paths       ?query=glob                   (getPathHandler, api.go:100-121)
+    DELETE /paths       ?query=glob                   (deletePathHandler, api.go:124-145)
+    GET    /metrics     ?path=a&path=b&from=&to=      (getMetricHandler, api.go:148-174)
+    DELETE /metrics     ?path=&from=&to=&dryrun=      (deleteMetricHandler, api.go:177-207;
+                                                       dryrun defaults TRUE, only
+                                                       'false'/'no' disables, 188-191)
+    *      anything     404 JSON error                (notFoundHandler, api.go:61-63)
+plus one extension route the reference delegates to graphite-web:
+    GET    /render      ?target=fn(...)&from=&to=     (Engine.render_target)
+
+Error bodies mirror sendErrorResponse (api.go:239-255):
+    {"status": 404, "statustext": "not found", "message": ...}
+
+Architecture: a stdlib ThreadingHTTPServer whose handlers call the Engine
+synchronously. The reference's channel hops, load-shedding and reply
+timeouts (api.go:209-230) exist because queries cross goroutine/process
+boundaries; here a request thread drives a Spark job directly — Spark's
+scheduler is the queue, so a full-channel drop policy has nothing to
+protect. The server binds port 0 by default (ephemeral) for tests.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+from cassabon_spark.engine import Engine
+
+VERSION = "1.0.0"
+
+
+def _make_handler(engine: Engine, healthcheck_file: str | None):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet request logging (tests); the reference logs via middleware
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        # ------------------------------------------------------- plumbing
+        def _json(self, obj, status=200):
+            body = json.dumps(obj).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, status: int, text: str, message: str):
+            # shape: api/api.go:239-255
+            self._json(
+                {"status": status, "statustext": text, "message": message}, status
+            )
+
+        def _text(self, s: str, status=200):
+            body = s.encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        # --------------------------------------------------------- routes
+        def do_GET(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            try:
+                if u.path == "/":
+                    self._json(
+                        {
+                            "message": "cassabon-spark. You know, for stats!",
+                            "engine": "PySpark",
+                            "version": VERSION,
+                        }
+                    )
+                elif u.path == "/healthcheck":
+                    # api/api.go:66-82: alive unless the file says DEAD
+                    alive = True
+                    if healthcheck_file:
+                        try:
+                            txt = Path(healthcheck_file).read_text().strip().upper()
+                            alive = txt != "DEAD"
+                        except OSError:
+                            alive = True
+                    self._text("ALIVE" if alive else "DEAD")
+                elif u.path == "/paths":
+                    glob = q.get("query", [""])[0]
+                    self._json(engine.get_paths(glob))
+                elif u.path == "/metrics":
+                    paths = q.get("path", [])
+                    frm = int(q.get("from", ["0"])[0])
+                    to = int(q.get("to", ["0"])[0])
+                    self._json(engine.get_metrics(paths, frm, to))
+                elif u.path == "/render":
+                    target = q.get("target", [""])[0]
+                    frm = int(q.get("from", ["0"])[0])
+                    to = int(q.get("to", ["0"])[0])
+                    self._json(engine.render_target(target, frm, to))
+                else:
+                    self._error(404, "not found", self.path)
+            except ValueError as e:
+                self._error(400, "bad request", str(e))
+            except Exception as e:  # noqa: BLE001
+                self._error(500, "internal error", f"{type(e).__name__}: {e}")
+
+        def do_DELETE(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            try:
+                if u.path == "/paths":
+                    glob = q.get("query", [""])[0]
+                    self._json(engine.delete_paths(glob))
+                elif u.path == "/metrics":
+                    paths = q.get("path", [])
+                    frm = int(q.get("from", ["0"])[0])
+                    to = int(q.get("to", ["0"])[0])
+                    # api/api.go:188-191: default TRUE; only false/no disable
+                    dry_text = q.get("dryrun", [""])[0].lower()
+                    dryrun = dry_text not in ("false", "no")
+                    self._json(engine.delete_metrics(paths, frm, to, dry_run=dryrun))
+                else:
+                    self._error(404, "not found", self.path)
+            except ValueError as e:
+                self._error(400, "bad request", str(e))
+            except Exception as e:  # noqa: BLE001
+                self._error(500, "internal error", f"{type(e).__name__}: {e}")
+
+    return Handler
+
+
+class CassabonAPI:
+    """Serve an Engine over HTTP; `with CassabonAPI(engine) as api:` then
+    hit `api.url`. Threaded server — concurrent requests each drive their
+    own Spark job (Spark's scheduler arbitrates, FAIR/FIFO per config)."""
+
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        healthcheck_file: str | None = None,
+    ):
+        self._server = ThreadingHTTPServer(
+            (host, port), _make_handler(engine, healthcheck_file)
+        )
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        h, p = self._server.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self) -> "CassabonAPI":
+        self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

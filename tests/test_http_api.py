@@ -1,0 +1,107 @@
+"""HTTP API facade: the reference's route surface (api/api.go:44-52) served
+over an Engine, driven with real HTTP requests."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from cassabon_spark.api import CassabonAPI
+from cassabon_spark.config import RollupConfig
+from cassabon_spark.engine import Engine
+
+CFG = RollupConfig.from_dict(
+    {"default": {"method": "average", "windows": ["10s:1h"]}}
+)
+BASE = 1_700_000_000 - (1_700_000_000 % 10)
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read() or b"null")
+
+
+def _delete(url):
+    req = urllib.request.Request(url, method="DELETE")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read() or b"null")
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("http_api")
+    eng = Engine(spark, CFG, str(d / "store"), str(d / "idx"))
+    lines = [f"svc.api.latency {v} {BASE + i * 10}" for i, v in enumerate([1, 2, 3, 4])]
+    lines += [f"svc.api.errors {v} {BASE + i * 10}" for i, v in enumerate([9, 9, 9, 9])]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    hc = d / "health"
+    with CassabonAPI(eng, healthcheck_file=str(hc)) as srv:
+        yield srv, hc
+
+
+def test_root_and_health(api):
+    srv, hc = api
+    status, body = _get(srv.url + "/")
+    assert status == 200 and body["engine"] == "PySpark"
+    with urllib.request.urlopen(srv.url + "/healthcheck", timeout=30) as r:
+        assert r.read() == b"ALIVE"
+    hc.write_text("DEAD")
+    with urllib.request.urlopen(srv.url + "/healthcheck", timeout=30) as r:
+        assert r.read() == b"DEAD"  # api/api.go:66-82
+    hc.unlink()
+
+
+def test_get_paths_and_metrics(api):
+    srv, _ = api
+    status, paths = _get(srv.url + "/paths?query=svc.api.*")
+    assert status == 200
+    assert sorted(p["path"] for p in paths) == ["svc.api.errors", "svc.api.latency"]
+
+    status, resp = _get(
+        srv.url
+        + f"/metrics?path=svc.api.latency&path=svc.api.errors&from={BASE - 10}&to={BASE + 40}"
+    )
+    assert status == 200 and resp["step"] == 10
+    assert resp["series"]["svc.api.errors"] == [None, 9.0, 9.0, 9.0, 9.0]
+
+
+def test_render_target_route(api):
+    srv, _ = api
+    status, resp = _get(
+        srv.url
+        + f"/render?target=sumSeries(svc.api.*)&from={BASE - 10}&to={BASE + 40}"
+    )
+    assert status == 200
+    assert resp["series"]["sumSeries"] == [None, 10.0, 11.0, 12.0, 13.0]
+
+
+def test_delete_metrics_dryrun_default_true(api):
+    srv, _ = api
+    url = srv.url + f"/metrics?path=svc.api.errors&from={BASE}&to={BASE + 40}"
+    status, report = _delete(url)  # no dryrun param -> dry run (api.go:188-191)
+    assert status == 200 and any(r["count"] > 0 for r in report)
+    # still present
+    _, resp = _get(srv.url + f"/metrics?path=svc.api.errors&from={BASE - 10}&to={BASE + 40}")
+    assert any(v is not None for v in resp["series"]["svc.api.errors"])
+    # dryrun=yes-ish strings stay dry; only false/no disable
+    status, _ = _delete(url + "&dryrun=0")
+    _, resp = _get(srv.url + f"/metrics?path=svc.api.errors&from={BASE - 10}&to={BASE + 40}")
+    assert any(v is not None for v in resp["series"]["svc.api.errors"])
+    status, report = _delete(url + "&dryrun=false")
+    assert status == 200
+    _, resp = _get(srv.url + f"/metrics?path=svc.api.errors&from={BASE - 10}&to={BASE + 40}")
+    assert all(v is None for v in resp["series"]["svc.api.errors"])
+
+
+def test_delete_paths_and_404(api):
+    srv, _ = api
+    status, n = _delete(srv.url + "/paths?query=svc.api.errors")
+    assert status == 200 and n == 1
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv.url + "/nope")
+    err = json.loads(ei.value.read())
+    assert ei.value.code == 404
+    assert err["statustext"] == "not found"  # api/api.go:239-255 shape

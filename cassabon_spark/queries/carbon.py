@@ -765,6 +765,45 @@ def carbon_persecond_integral(spark, sf_dir):
     )
 
 
+_ASPERCENT_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       ROUND(ROUND(CASE WHEN SUM(stat) OVER (PARTITION BY slot_s) <> 0
+                        THEN stat * 100.0 / SUM(stat) OVER (PARTITION BY slot_s)
+                   END, 8), 4) AS pct
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_aspercent",
+    _ASPERCENT_SQL,
+    "Graphite asPercent() over the grid: each series as a share of the "
+    "per-slot total — one window aggregation, no self-join",
+)
+def carbon_aspercent(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import as_percent
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return (
+        as_percent(grid)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("pct"))
+        .orderBy("path", "slot_s")
+    )
+
+
 _GROUPBYNODE_SQL = f"""
 {_GRID_CTE}
 SELECT 'evt' AS path, slot_s, ROUND(ROUND(SUM(stat), 8), 4) AS stat

@@ -64,9 +64,42 @@ def build_index(metrics: DataFrame, path_col: str = "path") -> DataFrame:
 
 
 def glob_to_regex(glob: str) -> str:
-    """Carbon glob -> anchored regex ('.'->'\\.', '*'->'.*'),
-    reference indexmanager.go:313-314."""
-    return "^" + glob.replace(".", r"\.").replace("*", ".*") + "$"
+    """Metric glob -> anchored regex.
+
+    Reference parity: '.'->'\\.', '*'->'.*' (indexmanager.go:313-314; '.*'
+    crossing segment boundaries is harmless because search is always
+    depth-scoped). Extension beyond the reference, matching the glob
+    surface graphite-web finders accept: '?' (one char), '{a,b}'
+    (alternation), '[0-9]' (char class, passed through). Everything else is
+    regex-escaped."""
+    import re as _re
+
+    out, i, n = [], 0, len(glob)
+    while i < n:
+        c = glob[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "{":
+            end = glob.find("}", i)
+            if end < 0:
+                out.append(_re.escape(c))
+            else:
+                alts = glob[i + 1 : end].split(",")
+                out.append("(" + "|".join(_re.escape(a) for a in alts) + ")")
+                i = end
+        elif c == "[":
+            end = glob.find("]", i)
+            if end < 0:
+                out.append(_re.escape(c))
+            else:
+                out.append(glob[i : end + 1])
+                i = end
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
 
 
 def glob_depth(glob: str) -> int:

@@ -52,6 +52,28 @@ def test_prefix_that_is_also_leaf_stays_leaf(spark):
 def test_glob_translation():
     assert glob_to_regex("foo.*.baz") == r"^foo\..*\.baz$"
     assert glob_to_regex("*") == "^.*$"
+    # graphite-web glob extensions beyond the reference's '*'
+    assert glob_to_regex("foo.srv?.cpu") == r"^foo\.srv.\.cpu$"
+    assert glob_to_regex("foo.{web,api}.err") == r"^foo\.(web|api)\.err$"
+    assert glob_to_regex("foo.srv[0-9].cpu") == r"^foo\.srv[0-9]\.cpu$"
+    # unbalanced braces degrade to literals, never to broken regex
+    assert glob_to_regex("foo.{web") == r"^foo\.\{web$"
+
+
+def test_glob_search_extensions(spark):
+    from cassabon_spark.operators.index import expand_ancestors
+
+    paths = spark.createDataFrame(
+        [("a.web.err",), ("a.api.err",), ("a.db.err",), ("a.srv1.cpu",), ("a.srv2.cpu",)],
+        "path string",
+    )
+    idx = expand_ancestors(paths)
+    got = [r["path"] for r in search_glob(idx, "a.{web,api}.err").collect()]
+    assert got == ["a.api.err", "a.web.err"]
+    got = [r["path"] for r in search_glob(idx, "a.srv?.cpu").collect()]
+    assert got == ["a.srv1.cpu", "a.srv2.cpu"]
+    got = [r["path"] for r in search_glob(idx, "a.srv[12].cpu").collect()]
+    assert got == ["a.srv1.cpu", "a.srv2.cpu"]
 
 
 def test_glob_search_depth_and_order(spark):

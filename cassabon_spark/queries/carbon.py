@@ -231,6 +231,53 @@ def carbon_tiers(spark, sf_dir):
     )
 
 
+_PCTL_SQL = f"""
+WITH m AS ({_M})
+SELECT path,
+       CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+       ROUND(ROUND(QUANTILE_CONT(value, 0.50), 8), 4) AS p50,
+       ROUND(ROUND(QUANTILE_CONT(value, 0.95), 8), 4) AS p95,
+       ROUND(ROUND(QUANTILE_CONT(value, 0.99), 8), 4) AS p99,
+       COUNT(*) AS cnt
+FROM m
+WHERE path IN ('evt.click', 'evt.view', 'evt.purchase')
+GROUP BY 1, 2
+HAVING time_s >= {JAN_5 + 3600} AND time_s <= {JAN_8}
+ORDER BY path, time_s
+"""
+
+
+@register(
+    "carbon_percentile_rollup",
+    _PCTL_SQL,
+    "statsd-style timer rollup beyond the reference's 5 methods: exact "
+    "interpolated p50/p95/p99 per (path, 1h window) — percentile() is a "
+    "JVM aggregate, one shuffle like any other rollup method",
+)
+def carbon_percentile(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.queries import R
+
+    m = _metrics(spark, sf_dir).filter(
+        F.col("path").isin(["evt.click", "evt.view", "evt.purchase"])
+    )
+    win = F.window(F.timestamp_seconds("ts"), "3600 seconds")
+    out = (
+        m.groupBy("path", win.alias("win"))
+        .agg(
+            R(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+            R(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            R(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn("time_s", F.unix_timestamp("win.end"))
+        .filter((F.col("time_s") >= JAN_5 + 3600) & (F.col("time_s") <= JAN_8))
+    )
+    return out.select("path", "time_s", "p50", "p95", "p99", "cnt").orderBy(
+        "path", "time_s"
+    )
+
+
 # ---------------------------------------------------------------- A10/A11 scan
 
 _SCAN_SQL = f"""

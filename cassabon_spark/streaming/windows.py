@@ -191,3 +191,54 @@ def arrival_order_rollup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "path",
+    within_s: int = 1800,
+    watermark_s: int = 60,
+) -> DataFrame:
+    """Stream-stream INNER interval join: each left event pairs with right
+    events on the same key whose time falls in [left_ts, left_ts+within_s]
+    — the attribution pattern (click -> purchase within 30 min).
+
+    Both sides carry watermarks and the join condition carries the time
+    range, so Spark can bound state: a buffered left row is dropped once
+    the right watermark passes left_ts + within_s, and vice versa. Without
+    BOTH (watermarks + range condition) stream-stream join state grows
+    forever — this is the 100 TB footgun this builder exists to avoid.
+
+    Inputs are CarbonMetric-shaped (path, value, ts DOUBLE epoch). Output:
+    (path, l_value, r_value, l_ts, r_ts, lag_s).
+    """
+    l = (
+        left.select(
+            F.col(key).alias("l_key"),
+            F.col("value").alias("l_value"),
+            F.col("ts").alias("l_ts"),
+            F.timestamp_seconds("ts").alias("l_time"),
+        ).withWatermark("l_time", f"{watermark_s} seconds")
+    )
+    r = (
+        right.select(
+            F.col(key).alias("r_key"),
+            F.col("value").alias("r_value"),
+            F.col("ts").alias("r_ts"),
+            F.timestamp_seconds("ts").alias("r_time"),
+        ).withWatermark("r_time", f"{watermark_s} seconds")
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") <= F.col("l_time") + F.expr(f"INTERVAL {within_s} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias("path"),
+        "l_value",
+        "r_value",
+        "l_ts",
+        "r_ts",
+        (F.col("r_ts") - F.col("l_ts")).alias("lag_s"),
+    )

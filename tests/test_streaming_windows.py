@@ -19,6 +19,7 @@ import pyspark.sql.functions as F
 from cassabon_spark.streaming.windows import (
     arrival_order_rollup,
     dedup_stream,
+    interval_join_stream,
     windowed_rollup_stream,
 )
 
@@ -168,3 +169,21 @@ def test_windowed_stream_matches_batch_rollup(spark, tmp_path):
         for r in rollup_finest(route(m_batch, cfg), cfg).collect()
     }
     assert streaming == batch
+
+
+def test_interval_join_stream_attribution(spark, tmp_path):
+    # clicks on two keys; purchases: one inside the 30s horizon, one outside,
+    # one on the wrong key
+    clicks = _metrics_stream(
+        spark, [[("u1", 1.0, 100.0), ("u2", 2.0, 100.0)]], str(tmp_path / "l")
+    )
+    purchases = _metrics_stream(
+        spark,
+        [[("u1", 50.0, 120.0), ("u1", 60.0, 200.0), ("u3", 70.0, 110.0)]],
+        str(tmp_path / "r"),
+    )
+    joined = interval_join_stream(clicks, purchases, within_s=30, watermark_s=10)
+    out = _run_stream(spark, joined, "ivj", mode="append").collect()
+    assert [(r["path"], r["l_value"], r["r_value"], r["lag_s"]) for r in out] == [
+        ("u1", 1.0, 50.0, 20.0)
+    ]

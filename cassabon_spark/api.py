@@ -98,10 +98,19 @@ def _make_handler(engine: Engine, healthcheck_file: str | None):
                     to = int(q.get("to", ["0"])[0])
                     self._json(engine.get_metrics(paths, frm, to))
                 elif u.path == "/render":
-                    target = q.get("target", [""])[0]
+                    # graphite-web accepts repeated target= params; series
+                    # dicts merge (&target=a&target=b)
+                    targets = q.get("target", [])
                     frm = int(q.get("from", ["0"])[0])
                     to = int(q.get("to", ["0"])[0])
-                    self._json(engine.render_target(target, frm, to))
+                    merged: dict | None = None
+                    for t in targets:
+                        resp = engine.render_target(t, frm, to)
+                        if merged is None:
+                            merged = resp
+                        else:
+                            merged["series"].update(resp["series"])
+                    self._json(merged or {"from": frm, "to": to, "step": 0, "series": {}})
                 else:
                     self._error(404, "not found", self.path)
             except ValueError as e:

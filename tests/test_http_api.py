@@ -78,6 +78,17 @@ def test_render_target_route(api):
     assert resp["series"]["sumSeries"] == [None, 10.0, 11.0, 12.0, 13.0]
 
 
+def test_render_multiple_targets_merge(api):
+    srv, _ = api
+    status, resp = _get(
+        srv.url
+        + "/render?target=alias(svc.api.latency,%27lat%27)&target=alias(svc.api.errors,%27err%27)"
+        + f"&from={BASE - 10}&to={BASE + 40}"
+    )
+    assert status == 200
+    assert set(resp["series"]) == {"lat", "err"}
+
+
 def test_delete_metrics_dryrun_default_true(api):
     srv, _ = api
     url = srv.url + f"/metrics?path=svc.api.errors&from={BASE}&to={BASE + 40}"

@@ -27,6 +27,7 @@ from cassabon_spark.functions.series import (
     moving_average,
     moving_max,
     moving_median,
+    moving_min,
     moving_sum,
     non_negative_derivative,
     offset,
@@ -221,6 +222,59 @@ def test_linear_regression_exact_on_line(spark):
     fitted = [round(v, 6) for v in _series(linear_regression(g))]
     # points lie exactly on stat = 0.2*slot: fit reproduces them, fills the gap
     assert fitted == [2.0, 4.0, 6.0, 8.0]
+
+
+def test_series_invariants(spark):
+    """Cross-function invariants on a fixed pseudo-random grid."""
+    import random
+
+    from cassabon_spark.functions.series import as_percent, time_shift
+
+    rnd = random.Random(7)
+    rows = [
+        (p, 10 * (i + 1), rnd.uniform(-5, 5) if rnd.random() > 0.2 else None)
+        for p in ("p", "q", "r")
+        for i in range(20)
+    ]
+    g = _grid(spark, rows)
+
+    # time_shift round-trips
+    back = time_shift(time_shift(g, 170), -170)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, g.collect()))
+
+    # hitcount == summarize(scale(g, step), bucket, sum): total hits are
+    # rate x step re-bucketed
+    h = {(r["path"], r["slot_s"]): r["stat"] for r in hitcount(g, 40).collect()}
+    s = {
+        (r["path"], r["slot_s"]): r["stat"]
+        for r in summarize(scale(g, 10), 40, "sum").collect()
+    }
+    assert set(h) == set(s)
+    for k in h:
+        if h[k] is not None:
+            assert abs(h[k] - s[k]) < 1e-9
+
+    # moving_max dominates moving_min pointwise
+    mx = _series(moving_max(g, 3))
+    mn = _series(moving_min(g, 3))
+    for a, b in zip(mx, mn):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a >= b
+
+    # asPercent sums to 100 per slot over non-null slots with nonzero total
+    pct = as_percent(g)
+    tot = {
+        r["slot_s"]: r["t"]
+        for r in pct.groupBy("slot_s").agg(F.sum("stat").alias("t")).collect()
+    }
+    raw_tot = {
+        r["slot_s"]: r["t"]
+        for r in g.groupBy("slot_s").agg(F.sum("stat").alias("t")).collect()
+    }
+    for slot, t in tot.items():
+        if t is not None and raw_tot[slot] not in (None, 0.0):
+            assert abs(t - 100.0) < 1e-6
 
 
 def test_top_series_and_chaining(spark):

@@ -372,6 +372,22 @@ class Engine:
             "series": series,
         }
 
+    def register_views(self, prefix: str = "carbon") -> list[str]:
+        """Expose the store and index as temp views so plain spark.sql()
+        works over them (`SELECT path, time, stat FROM carbon_store WHERE
+        resolution_s = 10 AND path = '...'`). The reference has no SQL
+        surface at all — this is the Spark-native bonus: every rollup row
+        and index entry is queryable with the full SQL engine, predicate
+        pushdown included."""
+        names = []
+        if self._has_store():
+            self.store.createOrReplaceTempView(f"{prefix}_store")
+            names.append(f"{prefix}_store")
+        if self._has_index():
+            self.index.createOrReplaceTempView(f"{prefix}_index")
+            names.append(f"{prefix}_index")
+        return names
+
     def stats(self) -> dict:
         """Operational summary (the state the reference exposed via statsd
         gauges, logging/stats.go): rows and distinct paths per tier, stored

@@ -197,3 +197,21 @@ def test_render_pipeline_with_function_chain(spark, tmp_path):
         now_s=2000,
     )
     assert resp2["series"]["svc.api.lat"] == [None, None, 20.0]  # |2*15.5 - 2*5.5|
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(
+        _lines(spark, [f"svc.db.conns {v}.0 {1000 + i}" for i, v in enumerate(range(8))])
+    )
+    views = eng.register_views()
+    assert views == ["carbon_store", "carbon_index"]
+    row = spark.sql(
+        "SELECT COUNT(*) AS n FROM carbon_store WHERE resolution_s = 10 "
+        "AND path = 'svc.db.conns'"
+    ).collect()[0]
+    assert row["n"] >= 1
+    leaf = spark.sql(
+        "SELECT path FROM carbon_index WHERE leaf ORDER BY path"
+    ).collect()
+    assert [r["path"] for r in leaf] == ["svc.db.conns"]

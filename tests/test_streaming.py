@@ -115,3 +115,42 @@ def test_streaming_ingest_maintains_index(spark):
             "svc", "svc.api", "svc.api.lat", "svc.db", "svc.db.err"
         }
         assert len(rows) == 5  # no duplicate entries for re-sighted paths
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Kill the ingest query, drop more files, restart from the SAME
+    checkpoint: already-committed microbatches must not re-append (the
+    checkpoint + idempotent foreachBatch give exactly-once counts), and the
+    post-restart store must equal the all-at-once batch answer."""
+    with tempfile.TemporaryDirectory() as d:
+        drop, out, ckpt = (os.path.join(d, x) for x in ("drop", "store", "ckpt"))
+        os.makedirs(drop)
+        with open(os.path.join(drop, "a.txt"), "w") as f:
+            f.write("\n".join(f"s.path {v}.0 {1000 + i}" for i, v in enumerate(range(1, 11))) + "\n")
+
+        q = ingest_stream(
+            spark, CFG, drop, out, ckpt, available_now=True, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+        # second wave after the first query fully stopped
+        with open(os.path.join(drop, "b.txt"), "w") as f:
+            f.write("\n".join(f"s.path {v}.0 {1010 + i}" for i, v in enumerate(range(11, 21))) + "\n")
+
+        q2 = ingest_stream(
+            spark, CFG, drop, out, ckpt, available_now=True, max_files_per_trigger=1
+        )
+        q2.awaitTermination(120)
+
+        store = spark.read.parquet(out)
+        # exactly-once: window [1000,1010) holds exactly cnt=10 overall (no
+        # double-append of file a across the restart)
+        cnt = (
+            store.filter(F.col("resolution_s") == 10)
+            .filter(F.unix_timestamp("time") == 1010)
+            .agg(F.sum("cnt"))
+            .collect()[0][0]
+        )
+        assert cnt == 10
+        resp = query_metrics(spark, store, CFG, ["s.path"], 995, 1025, now_s=2000)
+        assert resp["series"]["s.path"] == [None, 5.5, 15.5]

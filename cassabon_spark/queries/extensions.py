@@ -27,7 +27,7 @@ from cassabon_spark.functions.text import (
     word_shingles_expr,
 )
 from cassabon_spark.functions.vectors import cosine_sim_expr
-from cassabon_spark.queries import R, T, register
+from cassabon_spark.queries import EV, R, T, register
 from cassabon_spark.session import prep
 
 # Shared SQL fragments -------------------------------------------------------
@@ -969,6 +969,103 @@ def carbon_streaming(spark, sf_dir):
     )
     return grid.select("path", "slot_s", F.round("stat", 4).alias("stat")).orderBy(
         "path", "slot_s"
+    )
+
+
+# The inner interval join emits each match when it is found — output is the
+# set of matching pairs regardless of microbatch slicing — and a watermark
+# wider than the dataset's whole time range means no state eviction can
+# drop a cross-batch match. Under those two conditions the streaming result
+# equals the batch non-equi join, which is what the oracle computes.
+_IVJ_SQL = """
+WITH e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS path, value,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts, event_type
+  FROM events
+),
+l AS (SELECT path, ts FROM e WHERE event_type = 'view'),
+r AS (SELECT path, ts FROM e WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT l.path, r.ts - l.ts AS lag_s
+  FROM l JOIN r ON r.path = l.path AND r.ts >= l.ts AND r.ts <= l.ts + 1800
+)
+SELECT CAST(FLOOR(lag_s / 300) AS BIGINT) AS lag_bucket,
+       COUNT(*) AS n_pairs,
+       ROUND(ROUND(AVG(lag_s), 8), 4) AS avg_lag
+FROM pairs
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "streaming_interval_join",
+    _IVJ_SQL,
+    "stream-stream interval join end-to-end (view -> purchase within 30 min per "
+    "user): two file streams, watermarked inner join with a range condition, "
+    "memory sink; exact oracle = the equivalent batch non-equi join (inner "
+    "interval joins are microbatch-invariant)",
+)
+def streaming_interval_join_q(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    prep(spark)
+    from cassabon_spark.streaming.windows import interval_join_stream
+
+    ev = EV(spark, sf_dir)
+    base = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.col("value"),
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("ts"),
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="cassabon_ivj_")
+    dirs = {}
+    for side, etype in (("l", "view"), ("r", "purchase")):
+        d = os.path.join(tmp, side)
+        base.filter(F.col("event_type") == etype).select(
+            F.format_string("%s,%s,%d", "path", F.col("value").cast("string"), "ts").alias("line")
+        ).coalesce(4).write.mode("overwrite").text(d)
+        dirs[side] = d
+
+    def _stream(d):
+        parts = F.split("value", ",")
+        return (
+            spark.readStream.option("maxFilesPerTrigger", "2").text(d)
+            .select(
+                parts[0].alias("path"),
+                parts[1].cast("double").alias("value"),
+                parts[2].cast("double").alias("ts"),
+            )
+        )
+
+    joined = interval_join_stream(
+        _stream(dirs["l"]),
+        _stream(dirs["r"]),
+        within_s=1800,
+        # wider than the dataset's 31-day span: no state eviction, so the
+        # streaming answer is exactly the batch join
+        watermark_s=40 * 86400,
+    )
+    name = f"ivj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.table(name)
+    return (
+        res.groupBy(F.floor(F.col("lag_s") / 300).cast("bigint").alias("lag_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            R(F.avg("lag_s"), 4).alias("avg_lag"),
+        )
+        .orderBy("lag_bucket")
     )
 
 

@@ -190,6 +190,8 @@ _SPECS: dict[str, Callable] = {
     "rangeOfSeries": lambda g: sfn.range_series(g),
     "percentileOfSeries": lambda g, p: sfn.percentile_of_series(g, float(p)),
     "linearRegression": lambda g: sfn.linear_regression(g),
+    "group": lambda g: g,  # union of the seriesList args (done by the evaluator)
+    "limit": lambda g, n: sfn.limit_series(g, int(n)),
     "asPercent": lambda g, total=None: sfn.as_percent(
         g, None if total is None else float(total)
     ),

@@ -349,6 +349,13 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def limit_series(grid: DataFrame, n: int) -> DataFrame:
+    """Keep the first n series in path order (limit()) — broadcast semi-join
+    against the n smallest path names."""
+    keep = grid.select("path").distinct().orderBy("path").limit(n)
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
 def divide_series(grid: DataFrame, divisor_path: str) -> DataFrame:
     """Divide every series by the divisor series, slot-wise
     (divideSeries(dividend, divisor)): one pass of conditional aggregation

@@ -148,3 +148,11 @@ def test_engine_render_target(spark, tmp_path):
         'aliasByNode(movingSum(evt.a, 2), 1)', base - 10, base + 60, now_s=base + 70
     )
     assert out2["series"]["a"] == [None, 1.0, 3.0, 5.0, 7.0, 9.0, 11.0]
+
+
+def test_group_and_limit(spark):
+    rows = [("evt.a", 10, 1.0), ("evt.b", 10, 2.0), ("evt.c", 10, 3.0)]
+    g = evaluate_target(
+        parse_target("limit(group(evt.a, evt.b, evt.c), 2)"), _resolver(spark, rows)
+    )
+    assert sorted(r["path"] for r in g.collect()) == ["evt.a", "evt.b"]

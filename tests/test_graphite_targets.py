@@ -156,3 +156,60 @@ def test_group_and_limit(spark):
         parse_target("limit(group(evt.a, evt.b, evt.c), 2)"), _resolver(spark, rows)
     )
     assert sorted(r["path"] for r in g.collect()) == ["evt.a", "evt.b"]
+
+
+def test_parser_roundtrip_property():
+    """Random nested targets print -> parse -> identical AST (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(["movingAverage", "sumSeries", "alias", "summarize", "f"])
+    seg = st.from_regex(r"[a-z][a-z0-9_-]{0,5}", fullmatch=True)
+    paths = st.builds(".".join, st.lists(seg, min_size=1, max_size=4))
+
+    def to_str(node):
+        if isinstance(node, Call):
+            return f"{node.name}({', '.join(to_str(a) for a in node.args)})"
+        if isinstance(node, PathGlob):
+            return node.glob
+        if isinstance(node, str):
+            return f"'{node}'"
+        return repr(node)
+
+    leaf = st.one_of(
+        paths.map(PathGlob),
+        st.integers(-1000, 1000),
+        st.from_regex(r"[a-z0-9 .]{0,8}", fullmatch=True),
+    )
+
+    def calls(children):
+        return st.builds(
+            Call, names, st.lists(children, min_size=1, max_size=3)
+        )
+
+    target = st.recursive(paths.map(PathGlob), calls, max_leaves=8).flatmap(
+        lambda base: st.one_of(st.just(base), calls(st.one_of(leaf, st.just(base))))
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(target)
+    def check(node):
+        printed = to_str(node)
+        reparsed = parse_target(printed)
+
+        def norm(n):
+            if isinstance(n, Call):
+                return ("call", n.name, tuple(norm(a) for a in n.args))
+            if isinstance(n, PathGlob):
+                return ("path", n.glob)
+            if isinstance(n, float) and n.is_integer():
+                return ("num", int(n))
+            if isinstance(n, int):
+                return ("num", n)
+            return ("str", n)
+
+        # a bare path segment inside quotes stays a string; bare ints parse
+        # back as ints — compare normalized trees
+        assert norm(reparsed) == norm(node)
+
+    check()

@@ -1080,7 +1080,9 @@ _ANN_DIM = 64
 _ANN_BITS = 8
 
 
-def _ann_sql() -> str:
+def _ann_ctes() -> str:
+    """CTE block ending at `ranked` — shared by the ANN top-k oracle and
+    the recall oracle."""
     from cassabon_spark.operators.similarity import _hyperplane
 
     plane_rows = ", ".join(
@@ -1122,11 +1124,48 @@ ranked AS (
   SELECT qid, cid, ROUND(ROUND(dot / (qn * cn), 8), 4) AS cosine,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk
   FROM pairs
-)
+)"""
+
+
+def _ann_sql() -> str:
+    return (
+        _ann_ctes()
+        + """
 SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 5
 ORDER BY qid, rnk
 """
+    )
+
+
+def _recall_sql() -> str:
+    return (
+        _ann_ctes()
+        + """,
+exact_pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 5
+),
+exact_ranked AS (
+  SELECT qid, cid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk
+  FROM exact_pairs
+),
+ann5 AS (SELECT qid, cid FROM ranked WHERE rnk <= 5),
+exact5 AS (SELECT qid, cid FROM exact_ranked WHERE rnk <= 5)
+SELECT e.qid,
+       CAST(COUNT(a.cid) AS BIGINT) AS hits,
+       ROUND(COUNT(a.cid) / 5.0, 4) AS recall_at_5
+FROM exact5 e LEFT JOIN ann5 a ON a.qid = e.qid AND a.cid = e.cid
+GROUP BY e.qid
+ORDER BY e.qid
+"""
+    )
 
 
 @register(
@@ -1146,6 +1185,36 @@ def similarity_ann(spark, sf_dir):
         res.select("qid", "cid", R(F.col("cosine"), 4).alias("cosine"),
                    F.col("rnk").cast("bigint").alias("rnk"))
         .orderBy("qid", "rnk")
+    )
+
+
+@register(
+    "similarity_ann_recall",
+    _recall_sql(),
+    "ANN quality measured, not guessed: recall@5 of the LSH index against "
+    "exact cosine top-5 per query — both sides deterministic, so even the "
+    "recall measurement is exact-oracle-checked",
+)
+def similarity_ann_recall(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    q = emb.filter(F.col("vec_id") < 5)
+    ann = lsh_bucket_topk(emb, q, dim=_ANN_DIM, k=5, n_bits=_ANN_BITS, multiprobe=1)
+    exact = cosine_topk(emb, q, k=5)
+    a = ann.select("qid", "cid")
+    e = exact.select(F.col("qid").alias("eqid"), F.col("cid").alias("ecid"))
+    joined = e.join(
+        a, (F.col("eqid") == F.col("qid")) & (F.col("ecid") == F.col("cid")), "left"
+    )
+    return (
+        joined.groupBy(F.col("eqid").alias("qid"))
+        .agg(
+            F.count("cid").alias("hits"),
+            F.round(F.count("cid") / 5.0, 4).alias("recall_at_5"),
+        )
+        .orderBy("qid")
     )
 
 

@@ -5,9 +5,12 @@ entry(spark)    — flagship query: the full carbon read path (tier rollup ->
 queries()       — every implemented operator from SURVEY.md §2
                   (Part A carbon surface, Part B relational surface,
                   Part C training-data extensions).
-oracle_sql()    — matching DuckDB SQL for each; the single rows-only entry
-                  (approx_count_distinct — HLL sketches are engine-specific)
-                  is omitted.
+oracle_sql()    — matching DuckDB SQL for each; the two rows-only entries
+                  are omitted (approx_count_distinct: HLL sketches are
+                  engine-specific; similarity_ivf_kmeans: k-means|| training
+                  is not SQL-reproducible — its recall is asserted in tests,
+                  and the deterministic ANN variants ARE exact-checked,
+                  including recall@5 itself via similarity_ann_recall).
 """
 
 from __future__ import annotations

@@ -67,6 +67,26 @@ def main():
         t0 = time.time()
         counters = eng.ingest_lines(lines)
         wall = time.time() - t0
+
+        # point read on the freshly-built store: one path, 10-minute range.
+        # This is the GET /metrics shape — tier pruning + path/time pushdown
+        # mean its cost tracks the pruned slice, not the store size. One
+        # warm-up run (parquet footers + codegen), then min-of-2 timed.
+        def _read():
+            return eng.get_metrics(
+                ["svc.host0.metric0"], 1_700_000_000, 1_700_000_600,
+                now_s=1_700_000_000 + args.lines // args.paths,
+            )
+
+        _read()
+        read_ms = None
+        for _ in range(2):
+            t0 = time.time()
+            resp = _read()
+            dt = (time.time() - t0) * 1000
+            read_ms = dt if read_ms is None else min(read_ms, dt)
+        n_slots = len(resp["series"]["svc.host0.metric0"])
+
         print(
             json.dumps(
                 {
@@ -75,6 +95,8 @@ def main():
                     "lines": counters["received"],
                     "rejected": counters["rejected"],
                     "wall_s": round(wall, 2),
+                    "point_read_ms": round(read_ms),
+                    "point_read_slots": n_slots,
                 }
             )
         )

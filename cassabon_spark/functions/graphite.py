@@ -191,6 +191,9 @@ _SPECS: dict[str, Callable] = {
     "percentileOfSeries": lambda g, p: sfn.percentile_of_series(g, float(p)),
     "linearRegression": lambda g: sfn.linear_regression(g),
     "group": lambda g: g,  # union of the seriesList args (done by the evaluator)
+    "nPercentile": lambda g, p: sfn.n_percentile(g, float(p)),
+    "aggregateLine": lambda g, how="avg": sfn.aggregate_line(g, _how(how, "avg")),
+    "mostDeviant": lambda g, k: sfn.most_deviant(g, int(k)),
     "limit": lambda g, n: sfn.limit_series(g, int(n)),
     "asPercent": lambda g, total=None: sfn.as_percent(
         g, None if total is None else float(total)

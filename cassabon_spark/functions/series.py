@@ -349,6 +349,35 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def n_percentile(grid: DataFrame, p: float) -> DataFrame:
+    """Flatten each series to its own p-th percentile at every slot
+    (nPercentile()) — one grouped percentile broadcast back over the
+    partition window."""
+    val = F.expr(f"percentile(stat, {float(p) / 100.0})").over(_whole())
+    return grid.withColumn("stat", F.when(F.col("stat").isNotNull(), val))
+
+
+def aggregate_line(grid: DataFrame, how: str = "avg") -> DataFrame:
+    """Constant line at each series' aggregate value (aggregateLine()) —
+    same mechanics as n_percentile but for avg/min/max/sum."""
+    agg = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}[how]
+    val = agg("stat").over(_whole())
+    return grid.withColumn("stat", val)
+
+
+def most_deviant(grid: DataFrame, k: int) -> DataFrame:
+    """Keep the k series with the highest population variance
+    (mostDeviant(k)) — the 'which series are misbehaving' filter."""
+    ranked = (
+        grid.groupBy("path")
+        .agg(F.var_pop("stat").alias("__v"))
+        .orderBy(F.desc_nulls_last("__v"), "path")
+        .limit(k)
+        .select("path")
+    )
+    return grid.join(F.broadcast(ranked), "path", "left_semi")
+
+
 def limit_series(grid: DataFrame, n: int) -> DataFrame:
     """Keep the first n series in path order (limit()) — broadcast semi-join
     against the n smallest path names."""

@@ -213,3 +213,18 @@ def test_parser_roundtrip_property():
         assert norm(reparsed) == norm(node)
 
     check()
+
+
+def test_npercentile_aggregateline_mostdeviant(spark):
+    rows = [
+        ("flat", 10, 5.0), ("flat", 20, 5.0), ("flat", 30, 5.0), ("flat", 40, None),
+        ("wild", 10, 0.0), ("wild", 20, 100.0), ("wild", 30, 0.0), ("wild", 40, 100.0),
+    ]
+    g = evaluate_target(parse_target("nPercentile(flat, 50)"), _resolver(spark, rows))
+    assert _vals(g, "flat") == [5.0, 5.0, 5.0, None]
+    g2 = evaluate_target(
+        parse_target("aggregateLine(wild, 'max')"), _resolver(spark, rows)
+    )
+    assert _vals(g2, "wild") == [100.0] * 4
+    g3 = evaluate_target(parse_target("mostDeviant(group(flat, wild), 1)"), _resolver(spark, rows))
+    assert {r["path"] for r in g3.select("path").distinct().collect()} == {"wild"}

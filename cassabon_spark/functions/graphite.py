@@ -228,6 +228,16 @@ def evaluate_target(
             return grid_for_glob(nd.glob)
         if not isinstance(nd, Call):
             raise TargetSyntaxError(f"a scalar {nd!r} is not a series expression")
+        if nd.name == "weightedAverage":
+            series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
+            node_args = [a for a in nd.args if isinstance(a, (int, float))]
+            if len(series_args) != 2 or not node_args:
+                raise TargetSyntaxError(
+                    "weightedAverage needs (seriesListAvg, seriesListWeight, *nodes)"
+                )
+            return sfn.weighted_average(
+                ev(series_args[0]), ev(series_args[1]), *[int(n) for n in node_args]
+            )
         if nd.name == "divideSeries":
             if len(nd.args) != 2 or not isinstance(nd.args[1], PathGlob):
                 raise TargetSyntaxError(

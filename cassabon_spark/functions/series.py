@@ -349,6 +349,33 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def weighted_average(
+    avg_grid: DataFrame, weight_grid: DataFrame, *nodes: int
+) -> DataFrame:
+    """Graphite weightedAverage(seriesListAvg, seriesListWeight, *nodes):
+    pair each value series with its weight series by the given path
+    segments, then emit ONE series sum(a·w)/sum(w) per slot. The pair join
+    keys on (node-key, slot) — both sides are slots-sized grids, so this is
+    a small-data equi join followed by one aggregation."""
+    def keyed(g: DataFrame, val: str) -> DataFrame:
+        parts = F.split("path", r"\.")
+        segs = [F.element_at(parts, n + 1) for n in nodes]
+        return g.select(
+            F.concat_ws(".", *segs).alias("__k"),
+            "slot_s",
+            F.col("stat").alias(val),
+        )
+
+    pairs = keyed(avg_grid, "__a").join(keyed(weight_grid, "__w"), ["__k", "slot_s"])
+    num = F.sum(F.col("__a") * F.col("__w"))
+    den = F.sum(F.col("__w"))
+    return (
+        pairs.groupBy("slot_s")
+        .agg(F.when(den != 0, num / den).alias("stat"))
+        .select(F.lit("weightedAverage").alias("path"), "slot_s", "stat")
+    )
+
+
 def n_percentile(grid: DataFrame, p: float) -> DataFrame:
     """Flatten each series to its own p-th percentile at every slot
     (nPercentile()) — one grouped percentile broadcast back over the

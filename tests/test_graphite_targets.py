@@ -45,12 +45,12 @@ def test_parse_errors():
 
 
 def _resolver(spark, rows):
+    from cassabon_spark.operators.index import glob_to_regex
+
     df = spark.createDataFrame(rows, "path string, slot_s bigint, stat double")
 
     def grid_for_glob(glob):
-        if glob.endswith("*"):
-            return df.filter(F.col("path").startswith(glob[:-1]))
-        return df.filter(F.col("path") == glob)
+        return df.filter(F.col("path").rlike(glob_to_regex(glob)))
 
     return grid_for_glob
 
@@ -228,3 +228,19 @@ def test_npercentile_aggregateline_mostdeviant(spark):
     assert _vals(g2, "wild") == [100.0] * 4
     g3 = evaluate_target(parse_target("mostDeviant(group(flat, wild), 1)"), _resolver(spark, rows))
     assert {r["path"] for r in g3.select("path").distinct().collect()} == {"wild"}
+
+
+def test_weighted_average(spark):
+    rows = [
+        # value series
+        ("lat.s1.avg", 10, 10.0), ("lat.s2.avg", 10, 20.0),
+        # weight series (request counts): s1 three times the weight of s2
+        ("lat.s1.n", 10, 3.0), ("lat.s2.n", 10, 1.0),
+    ]
+    g = evaluate_target(
+        parse_target("weightedAverage(lat.*.avg, lat.*.n, 1)"),
+        _resolver(spark, rows),
+    )
+    # (10*3 + 20*1) / (3+1) = 12.5
+    out = {r["slot_s"]: r["stat"] for r in g.collect()}
+    assert out == {10: 12.5}

@@ -160,6 +160,7 @@ _SPECS: dict[str, Callable] = {
     "pow": lambda g, e: sfn.power(g, float(e)),
     "squareRoot": lambda g: sfn.square_root(g),
     "timeShift": lambda g, d: sfn.time_shift(g, _dur_s(d)),
+    "timeStack": lambda g, d, s=0, e=7: sfn.time_stack(g, _dur_s(d), int(s), int(e)),
     "delay": lambda g, steps: sfn.delay(g, int(steps)),
     "transformNull": lambda g, v=0: sfn.transform_null(g, float(v)),
     "removeAboveValue": lambda g, v: sfn.remove_above_value(g, float(v)),

@@ -349,6 +349,21 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def time_stack(
+    grid: DataFrame, shift_s: int, start: int = 0, end: int = 7
+) -> DataFrame:
+    """Graphite timeStack(): overlay shifted copies of each series
+    (compare this day against the previous N). Copy i shifts forward by
+    i*shift_s and renames to `path_shift_i`; one union of narrow grids."""
+    out = None
+    for i in range(start, end):
+        c = time_shift(grid, i * shift_s).withColumn(
+            "path", F.concat(F.col("path"), F.lit(f"_shift_{i}"))
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def weighted_average(
     avg_grid: DataFrame, weight_grid: DataFrame, *nodes: int
 ) -> DataFrame:

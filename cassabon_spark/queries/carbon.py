@@ -851,6 +851,47 @@ def carbon_aspercent(spark, sf_dir):
     )
 
 
+_HIGHEST_SQL = f"""
+{_GRID_CTE},
+ranked AS (
+  SELECT path FROM grid GROUP BY path
+  ORDER BY AVG(stat) DESC NULLS LAST, path
+  LIMIT 1
+)
+SELECT g.path, g.slot_s, ROUND(ROUND(g.stat, 8), 4) AS stat
+FROM grid g JOIN ranked r ON r.path = g.path
+ORDER BY g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_highest",
+    _HIGHEST_SQL,
+    "Graphite highestAverage(1) over the grid: rank whole series by mean, "
+    "keep the top one via a broadcast semi-join — no per-slot shuffle",
+)
+def carbon_highest(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import top_series
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return (
+        top_series(grid, 1, "avg")
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
 _GROUPBYNODE_SQL = f"""
 {_GRID_CTE}
 SELECT 'evt' AS path, slot_s, ROUND(ROUND(SUM(stat), 8), 4) AS stat

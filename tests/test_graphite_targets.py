@@ -244,3 +244,15 @@ def test_weighted_average(spark):
     # (10*3 + 20*1) / (3+1) = 12.5
     out = {r["slot_s"]: r["stat"] for r in g.collect()}
     assert out == {10: 12.5}
+
+
+def test_time_stack(spark):
+    rows = [("m", 10, 1.0), ("m", 20, 2.0)]
+    g = evaluate_target(
+        parse_target("timeStack(m, '10s', 0, 2)"), _resolver(spark, rows)
+    )
+    out = {(r["path"], r["slot_s"]): r["stat"] for r in g.collect()}
+    assert out == {
+        ("m_shift_0", 10): 1.0, ("m_shift_0", 20): 2.0,
+        ("m_shift_1", 20): 1.0, ("m_shift_1", 30): 2.0,
+    }

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import parse_qs, urlparse
@@ -36,15 +37,31 @@ from cassabon_spark.engine import Engine
 
 VERSION = "1.0.0"
 
+_STATS_LOCK = threading.Lock()
 
-def _make_handler(engine: Engine, healthcheck_file: str | None):
+
+def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
     class Handler(BaseHTTPRequestHandler):
         # quiet request logging (tests); the reference logs via middleware
         def log_message(self, fmt, *args):  # noqa: D102
             pass
 
+        def _track(self, route: str, t0: float, status: int):
+            # the reference's requestLogger middleware emits a statsd timer
+            # per request (api/requestlogger.go:44); same shape, in-process
+            import time as _t
+
+            key = f"{self.command} {route}"
+            with _STATS_LOCK:
+                s = stats.setdefault(key, {"count": 0, "errors": 0, "total_ms": 0.0})
+                s["count"] += 1
+                s["total_ms"] = round(s["total_ms"] + (_t.time() - t0) * 1000, 3)
+                if status >= 400:
+                    s["errors"] += 1
+
         # ------------------------------------------------------- plumbing
         def _json(self, obj, status=200):
+            self._last_status = status
             body = json.dumps(obj).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
@@ -59,6 +76,7 @@ def _make_handler(engine: Engine, healthcheck_file: str | None):
             )
 
         def _text(self, s: str, status=200):
+            self._last_status = status
             body = s.encode()
             self.send_response(status)
             self.send_header("Content-Type", "text/plain")
@@ -70,6 +88,8 @@ def _make_handler(engine: Engine, healthcheck_file: str | None):
         def do_GET(self):  # noqa: N802
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            t0 = time.time()
+            self._last_status = 200
             try:
                 if u.path == "/":
                     self._json(
@@ -111,16 +131,24 @@ def _make_handler(engine: Engine, healthcheck_file: str | None):
                         else:
                             merged["series"].update(resp["series"])
                     self._json(merged or {"from": frm, "to": to, "step": 0, "series": {}})
+                elif u.path == "/stats":
+                    with _STATS_LOCK:
+                        snap = {k: dict(v) for k, v in stats.items()}
+                    self._json({"routes": snap})
                 else:
                     self._error(404, "not found", self.path)
             except ValueError as e:
                 self._error(400, "bad request", str(e))
             except Exception as e:  # noqa: BLE001
                 self._error(500, "internal error", f"{type(e).__name__}: {e}")
+            finally:
+                self._track(u.path, t0, self._last_status)
 
         def do_DELETE(self):  # noqa: N802
             u = urlparse(self.path)
             q = parse_qs(u.query)
+            t0 = time.time()
+            self._last_status = 200
             try:
                 if u.path == "/paths":
                     glob = q.get("query", [""])[0]
@@ -139,6 +167,8 @@ def _make_handler(engine: Engine, healthcheck_file: str | None):
                 self._error(400, "bad request", str(e))
             except Exception as e:  # noqa: BLE001
                 self._error(500, "internal error", f"{type(e).__name__}: {e}")
+            finally:
+                self._track(u.path, t0, self._last_status)
 
     return Handler
 
@@ -155,8 +185,9 @@ class CassabonAPI:
         port: int = 0,
         healthcheck_file: str | None = None,
     ):
+        self.stats: dict = {}
         self._server = ThreadingHTTPServer(
-            (host, port), _make_handler(engine, healthcheck_file)
+            (host, port), _make_handler(engine, healthcheck_file, self.stats)
         )
         self._thread: threading.Thread | None = None
 

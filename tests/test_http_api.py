@@ -116,3 +116,15 @@ def test_delete_paths_and_404(api):
     err = json.loads(ei.value.read())
     assert ei.value.code == 404
     assert err["statustext"] == "not found"  # api/api.go:239-255 shape
+
+
+def test_stats_route_counts_requests(api):
+    srv, _ = api
+    _get(srv.url + "/paths?query=svc.*")
+    status, body = _get(srv.url + "/stats")
+    assert status == 200
+    routes = body["routes"]
+    assert routes["GET /paths"]["count"] >= 1
+    assert routes["GET /paths"]["total_ms"] > 0
+    # the 404 from the earlier test is tallied as an error
+    assert any(v["errors"] >= 1 for v in routes.values())

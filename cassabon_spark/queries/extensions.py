@@ -1218,6 +1218,74 @@ def similarity_ann_recall(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- unigram surprisal
+
+# Model-based quality scoring, the way pretraining pipelines actually filter:
+# score each document by its mean token surprisal -ln p(tok | lang) under the
+# corpus's own unigram model. Two aggregations + one broadcast-ish join on
+# (lang, tok); nothing leaves the JVM.
+_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, t.tok AS tok
+  FROM (
+    SELECT doc_id, lang,
+           STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS tt
+    FROM documents
+    WHERE LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) > 0
+  ), UNNEST(tt) AS t(tok)
+),
+vocab AS (
+  SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok
+),
+tot AS (SELECT lang, SUM(cnt) AS n FROM vocab GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, t.lang, AVG(-LN(v.cnt * 1.0 / o.n)) AS surprisal
+  FROM toks t JOIN vocab v ON v.lang = t.lang AND v.tok = t.tok
+              JOIN tot o ON o.lang = t.lang
+  GROUP BY t.doc_id, t.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(ROUND(AVG(surprisal), 8), 4) AS avg_surprisal,
+       ROUND(ROUND(MAX(surprisal), 8), 4) AS max_surprisal
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_unigram_surprisal",
+    _SURPRISAL_SQL,
+    "model-based quality scoring: mean token surprisal -ln p(tok|lang) under "
+    "the corpus's own unigram model — the perplexity-filter analog of real "
+    "pretraining pipelines; two aggs + one (lang,tok) join, all JVM-side",
+)
+def text_surprisal(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("tok")
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("surprisal"))
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            R(F.avg("surprisal"), 4).alias("avg_surprisal"),
+            R(F.max("surprisal"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------- BPE-ish tokens
 
 # GPT-2-style pretokenizer classes, restricted to lookahead-free constructs

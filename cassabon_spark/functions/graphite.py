@@ -165,6 +165,12 @@ _SPECS: dict[str, Callable] = {
     "transformNull": lambda g, v=0: sfn.transform_null(g, float(v)),
     "removeAboveValue": lambda g, v: sfn.remove_above_value(g, float(v)),
     "removeBelowValue": lambda g, v: sfn.remove_below_value(g, float(v)),
+    "interpolate": lambda g: sfn.interpolate(g),
+    "offsetToZero": lambda g: sfn.offset_to_zero(g),
+    "changed": lambda g: sfn.changed(g),
+    "integralByInterval": lambda g, b: sfn.integral_by_interval(g, _dur_s(b)),
+    "minimumAbove": lambda g, n: sfn.minimum_above(g, float(n)),
+    "maximumBelow": lambda g, n: sfn.maximum_below(g, float(n)),
     "keepLastValue": lambda g, limit=None: sfn.keep_last_value(
         g, None if limit is None else int(limit)
     ),

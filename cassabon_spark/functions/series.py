@@ -349,6 +349,76 @@ def diff_series(grid: DataFrame, base_path: str) -> DataFrame:
     )
 
 
+def interpolate(grid: DataFrame) -> DataFrame:
+    """Linear interpolation across interior gaps (interpolate()): a null
+    slot between two known points gets the straight-line value; leading /
+    trailing nulls stay null. Two window passes (backward + forward),
+    no self-join."""
+    back = _w().rowsBetween(Window.unboundedPreceding, 0)
+    fwd = _w().rowsBetween(0, Window.unboundedFollowing)
+    known_slot = F.when(F.col("stat").isNotNull(), F.col("slot_s"))
+    pv = F.last("stat", ignorenulls=True).over(back)
+    ps = F.last(known_slot, ignorenulls=True).over(back)
+    nv = F.first("stat", ignorenulls=True).over(fwd)
+    ns = F.first(known_slot, ignorenulls=True).over(fwd)
+    lerp = pv + (nv - pv) * (F.col("slot_s") - ps) / (ns - ps)
+    return grid.withColumn(
+        "stat",
+        F.when(F.col("stat").isNotNull(), F.col("stat")).otherwise(
+            F.when(pv.isNotNull() & nv.isNotNull(), lerp)
+        ),
+    )
+
+
+def offset_to_zero(grid: DataFrame) -> DataFrame:
+    """Shift each series so its minimum sits at zero (offsetToZero())."""
+    return grid.withColumn("stat", F.col("stat") - F.min("stat").over(_whole()))
+
+
+def changed(grid: DataFrame) -> DataFrame:
+    """1 where the value differs from the previous slot, else 0
+    (changed()) — edge-detection over counters/enums."""
+    prev = F.lag("stat").over(_w())
+    return grid.withColumn(
+        "stat",
+        F.when(F.col("stat").isNull(), None)
+        .when(prev.isNull(), F.lit(0.0))
+        .when(F.col("stat") != prev, F.lit(1.0))
+        .otherwise(F.lit(0.0)),
+    )
+
+
+def integral_by_interval(grid: DataFrame, bucket_s: int) -> DataFrame:
+    """integral() that restarts at each bucket boundary
+    (integralByInterval('1d')): running sum partitioned by (path, bucket)."""
+    bucket = F.floor((F.col("slot_s") - 1) / bucket_s)
+    w = (
+        Window.partitionBy("path", bucket)
+        .orderBy("slot_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum("stat").over(w)
+    return grid.withColumn("stat", F.when(F.col("stat").isNotNull(), run))
+
+
+def minimum_above(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose minimum exceeds n (minimumAbove())."""
+    keep = (
+        grid.groupBy("path").agg(F.min("stat").alias("__v"))
+        .filter(F.col("__v") > n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def maximum_below(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose maximum stays below n (maximumBelow())."""
+    keep = (
+        grid.groupBy("path").agg(F.max("stat").alias("__v"))
+        .filter(F.col("__v") < n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
 def time_stack(
     grid: DataFrame, shift_s: int, start: int = 0, end: int = 7
 ) -> DataFrame:

@@ -284,3 +284,40 @@ def test_top_series_and_chaining(spark):
     assert kept == {"q", "p"}
     chained = top_series(moving_average(g, 2), 1, "max")
     assert {r["path"] for r in chained.select("path").distinct().collect()} == {"q"}
+
+
+def test_interpolate_interior_gaps_only(spark):
+    from cassabon_spark.functions.series import interpolate
+
+    g = _grid(spark, [
+        ("p", 10, None), ("p", 20, 2.0), ("p", 30, None), ("p", 40, None),
+        ("p", 50, 8.0), ("p", 60, None),
+    ])
+    assert _series(interpolate(g)) == [None, 2.0, 4.0, 6.0, 8.0, None]
+
+
+def test_offset_to_zero_and_changed(spark):
+    from cassabon_spark.functions.series import changed, offset_to_zero
+
+    g = _grid(spark, [("p", 10, 3.0), ("p", 20, 5.0), ("p", 30, 5.0), ("p", 40, None)])
+    assert _series(offset_to_zero(g)) == [0.0, 2.0, 2.0, None]
+    assert _series(changed(g)) == [0.0, 1.0, 0.0, None]
+
+
+def test_integral_by_interval_resets(spark):
+    from cassabon_spark.functions.series import integral_by_interval
+
+    g = _grid(spark, [("p", 10, 1.0), ("p", 20, 2.0), ("p", 30, 3.0), ("p", 40, 4.0)])
+    # 20s buckets labelled by close: {10,20} then {30,40}
+    assert _series(integral_by_interval(g, 20)) == [1.0, 3.0, 3.0, 7.0]
+
+
+def test_min_above_max_below(spark):
+    from cassabon_spark.functions.series import maximum_below, minimum_above
+
+    g = _grid(spark, [
+        ("hi", 10, 5.0), ("hi", 20, 9.0),
+        ("lo", 10, 1.0), ("lo", 20, 3.0),
+    ])
+    assert {r["path"] for r in minimum_above(g, 4).select("path").distinct().collect()} == {"hi"}
+    assert {r["path"] for r in maximum_below(g, 4).select("path").distinct().collect()} == {"lo"}

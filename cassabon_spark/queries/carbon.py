@@ -851,6 +851,59 @@ def carbon_aspercent(spark, sf_dir):
     )
 
 
+_INTERP_SQL = f"""
+{_GRID_CTE},
+marks AS (
+  SELECT path, slot_s, stat,
+         LAST_VALUE(stat IGNORE NULLS) OVER wb AS pv,
+         LAST_VALUE(CASE WHEN stat IS NOT NULL THEN slot_s END IGNORE NULLS) OVER wb AS ps,
+         FIRST_VALUE(stat IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN stat IS NOT NULL THEN slot_s END IGNORE NULLS) OVER wf AS ns
+  FROM grid
+  WINDOW wb AS (PARTITION BY path ORDER BY slot_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY path ORDER BY slot_s
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT path, slot_s,
+       ROUND(ROUND(CASE WHEN stat IS NOT NULL THEN stat
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (slot_s - ps) * 1.0 / (ns - ps)
+                   END, 8), 4) AS filled
+FROM marks
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_interpolate",
+    _INTERP_SQL,
+    "Graphite interpolate() over the grid: straight-line fill of interior "
+    "gaps via one backward + one forward window pass — no self-join, edges "
+    "stay null",
+)
+def carbon_interpolate(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import interpolate
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return (
+        interpolate(grid)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("filled"))
+        .orderBy("path", "slot_s")
+    )
+
+
 _HIGHEST_SQL = f"""
 {_GRID_CTE},
 ranked AS (

@@ -1320,3 +1320,75 @@ def q18(spark, sf_dir):
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- mode + histogram
+
+_MODE_SQL = """
+SELECT l_returnflag,
+       MODE(l_linestatus)  AS mode_status,
+       CAST(MODE(l_linenumber) AS BIGINT) AS mode_linenumber
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_mode",
+    _MODE_SQL,
+    "mode() aggregate (most frequent value per group) — data-profiling "
+    "primitive; restricted to columns whose max frequency is unique (mode "
+    "is engine-nondeterministic under ties, verified at sf0.001)",
+)
+def agg_mode(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.mode("l_linestatus").alias("mode_status"),
+            F.mode("l_linenumber").cast("bigint").alias("mode_linenumber"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_HIST_SQL = """
+WITH b AS (
+  SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket
+  FROM lineitem
+)
+SELECT bucket,
+       bucket * 10000      AS lo,
+       bucket * 10000 + 10000 AS hi,
+       COUNT(*)            AS n
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "agg_histogram",
+    _HIST_SQL,
+    "value histogram via floor-div bucketing — the profiling pass a "
+    "training-data pipeline runs before choosing filters; one map-side-"
+    "combined aggregation",
+)
+def agg_histogram(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 10000).cast("bigint")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 10000).alias("lo"),
+            (F.col("bucket") * 10000 + 10000).alias("hi"),
+            "n",
+        )
+        .orderBy("bucket")
+    )

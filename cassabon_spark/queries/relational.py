@@ -1392,3 +1392,37 @@ def agg_histogram(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------- union distinct
+
+_UNION_SQL = """
+WITH u AS (
+  SELECT c_nationkey AS k FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+),
+ua AS (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT s_nationkey FROM supplier
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u)  AS n_distinct_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ua) AS n_all_rows
+"""
+
+
+@register(
+    "setop_union_distinct",
+    _UNION_SQL,
+    "UNION (distinct) vs UNION ALL: the distinct variant pays one shuffle "
+    "on the key, the ALL variant is a free concatenation — completing the "
+    "set-op family alongside intersect/except",
+)
+def setop_union(spark, sf_dir):
+    prep(spark)
+    cn = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    sn = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    u = cn.union(sn).distinct().agg(F.count(F.lit(1)).alias("n_distinct_keys"))
+    ua = cn.union(sn).agg(F.count(F.lit(1)).alias("n_all_rows"))
+    return u.crossJoin(ua)

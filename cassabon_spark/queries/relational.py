@@ -1426,3 +1426,36 @@ def setop_union(spark, sf_dir):
     u = cn.union(sn).distinct().agg(F.count(F.lit(1)).alias("n_distinct_keys"))
     ua = cn.union(sn).agg(F.count(F.lit(1)).alias("n_all_rows"))
     return u.crossJoin(ua)
+
+
+# ---------------------------------------------------------------- corr / covar
+
+_CORR_SQL = """
+SELECT l_returnflag,
+       ROUND(ROUND(CORR(l_extendedprice, l_quantity), 8), 4)      AS corr_price_qty,
+       ROUND(ROUND(COVAR_SAMP(l_extendedprice, l_discount), 8), 4) AS covar_price_disc,
+       ROUND(ROUND(STDDEV_SAMP(l_extendedprice), 8), 4)            AS sd_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "agg_corr_covar",
+    _CORR_SQL,
+    "correlation / sample covariance / sample stddev per group — the "
+    "bivariate-stats aggregates, one hash aggregation",
+)
+def agg_corr_covar(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            R(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            R(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("covar_price_disc"),
+            R(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -372,6 +372,25 @@ class Engine:
             "series": series,
         }
 
+    def render_targets(
+        self,
+        targets: list[str],
+        from_s: int,
+        to_s: int,
+        now_s: int | None = None,
+    ) -> dict:
+        """Multiple targets merged into one response (graphite-web's
+        repeated target= semantics) — the library-level twin of the HTTP
+        /render route."""
+        merged: dict | None = None
+        for t in targets:
+            resp = self.render_target(t, from_s, to_s, now_s=now_s)
+            if merged is None:
+                merged = resp
+            else:
+                merged["series"].update(resp["series"])
+        return merged or {"from": from_s, "to": to_s, "step": 0, "series": {}}
+
     def register_views(self, prefix: str = "carbon") -> list[str]:
         """Expose the store and index as temp views so plain spark.sql()
         works over them (`SELECT path, time, stat FROM carbon_store WHERE

@@ -169,6 +169,10 @@ _SPECS: dict[str, Callable] = {
     "offsetToZero": lambda g: sfn.offset_to_zero(g),
     "changed": lambda g: sfn.changed(g),
     "integralByInterval": lambda g, b: sfn.integral_by_interval(g, _dur_s(b)),
+    "removeAbovePercentile": lambda g, p: sfn.remove_above_percentile(g, float(p)),
+    "removeBelowPercentile": lambda g, p: sfn.remove_below_percentile(g, float(p)),
+    "removeBetweenPercentile": lambda g, p: sfn.remove_between_percentile(g, float(p)),
+    "averageOutsidePercentile": lambda g, p: sfn.average_outside_percentile(g, float(p)),
     "minimumAbove": lambda g, n: sfn.minimum_above(g, float(n)),
     "maximumBelow": lambda g, n: sfn.maximum_below(g, float(n)),
     "keepLastValue": lambda g, limit=None: sfn.keep_last_value(

@@ -401,6 +401,48 @@ def integral_by_interval(grid: DataFrame, bucket_s: int) -> DataFrame:
     return grid.withColumn("stat", F.when(F.col("stat").isNotNull(), run))
 
 
+def _series_pctl(p: float):
+    return F.expr(f"percentile(stat, {float(p) / 100.0})").over(_whole())
+
+
+def remove_above_percentile(grid: DataFrame, p: float) -> DataFrame:
+    """Null out values above the series' own p-th percentile
+    (removeAbovePercentile()) — per-series outlier clipping."""
+    return grid.withColumn(
+        "stat", F.when(F.col("stat") <= _series_pctl(p), F.col("stat"))
+    )
+
+
+def remove_below_percentile(grid: DataFrame, p: float) -> DataFrame:
+    return grid.withColumn(
+        "stat", F.when(F.col("stat") >= _series_pctl(p), F.col("stat"))
+    )
+
+
+def remove_between_percentile(grid: DataFrame, p: float) -> DataFrame:
+    """Keep only values OUTSIDE the symmetric band [100-p, p]
+    (removeBetweenPercentile(p), p > 50) — isolates the extremes."""
+    hi, lo = _series_pctl(p), _series_pctl(100.0 - p)
+    return grid.withColumn(
+        "stat",
+        F.when((F.col("stat") > hi) | (F.col("stat") < lo), F.col("stat")),
+    )
+
+
+def average_outside_percentile(grid: DataFrame, p: float) -> DataFrame:
+    """Keep series whose MEAN is outside the band of means [100-p, p]
+    across all series (averageOutsidePercentile()) — the across-series
+    analog of the value filters."""
+    means = grid.groupBy("path").agg(F.avg("stat").alias("__m"))
+    band = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hi = F.expr(f"percentile(__m, {float(p) / 100.0})").over(band)
+    lo = F.expr(f"percentile(__m, {float(100.0 - p) / 100.0})").over(band)
+    keep = means.withColumn("__keep", (F.col("__m") > hi) | (F.col("__m") < lo)).filter(
+        "__keep"
+    ).select("path")
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
 def minimum_above(grid: DataFrame, n: float) -> DataFrame:
     """Keep series whose minimum exceeds n (minimumAbove())."""
     keep = (

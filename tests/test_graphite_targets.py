@@ -256,3 +256,18 @@ def test_time_stack(spark):
         ("m_shift_0", 10): 1.0, ("m_shift_0", 20): 2.0,
         ("m_shift_1", 20): 1.0, ("m_shift_1", 30): 2.0,
     }
+
+
+def test_engine_render_targets_merge(spark, tmp_path):
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+
+    cfg = RollupConfig.from_dict({"default": {"method": "sum", "windows": ["10s:1h"]}})
+    eng = Engine(spark, cfg, str(tmp_path / "s"), str(tmp_path / "i"))
+    base = 1_700_000_000 - (1_700_000_000 % 10)
+    eng.ingest_lines(spark.createDataFrame(
+        [(f"m.a 1 {base}",), (f"m.b 2 {base}",)], "line string"))
+    out = eng.render_targets(
+        ["alias(m.a, 'x')", "alias(m.b, 'y')"], base - 10, base + 10, now_s=base + 20
+    )
+    assert set(out["series"]) == {"x", "y"}

@@ -321,3 +321,35 @@ def test_min_above_max_below(spark):
     ])
     assert {r["path"] for r in minimum_above(g, 4).select("path").distinct().collect()} == {"hi"}
     assert {r["path"] for r in maximum_below(g, 4).select("path").distinct().collect()} == {"lo"}
+
+
+def test_percentile_value_filters(spark):
+    from cassabon_spark.functions.series import (
+        average_outside_percentile,
+        remove_above_percentile,
+        remove_below_percentile,
+        remove_between_percentile,
+    )
+
+    g = _grid(spark, [("p", 10 * i, float(i)) for i in range(1, 11)])  # 1..10
+    # p50 of 1..10 = 5.5
+    assert _series(remove_above_percentile(g, 50)) == [
+        1.0, 2.0, 3.0, 4.0, 5.0, None, None, None, None, None,
+    ]
+    assert _series(remove_below_percentile(g, 50)) == [
+        None, None, None, None, None, 6.0, 7.0, 8.0, 9.0, 10.0,
+    ]
+    # p80=8.2, p20=2.8: keep only the extremes
+    assert _series(remove_between_percentile(g, 80)) == [
+        1.0, 2.0, None, None, None, None, None, None, 9.0, 10.0,
+    ]
+    rows = (
+        [("mid1", 10, 5.0), ("mid2", 10, 5.2), ("mid3", 10, 4.8)]
+        + [("hot", 10, 50.0), ("cold", 10, -40.0)]
+    )
+    kept = {
+        r["path"]
+        for r in average_outside_percentile(_grid(spark, rows), 75)
+        .select("path").distinct().collect()
+    }
+    assert kept == {"hot", "cold"}

@@ -187,3 +187,28 @@ def test_interval_join_stream_attribution(spark, tmp_path):
     assert [(r["path"], r["l_value"], r["r_value"], r["lag_s"]) for r in out] == [
         ("u1", 1.0, 50.0, 20.0)
     ]
+
+
+def test_watermark_drops_too_late_rows(spark, tmp_path):
+    """Append-mode semantics the engine documents as its trade vs the
+    reference (which accepts any lateness and merges at read): once the
+    watermark passes a window's close, a later row for that window is
+    DROPPED by the streaming agg — it does not re-emit or mutate."""
+    files = [
+        [("a", 1.0, 5.0)],              # window [0,10)
+        [("a", 2.0, 1000.0)],           # event time jumps far ahead
+        [("a", 2.5, 1100.0)],           # extra batch: watermark commit lags
+                                        # one batch behind the data that moved it
+        [("a", 100.0, 6.0)],            # too late for [0,10): dropped
+        [("a", 3.0, 2000.0)],           # advance watermark, flush remaining
+        [("a", 4.0, 3000.0)],
+    ]
+    m = _metrics_stream(spark, files, str(tmp_path / "drop"), max_files_per_trigger=1)
+    agg = windowed_rollup_stream(m, window_s=10, watermark_s=5)
+    out = _run_stream(spark, agg, "t_late_drop", mode="append")
+    got = {
+        (r["path"], r["time"].timestamp()): (r["cnt"], r["vsum"])
+        for r in out.collect()
+    }
+    # window [0,10) emitted exactly once, WITHOUT the late 100.0
+    assert got[("a", 10.0)] == (1, 1.0)

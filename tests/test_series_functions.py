@@ -353,3 +353,39 @@ def test_percentile_value_filters(spark):
         .select("path").distinct().collect()
     }
     assert kept == {"hot", "cold"}
+
+
+def test_series_conservation_properties(spark):
+    """Conservation/invariance checks on a seeded random grid."""
+    import random
+
+    from cassabon_spark.functions.series import interpolate
+
+    rnd = random.Random(11)
+    rows = [
+        (p, 10 * (i + 1), round(rnd.uniform(0, 10), 3) if rnd.random() > 0.3 else None)
+        for p in ("p", "q")
+        for i in range(30)
+    ]
+    g = _grid(spark, rows)
+
+    # summarize(sum) conserves the series total
+    for p in ("p", "q"):
+        raw_total = sum(v for v in _series(g, p) if v is not None)
+        summed = summarize(g, 70, "sum")
+        agg_total = sum(v for v in _series(summed, p) if v is not None)
+        assert abs(raw_total - agg_total) < 1e-9
+
+    # interpolate preserves every non-null point and fills only interior nulls
+    base = {(r["path"], r["slot_s"]): r["stat"] for r in g.collect()}
+    filled = {(r["path"], r["slot_s"]): r["stat"] for r in interpolate(g).collect()}
+    for k, v in base.items():
+        if v is not None:
+            assert filled[k] == v
+    # integral is monotone non-decreasing over non-null slots when values >= 0
+    nonneg = _grid(spark, [(p, s, abs(v) if v is not None else None) for p, s, v in rows])
+    prev = None
+    for v in _series(integral(nonneg), "p"):
+        if v is not None:
+            assert prev is None or v >= prev - 1e-9
+            prev = v

@@ -423,7 +423,7 @@ pairs AS (
 )
 SELECT v1, v2, ROUND(ROUND(dot / (n1 * n2), 8), 4) AS cosine
 FROM pairs
-WHERE dot / (n1 * n2) >= 0.99
+WHERE dot / (n1 * n2) >= 0.40
 ORDER BY v1, v2
 """
 
@@ -431,9 +431,14 @@ ORDER BY v1, v2
 @register(
     "dedup_embedding_cosine",
     _EMB_DUP_SQL,
-    "embedding near-dup pairs (cosine >= 0.99), label-blocked — no full cross product",
+    "embedding near-dup pairs (cosine >= 0.40), label-blocked — no full cross product",
 )
 def dedup_embedding(spark, sf_dir):
+    # The synthetic corpus has no true near-duplicates (global max cosine
+    # ~0.51 over random 64-dim vectors), so the threshold sits at the
+    # discriminating tail of the distribution: 0.40 keeps a handful of pairs
+    # at every SF (5 at sf0.001/sf0.01, 86 at sf0.1) so the filter + cosine
+    # arithmetic are actually exercised, not vacuously green on the empty set.
     prep(spark)
     emb = T(spark, sf_dir, "embeddings", wide=True)
     a = emb.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1"))
@@ -441,7 +446,7 @@ def dedup_embedding(spark, sf_dir):
     pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
     sim = cosine_sim_expr("e1", "e2")
     return (
-        pairs.filter(sim >= 0.99)
+        pairs.filter(sim >= 0.40)
         .select("v1", "v2", R(sim, 4).alias("cosine"))
         .orderBy("v1", "v2")
     )

@@ -157,17 +157,33 @@ def q5(spark, sf_dir):
 _ANTI_SQL = """
 SELECT c_mktsegment, COUNT(*) AS customers_without_orders
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '1995-01-01'
+                    AND o_orderdate < DATE '1996-01-01')
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
 
-@register("join_left_anti", _ANTI_SQL, "left_anti join: customers with no orders")
+@register(
+    "join_left_anti",
+    _ANTI_SQL,
+    "left_anti join: customers with no orders in calendar 1995",
+)
 def join_anti(spark, sf_dir):
+    # Every customer has at least one order in this corpus, so a bare
+    # "no orders ever" anti-join is vacuously empty; restricting the right
+    # side to calendar 1995 leaves real survivors at every SF
+    # (34 at sf0.001, 326 at sf0.01, 3305 at sf0.1) so the anti-join
+    # mechanics discriminate. The filter is applied to the build side
+    # BEFORE the join, so it pushes down to the orders scan.
     prep(spark)
     cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")

@@ -142,8 +142,11 @@ def square_root(grid: DataFrame) -> DataFrame:
 
 
 def time_shift(grid: DataFrame, shift_s: int) -> DataFrame:
-    """Shift the series forward by shift_s seconds (timeShift(): compare
-    this week against last week by shifting last week's data forward)."""
+    """Relabel every slot by +shift_s seconds — the low-level primitive under
+    graphite timeShift(). Graphite's sign convention (unsigned interval means
+    *minus*: fetch [from-1d, to-1d], display at [from, to]) lives in the
+    target evaluator (functions.graphite), which extends the fetch window and
+    calls this to move the shifted data back into the display range."""
     return grid.withColumn("slot_s", (F.col("slot_s") + shift_s).cast("bigint"))
 
 
@@ -194,19 +197,57 @@ def keep_last_value(grid: DataFrame, limit: int | None = None) -> DataFrame:
     )
 
 
+#: Methods accepted by summarize()/smart_summarize()/aggregate_line() —
+#: graphite aggregate() vocabulary. stddev is population (graphite
+#: safeStdDev divides by n); median/range are expression-built below.
+SUMMARIZE_METHODS = (
+    "sum", "avg", "min", "max", "last", "count", "stddev", "median", "range",
+)
+
+
+def _bucket_agg(how: str):
+    base = {
+        "sum": F.sum("stat"),
+        "avg": F.avg("stat"),
+        "min": F.min("stat"),
+        "max": F.max("stat"),
+        "last": F.last("stat", ignorenulls=True),
+        "count": F.count("stat"),
+        "stddev": F.stddev_pop("stat"),
+        "median": F.expr("percentile(stat, 0.5)"),
+        "range": F.max("stat") - F.min("stat"),
+    }
+    if how not in base:
+        raise ValueError(
+            f"unsupported aggregation {how!r}; one of {', '.join(SUMMARIZE_METHODS)}"
+        )
+    return base[how].cast("double").alias("stat")
+
+
 def summarize(grid: DataFrame, bucket_s: int, how: str = "sum") -> DataFrame:
     """Re-bucket the grid to a coarser step (summarize(bucket)); buckets
     label with their CLOSE time like the engine's windows. Nulls excluded
     (Graphite sums the non-null points)."""
-    agg = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max, "last": F.last}[how]
+    agg = _bucket_agg(how)
     close = (F.floor((F.col("slot_s") + bucket_s - 1) / bucket_s) * bucket_s).cast(
         "bigint"
     )
-    return (
-        grid.withColumn("slot_s", close)
-        .groupBy("path", "slot_s")
-        .agg(agg("stat").alias("stat"))
+    return grid.withColumn("slot_s", close).groupBy("path", "slot_s").agg(agg)
+
+
+def smart_summarize(
+    grid: DataFrame, bucket_s: int, how: str = "sum", origin_s: int = 0
+) -> DataFrame:
+    """summarize() with buckets aligned to the query start instead of epoch
+    multiples (graphite smartSummarize: no partial leading bucket). Buckets
+    cover [origin + k*bucket, origin + (k+1)*bucket) and label with their
+    close time, matching the engine's window convention (A7)."""
+    agg = _bucket_agg(how)
+    rel = F.col("slot_s") - origin_s
+    close = (F.floor((rel + bucket_s - 1) / bucket_s) * bucket_s + origin_s).cast(
+        "bigint"
     )
+    return grid.withColumn("slot_s", close).groupBy("path", "slot_s").agg(agg)
 
 
 def top_series(grid: DataFrame, k: int, how: str = "avg") -> DataFrame:

@@ -52,10 +52,16 @@ def T(spark: SparkSession, sf_dir: str, name: str, wide: bool = False) -> DataFr
     if name == "events":
         df = EV(spark, sf_dir)
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if wide and df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _tz_normalize(df: DataFrame) -> DataFrame:
+    from cassabon_spark.sources.tables import tz_normalize
+
+    return tz_normalize(df)
 
 
 def R(col, n: int = 4):
@@ -84,7 +90,7 @@ def EV(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    return _tz_normalize(df)
 
 
 def load_registry() -> dict[str, QueryDef]:

@@ -30,8 +30,28 @@ TABLES = (
 BROADCAST_TABLES = ("region", "nation")
 
 
+def tz_normalize(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-tz TIMESTAMP (session pinned
+    UTC). The testdata generator writes isAdjustedToUTC=false timestamps;
+    DuckDB reads those naive and EPOCH()s them as-if-UTC, so this cast is
+    the identical interpretation — and it restores double-cast/epoch
+    arithmetic that TIMESTAMP_NTZ refuses."""
+    from pyspark.sql import functions as F
+
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.parquet has carried TIMESTAMP(NANOS) in some generator
+        # versions — route through the nanos-aware loader.
+        from cassabon_spark.queries import EV
+
+        return EV(spark, sf_dir)
+    return tz_normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -118,19 +118,21 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     to = int(q.get("to", ["0"])[0])
                     self._json(engine.get_metrics(paths, frm, to))
                 elif u.path == "/render":
-                    # graphite-web accepts repeated target= params; series
-                    # dicts merge (&target=a&target=b)
+                    # graphite-web accepts repeated target= params; the
+                    # merged series dict is kept for compat and per-target
+                    # entries ride under "targets" (steps may differ)
                     targets = q.get("target", [])
                     frm = int(q.get("from", ["0"])[0])
                     to = int(q.get("to", ["0"])[0])
-                    merged: dict | None = None
-                    for t in targets:
-                        resp = engine.render_target(t, frm, to)
-                        if merged is None:
-                            merged = resp
-                        else:
-                            merged["series"].update(resp["series"])
-                    self._json(merged or {"from": frm, "to": to, "step": 0, "series": {}})
+                    md_q = q.get("maxDataPoints", [])
+                    self._json(
+                        engine.render_targets(
+                            targets,
+                            frm,
+                            to,
+                            max_datapoints=int(md_q[0]) if md_q else None,
+                        )
+                    )
                 elif u.path == "/stats":
                     with _STATS_LOCK:
                         snap = {k: dict(v) for k, v in stats.items()}

@@ -313,64 +313,135 @@ class Engine:
             "series": series,
         }
 
+    #: maxDataPoints guard defaults (graphite-web's maxDataPoints): renders
+    #: asking for more than MAX_DATAPOINTS slots per series consolidate to a
+    #: coarser step at FETCH time (bounds the gap-fill spine AND the driver
+    #: collect); a request whose paths x slots grid would still exceed
+    #: MAX_RENDER_CELLS raises instead of OOMing the driver.
+    MAX_DATAPOINTS = 100_000
+    MAX_RENDER_CELLS = 4_000_000
+
     def render_target(
         self,
         target: str,
         from_s: int,
         to_s: int,
         now_s: int | None = None,
+        max_datapoints: int | None = None,
     ) -> dict:
         """Graphite /render with a REAL target string:
         `render_target("summarize(nonNegativeDerivative(evt.*), '1h', 'sum')",
         from_s, to_s)`. Parses the graphite-web grammar
         (functions.graphite), resolves each glob through the index + read
         path, evaluates the function chain over grid DataFrames, collects
-        once at the end."""
+        once at the end.
+
+        timeShift/timeStack fetch their shifted windows through the
+        offset-aware resolver; maxDataPoints coarsens the fetch step (with
+        the consolidateBy() method if the target names one); the response
+        `step`/`from` are derived from the OUTPUT grid, so re-bucketing
+        functions (summarize, hitcount) describe their own spacing. When
+        series end up on different steps, a per-path "steps" map is added.
+        """
         from cassabon_spark.functions.graphite import (
+            TargetSyntaxError,
             evaluate_target,
             parse_target,
+            target_consolidation,
             target_globs,
         )
         from cassabon_spark.operators.query import normalize_from, query_metrics_df
 
         node = parse_target(target)
         globs = target_globs(node)
-        if not globs or not self._has_store():
-            return {"from": from_s, "to": to_s, "step": 0, "series": {}}
         now = now_s if now_s is not None else int(__import__("time").time())
+        md = max_datapoints if max_datapoints is not None else self.MAX_DATAPOINTS
+        consolidate = target_consolidation(node)
+        method_map = {
+            "avg": "average", "sum": "sum", "min": "min", "max": "max",
+            "last": "last",
+        }
+        if consolidate is not None and consolidate not in method_map:
+            raise TargetSyntaxError(
+                f"consolidateBy({consolidate!r}): one of {sorted(method_map)}"
+            )
         step_holder: dict[str, int] = {}
 
-        def grid_for_glob(glob: str):
+        def grid_for_glob(glob: str, offset_s: int = 0):
+            f, t = from_s + offset_s, to_s + offset_s
             paths = [p["path"] for p in self.get_paths(glob) if p["leaf"]]
             if not paths:
                 return self.spark.createDataFrame(
                     [], "path string, slot_s bigint, stat double"
                 )
             d = self.config.route(paths[0])
-            tier = self.config.select_tier(d.expression, from_s, now)
-            step_holder.setdefault("step", tier.window_s)
+            tier = self.config.select_tier(d.expression, f, now)
+            step = tier.window_s
+            slots = max(0, t - f) // step + 1
+            if md and slots > md:
+                step = tier.window_s * -(-slots // md)  # ceil factor
+                slots = max(0, t - f) // step + 1
+            if len(paths) * slots > self.MAX_RENDER_CELLS:
+                raise ValueError(
+                    f"render grid {len(paths)} paths x {slots} slots exceeds "
+                    f"MAX_RENDER_CELLS={self.MAX_RENDER_CELLS}; narrow the "
+                    "glob or time range, or lower max_datapoints"
+                )
+            step_holder.setdefault("step", step)
+            method = method_map[consolidate] if consolidate else d.method
             return query_metrics_df(
                 self.spark,
                 self.store,
                 paths,
-                from_s,
-                to_s,
-                tier.window_s,
-                d.method,
+                f,
+                t,
+                step,
+                method,
                 resolution_s=tier.window_s,
             )
 
-        grid = evaluate_target(node, grid_for_glob)
-        step = step_holder.get("step", 0)
-        series: dict[str, list] = {}
-        for r in grid.orderBy("path", "slot_s").collect():
-            series.setdefault(r["path"], []).append(r["stat"])
-        return {
-            "from": normalize_from(from_s, step) if step else from_s,
-            "to": to_s,
-            "step": step,
-            "series": series,
+        if not globs or not self._has_store():
+            return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+        ctx = {
+            "spark": self.spark,
+            "from_s": from_s,
+            "to_s": to_s,
+            "now_s": now,
         }
+        # seed the context step from the first glob's tier so interval-string
+        # windows and generators see the render resolution
+        first_paths = [p["path"] for p in self.get_paths(globs[0]) if p["leaf"]]
+        if first_paths:
+            d0 = self.config.route(first_paths[0])
+            ctx["step"] = self.config.select_tier(d0.expression, from_s, now).window_s
+        grid = evaluate_target(node, grid_for_glob, context=ctx)
+        order = (
+            ["__ord", "path", "slot_s"]
+            if "__ord" in grid.columns
+            else ["path", "slot_s"]
+        )
+        series: dict[str, list] = {}
+        slots_by_path: dict[str, list[int]] = {}
+        for r in grid.orderBy(*order).collect():
+            series.setdefault(r["path"], []).append(r["stat"])
+            slots_by_path.setdefault(r["path"], []).append(r["slot_s"])
+        fetch_step = step_holder.get("step", 0)
+        # derive per-path output spacing (re-bucketing functions change it)
+        steps = {
+            p: (min(b - a for a, b in zip(s, s[1:])) if len(s) > 1 else fetch_step)
+            for p, s in slots_by_path.items()
+        }
+        out_step = min(steps.values()) if steps else fetch_step
+        out_from = (
+            min(s[0] for s in slots_by_path.values())
+            if slots_by_path
+            else (normalize_from(from_s, fetch_step) if fetch_step else from_s)
+        )
+        resp = {"from": out_from, "to": to_s, "step": out_step, "series": series}
+        if len(set(steps.values())) > 1:
+            resp["steps"] = steps
+            resp["starts"] = {p: s[0] for p, s in slots_by_path.items()}
+        return resp
 
     def render_targets(
         self,
@@ -378,18 +449,43 @@ class Engine:
         from_s: int,
         to_s: int,
         now_s: int | None = None,
+        max_datapoints: int | None = None,
     ) -> dict:
-        """Multiple targets merged into one response (graphite-web's
-        repeated target= semantics) — the library-level twin of the HTTP
-        /render route."""
-        merged: dict | None = None
-        for t in targets:
-            resp = self.render_target(t, from_s, to_s, now_s=now_s)
-            if merged is None:
-                merged = resp
-            else:
-                merged["series"].update(resp["series"])
-        return merged or {"from": from_s, "to": to_s, "step": 0, "series": {}}
+        """Multiple targets in one response (graphite-web's repeated
+        target= semantics) — the library-level twin of the HTTP /render
+        route. The top-level series dict merges all targets (compat with
+        the reference's MetricResponse shape); per-target responses are
+        preserved under "targets" so same-named series and differing steps
+        stay distinguishable (graphite's JSON list format carries them
+        per-series)."""
+        per_target = [
+            {
+                "target": t,
+                **self.render_target(
+                    t, from_s, to_s, now_s=now_s, max_datapoints=max_datapoints
+                ),
+            }
+            for t in targets
+        ]
+        if not per_target:
+            return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+        merged = {
+            "from": min(r["from"] for r in per_target),
+            "to": to_s,
+            "step": min(r["step"] for r in per_target if r["step"]) if any(
+                r["step"] for r in per_target
+            ) else 0,
+            "series": {},
+            "targets": per_target,
+        }
+        mixed = len({r["step"] for r in per_target}) > 1
+        if mixed:
+            merged["steps"] = {}
+        for r in per_target:
+            merged["series"].update(r["series"])
+            if mixed:
+                merged["steps"].update({p: r["step"] for p in r["series"]})
+        return merged
 
     def register_views(self, prefix: str = "carbon") -> list[str]:
         """Expose the store and index as temp views so plain spark.sql()

@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cassabon_spark.functions import series as sfn
 
@@ -46,7 +47,7 @@ class PathGlob:
 
 
 _NUM_RE = re.compile(r"^-?\d+(\.\d+)?$")
-_DUR_RE = re.compile(r'^"?(-?\d+)(s|min|m|h|d|w|y)"?$')
+_DUR_RE = re.compile(r'^"?([+-]?\d+)(s|min|m|h|d|w|y)"?$')
 _DUR_S = {"s": 1, "m": 60, "min": 60, "h": 3600, "d": 86400, "w": 604800, "y": 31536000}
 _PATH_CHARS = re.compile(r"[A-Za-z0-9_.\-*?\[\]{}%:]")
 
@@ -130,6 +131,19 @@ def _dur_s(v) -> int:
     return int(m.group(1)) * _DUR_S[m.group(2)]
 
 
+def _shift_s(v) -> int:
+    """timeShift/timeStack offset in seconds with graphite's sign rule: an
+    UNSIGNED interval implies minus ('1d' means one day BACK; '+1d' means
+    forward). graphite-web render/functions timeShift: 'If no sign is
+    given, a minus sign  ( - ) is implied'."""
+    if isinstance(v, (int, float)):
+        return -abs(int(v)) if v >= 0 else int(v)
+    s = str(v).strip("\"'").strip()
+    signed = s.startswith(("+", "-"))
+    sec = _dur_s(s)
+    return sec if signed else -sec
+
+
 def _how(v, default: str) -> str:
     s = str(v).strip("\"'").lower() if v is not None else default
     return {"average": "avg", "avg": "avg", "sum": "sum", "min": "min",
@@ -159,8 +173,9 @@ _SPECS: dict[str, Callable] = {
     "log": lambda g, base=10: sfn.logarithm(g, float(base)),
     "pow": lambda g, e: sfn.power(g, float(e)),
     "squareRoot": lambda g: sfn.square_root(g),
-    "timeShift": lambda g, d: sfn.time_shift(g, _dur_s(d)),
-    "timeStack": lambda g, d, s=0, e=7: sfn.time_stack(g, _dur_s(d), int(s), int(e)),
+    # timeShift / timeStack are special-cased in evaluate_target: they must
+    # extend the FETCH window (read [from+delta, to+delta], delta<0 for the
+    # implied-minus graphite convention) and relabel into [from, to].
     "delay": lambda g, steps: sfn.delay(g, int(steps)),
     "transformNull": lambda g, v=0: sfn.transform_null(g, float(v)),
     "removeAboveValue": lambda g, v: sfn.remove_above_value(g, float(v)),
@@ -179,6 +194,9 @@ _SPECS: dict[str, Callable] = {
         g, None if limit is None else int(limit)
     ),
     "summarize": lambda g, b, how="sum": sfn.summarize(g, _dur_s(b), _how(how, "sum")),
+    "smartSummarize": lambda g, b, how="sum": sfn.smart_summarize(
+        g, _dur_s(b), _how(how, "sum")
+    ),
     "hitcount": lambda g, b: sfn.hitcount(g, _dur_s(b)),
     "highestAverage": lambda g, k: sfn.top_series(g, int(k), "avg"),
     "highestMax": lambda g, k: sfn.top_series(g, int(k), "max"),
@@ -219,26 +237,199 @@ _SPECS: dict[str, Callable] = {
     "holtWintersAberration": lambda g, season=24, delta=3: sfn.holt_winters_aberration(
         g, int(season), float(delta)
     ),
+    "multiplySeries": lambda g: sfn.multiply_series(g),
+    "medianSeries": lambda g: sfn.median_series(g),
+    "isNonNull": lambda g: sfn.is_non_null(g),
+    "scaleToSeconds": lambda g, s: sfn.scale_to_seconds(g, _dur_s(s)),
+    "aliasSub": lambda g, pat, repl: sfn.alias_sub(g, str(pat), str(repl)),
+    "aliasByMetric": lambda g: sfn.alias_by_metric(g),
+    "substr": lambda g, start=0, stop=0: sfn.substr_names(g, int(start), int(stop)),
+    "maximumAbove": lambda g, n: sfn.maximum_above(g, float(n)),
+    "minimumBelow": lambda g, n: sfn.minimum_below(g, float(n)),
+    "highestCurrent": lambda g, k: sfn.top_series(g, int(k), "current"),
+    "lowestCurrent": lambda g, k: sfn.bottom_series(g, int(k), "current"),
+    "sortByTotal": lambda g: sfn.sort_by(g, "total", reverse=True),
+    "sortByMaxima": lambda g: sfn.sort_by(g, "max", reverse=True),
+    "sortByMinima": lambda g: sfn.sort_by(g, "min", reverse=False),
+    "sortBy": lambda g, how="avg", reverse=0: sfn.sort_by(
+        g, _how(how, "avg"), bool(int(reverse))
+    ),
+    "sortByName": lambda g, natural=0: sfn.sort_by_name(g, bool(int(natural))),
+    # consolidateBy is an identity marker: the consolidation method applies
+    # at the render boundary (maxDataPoints coarsening) — engine reads it
+    # out of the AST via target_consolidation() before fetching.
+    "consolidateBy": lambda g, how="avg": g,
 }
+
+#: moving-window functions whose window may be a graphite interval STRING
+#: ('10min'); the evaluator converts to slots with the context step.
+_INTERVAL_WINDOW_FNS = {
+    "movingAverage", "movingMax", "movingMin", "movingSum", "movingMedian",
+    "stdev",
+}
+
+#: series-free generators — evaluated from the render context, no fetch.
+_GENERATOR_FNS = {"constantLine", "threshold", "timeFunction"}
 
 # diffSeries is special-cased: base path must be concrete (first arg).
 
 
 def evaluate_target(
-    node, grid_for_glob: Callable[[str], DataFrame]
+    node,
+    grid_for_glob: Callable[..., DataFrame],
+    context: dict | None = None,
 ) -> DataFrame:
-    """Evaluate a parsed target against grid-producing glob resolver.
+    """Evaluate a parsed target against a grid-producing glob resolver.
 
-    `grid_for_glob(glob)` returns the (path, slot_s, stat) grid for one
-    metric glob — the engine's A10-A16 read path. Series args union; scalar
-    args pass through raw.
+    `grid_for_glob(glob)` — or `grid_for_glob(glob, offset_s)` when the
+    resolver supports shifted fetch windows — returns the (path, slot_s,
+    stat) grid for one metric glob via the engine's A10-A16 read path.
+    Series args union; scalar args pass through raw.
+
+    timeShift/timeStack thread `offset_s` down to the resolver so shifted
+    expressions FETCH [from+delta, to+delta] (delta<0 for graphite's
+    implied-minus convention) and relabel slots back into [from, to] —
+    without this the shifted window would be empty at the head and spill
+    past `to` (graphite-web timeShift semantics).
+
+    `context` (all optional) powers series-free generators and
+    interval-string windows: {spark, from_s, to_s, step, now_s}.
     """
+    import inspect
 
-    def ev(nd) -> DataFrame:
+    ctx = context or {}
+    try:
+        _params = inspect.signature(grid_for_glob).parameters
+        _takes_offset = len(_params) >= 2 or any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL for p in _params.values()
+        )
+    except (TypeError, ValueError):
+        _takes_offset = True
+
+    def fetch(glob: str, offset: int) -> DataFrame:
+        if _takes_offset:
+            return grid_for_glob(glob, offset)
+        # a single-arg resolver declares itself window-less (returns ALL
+        # data regardless of [from, to]) — shifted fetches are then the
+        # same frame, and the relabel still lands the right rows
+        return grid_for_glob(glob)
+
+    def union_all(grids: list[DataFrame]) -> DataFrame:
+        g = grids[0]
+        for g2 in grids[1:]:
+            g = g.unionByName(g2)
+        return g
+
+    def ctx_step(fn: str) -> int:
+        step = ctx.get("step")
+        if not step:
+            raise TargetSyntaxError(
+                f"{fn}() with an interval-string window needs the render "
+                "step in the evaluation context"
+            )
+        return int(step)
+
+    def generate(nd: Call) -> DataFrame:
+        """constantLine / threshold / timeFunction — no fetch, built from
+        the render context as a distributed range (never a driver loop)."""
+        spark = ctx.get("spark")
+        from_s, to_s = ctx.get("from_s"), ctx.get("to_s")
+        step = ctx.get("step") or 60
+        if spark is None or from_s is None or to_s is None:
+            raise TargetSyntaxError(
+                f"{nd.name}() needs a render context (spark, from_s, to_s)"
+            )
+        base = spark.range(int(from_s), int(to_s) + 1, int(step)).select(
+            F.col("id").alias("slot_s")
+        )
+        if nd.name in ("constantLine", "threshold"):
+            if not nd.args:
+                raise TargetSyntaxError(f"{nd.name}() needs a value")
+            value = float(nd.args[0])
+            label = (
+                str(nd.args[1])
+                if nd.name == "threshold" and len(nd.args) > 1
+                else f"constantLine({nd.args[0]})"
+            )
+            return base.select(
+                F.lit(label).alias("path"), "slot_s", F.lit(value).alias("stat")
+            )
+        # timeFunction("name"): value == slot timestamp
+        label = str(nd.args[0]) if nd.args else "timeFunction"
+        return base.select(
+            F.lit(label).alias("path"),
+            "slot_s",
+            F.col("slot_s").cast("double").alias("stat"),
+        )
+
+    def apply_by_node(nd: Call, offset: int) -> DataFrame:
+        """applyByNode(seriesList, nodeNum, 'template(%...)'): group series
+        by their first nodeNum+1 path segments and evaluate the template
+        once per group with % -> the group prefix. The prefix list is
+        series-name sized (driver-side by nature of the render boundary)."""
+        if len(nd.args) < 3 or not isinstance(nd.args[0], (Call, PathGlob)):
+            raise TargetSyntaxError(
+                "applyByNode needs (seriesList, nodeNum, templateFunction)"
+            )
+        node_num = int(nd.args[1])
+        template = str(nd.args[2])
+        seed = ev(nd.args[0], offset)
+        prefixes = [
+            r["p"]
+            for r in seed.select(
+                F.array_join(
+                    F.slice(F.split("path", r"\."), 1, node_num + 1), "."
+                ).alias("p")
+            )
+            .distinct()
+            .orderBy("p")
+            .limit(201)
+            .collect()
+        ]
+        if len(prefixes) > 200:
+            raise TargetSyntaxError(
+                "applyByNode expanded to >200 groups; narrow the seriesList"
+            )
+        if not prefixes:
+            return seed
+        outs = [
+            ev(parse_target(template.replace("%", p)), offset) for p in prefixes
+        ]
+        return union_all(outs)
+
+    def ev(nd, offset: int = 0) -> DataFrame:
         if isinstance(nd, PathGlob):
-            return grid_for_glob(nd.glob)
+            return fetch(nd.glob, offset)
         if not isinstance(nd, Call):
             raise TargetSyntaxError(f"a scalar {nd!r} is not a series expression")
+        if nd.name == "timeShift":
+            if len(nd.args) < 2:
+                raise TargetSyntaxError("timeShift needs (seriesList, interval)")
+            delta = _shift_s(nd.args[1])
+            inner = ev(nd.args[0], offset + delta)
+            return sfn.time_shift(inner, -delta)
+        if nd.name == "timeStack":
+            if not nd.args:
+                raise TargetSyntaxError("timeStack needs a seriesList")
+            unit = _shift_s(nd.args[1]) if len(nd.args) > 1 else -86400
+            start = int(nd.args[2]) if len(nd.args) > 2 else 0
+            end = int(nd.args[3]) if len(nd.args) > 3 else 7
+            copies = []
+            for i in range(start, end):
+                delta = unit * i
+                c = sfn.time_shift(ev(nd.args[0], offset + delta), -delta)
+                copies.append(
+                    c.withColumn(
+                        "path", F.concat(F.col("path"), F.lit(f"_shift_{i}"))
+                    )
+                )
+            if not copies:
+                raise TargetSyntaxError("timeStack range is empty")
+            return union_all(copies)
+        if nd.name in _GENERATOR_FNS:
+            return generate(nd)
+        if nd.name == "applyByNode":
+            return apply_by_node(nd, offset)
         if nd.name == "weightedAverage":
             series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
             node_args = [a for a in nd.args if isinstance(a, (int, float))]
@@ -247,7 +438,9 @@ def evaluate_target(
                     "weightedAverage needs (seriesListAvg, seriesListWeight, *nodes)"
                 )
             return sfn.weighted_average(
-                ev(series_args[0]), ev(series_args[1]), *[int(n) for n in node_args]
+                ev(series_args[0], offset),
+                ev(series_args[1], offset),
+                *[int(n) for n in node_args],
             )
         if nd.name == "divideSeries":
             if len(nd.args) != 2 or not isinstance(nd.args[1], PathGlob):
@@ -258,7 +451,7 @@ def evaluate_target(
             divisor = nd.args[1].glob
             if any(ch in divisor for ch in "*?[{"):
                 raise TargetSyntaxError("divideSeries divisor must not be a glob")
-            u = ev(nd.args[0]).unionByName(ev(nd.args[1]))
+            u = ev(nd.args[0], offset).unionByName(ev(nd.args[1], offset))
             return sfn.divide_series(u, divisor)
         if nd.name == "diffSeries":
             if not nd.args or not isinstance(nd.args[0], PathGlob):
@@ -268,11 +461,8 @@ def evaluate_target(
             base = nd.args[0].glob
             if any(ch in base for ch in "*?[{"):
                 raise TargetSyntaxError("diffSeries base must not be a glob")
-            grids = [ev(a) for a in nd.args]
-            u = grids[0]
-            for g2 in grids[1:]:
-                u = u.unionByName(g2)
-            return sfn.diff_series(u, base)
+            grids = [ev(a, offset) for a in nd.args]
+            return sfn.diff_series(union_all(grids), base)
         spec = _SPECS.get(nd.name)
         if spec is None:
             raise TargetSyntaxError(f"unknown function {nd.name!r}")
@@ -280,17 +470,44 @@ def evaluate_target(
         scalars = []
         for a in nd.args:
             if isinstance(a, (Call, PathGlob)):
-                series_grids.append(ev(a))
+                series_grids.append(ev(a, offset))
             else:
                 scalars.append(a)
         if not series_grids:
             raise TargetSyntaxError(f"{nd.name}() needs a series argument")
-        g = series_grids[0]
-        for g2 in series_grids[1:]:
-            g = g.unionByName(g2)
-        return spec(g, *scalars)
+        if (
+            nd.name in _INTERVAL_WINDOW_FNS
+            and scalars
+            and isinstance(scalars[0], str)
+        ):
+            scalars = [max(1, _dur_s(scalars[0]) // ctx_step(nd.name))] + list(
+                scalars[1:]
+            )
+        try:
+            return spec(union_all(series_grids), *scalars)
+        except (ValueError, KeyError) as e:
+            # bad method name / bad scalar — surface as a target error, not
+            # a 500 (ADVICE: summarize(x,'1h','bogus') must not KeyError)
+            raise TargetSyntaxError(f"{nd.name}(): {e}") from e
 
-    return ev(node)
+    return ev(node, 0)
+
+
+def target_consolidation(node) -> str | None:
+    """The consolidateBy() method named anywhere in the target, if any —
+    read before fetching so maxDataPoints coarsening re-buckets with the
+    user's chosen function (graphite consolidateBy semantics)."""
+    if isinstance(node, Call):
+        if node.name == "consolidateBy":
+            for a in node.args:
+                if not isinstance(a, (Call, PathGlob)):
+                    return _how(a, "avg")
+            return "avg"
+        for a in node.args:
+            found = target_consolidation(a)
+            if found:
+                return found
+    return None
 
 
 def target_globs(node) -> list[str]:

@@ -250,11 +250,29 @@ def smart_summarize(
     return grid.withColumn("slot_s", close).groupBy("path", "slot_s").agg(agg)
 
 
+def _series_rank_agg(how: str):
+    """Whole-series ranking aggregate for top/bottom/sort functions.
+    'current' is the value at the latest non-null slot (graphite
+    highestCurrent); null-stat rows contribute a null key max_by skips."""
+    aggs = {
+        "avg": F.avg("stat"),
+        "max": F.max("stat"),
+        "min": F.min("stat"),
+        "sum": F.sum("stat"),
+        "total": F.sum("stat"),
+        "current": F.max_by("stat", F.when(F.col("stat").isNotNull(), F.col("slot_s"))),
+        "stddev": F.stddev_pop("stat"),
+    }
+    if how not in aggs:
+        raise ValueError(f"unsupported series rank {how!r}; one of {sorted(aggs)}")
+    return lambda _c: aggs[how]
+
+
 def top_series(grid: DataFrame, k: int, how: str = "avg") -> DataFrame:
     """Keep the k series with the highest aggregate value
     (highestAverage/highestMax): rank whole series, semi-join the grid —
     two shuffles on `path`, no collect."""
-    agg = {"avg": F.avg, "max": F.max, "sum": F.sum}[how]
+    agg = _series_rank_agg(how)
     ranked = (
         grid.groupBy("path")
         .agg(agg("stat").alias("__v"))
@@ -269,7 +287,7 @@ def bottom_series(grid: DataFrame, k: int, how: str = "avg") -> DataFrame:
     """Keep the k series with the LOWEST aggregate value
     (lowestAverage/lowestMax) — same broadcast-semi-join shape as
     top_series."""
-    agg = {"avg": F.avg, "max": F.max, "sum": F.sum}[how]
+    agg = _series_rank_agg(how)
     ranked = (
         grid.groupBy("path")
         .agg(agg("stat").alias("__v"))
@@ -554,10 +572,23 @@ def n_percentile(grid: DataFrame, p: float) -> DataFrame:
 
 def aggregate_line(grid: DataFrame, how: str = "avg") -> DataFrame:
     """Constant line at each series' aggregate value (aggregateLine()) —
-    same mechanics as n_percentile but for avg/min/max/sum."""
-    agg = {"avg": F.avg, "min": F.min, "max": F.max, "sum": F.sum}[how]
-    val = agg("stat").over(_whole())
-    return grid.withColumn("stat", val)
+    same mechanics as n_percentile but for the summarize() vocabulary."""
+    aggs = {
+        "avg": F.avg("stat"),
+        "min": F.min("stat"),
+        "max": F.max("stat"),
+        "sum": F.sum("stat"),
+        "last": F.max_by("stat", F.when(F.col("stat").isNotNull(), F.col("slot_s"))),
+        "count": F.count("stat").cast("double"),
+        "stddev": F.stddev_pop("stat"),
+        "median": F.expr("percentile(stat, 0.5)"),
+        "range": F.max("stat") - F.min("stat"),
+    }
+    if how not in aggs:
+        raise ValueError(
+            f"unsupported aggregation {how!r}; one of {', '.join(sorted(aggs))}"
+        )
+    return grid.withColumn("stat", aggs[how].over(_whole()))
 
 
 def most_deviant(grid: DataFrame, k: int) -> DataFrame:
@@ -778,3 +809,119 @@ def linear_regression(grid: DataFrame) -> DataFrame:
     slope = F.covar_pop(x, "stat").over(w) / F.var_pop(x).over(w)
     intercept = F.avg("stat").over(w) - slope * F.avg(x).over(w)
     return grid.withColumn("stat", intercept + slope * F.col("slot_s"))
+
+
+# ------------------------------------------------ round-2 additions
+
+
+def multiply_series(grid: DataFrame) -> DataFrame:
+    """Element-wise product of all input series (multiplySeries()) — a
+    single F.product aggregation per slot; null inputs null the slot like
+    graphite (product over a slot with any None is None)."""
+    any_null = F.max(F.col("stat").isNull().cast("int"))
+    return (
+        grid.groupBy("slot_s")
+        .agg(F.when(any_null == 0, F.product("stat")).alias("stat"))
+        .select(F.lit("multiplySeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def median_series(grid: DataFrame) -> DataFrame:
+    """Per-slot exact median across series (medianSeries())."""
+    return (
+        grid.groupBy("slot_s")
+        .agg(F.expr("percentile(stat, 0.5)").alias("stat"))
+        .select(F.lit("medianSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def is_non_null(grid: DataFrame) -> DataFrame:
+    """1 where the slot has a value, 0 where it is null (isNonNull()) —
+    the data-presence indicator."""
+    return grid.withColumn(
+        "stat", F.col("stat").isNotNull().cast("int").cast("double")
+    )
+
+
+def scale_to_seconds(grid: DataFrame, seconds: int) -> DataFrame:
+    """Normalize per-slot totals to a per-`seconds` rate
+    (scaleToSeconds()): value * seconds / step, using the series' own grid
+    step — no external step parameter needed."""
+    return grid.withColumn(
+        "stat", F.col("stat") * F.lit(float(seconds)) / _step_col()
+    )
+
+
+def alias_sub(grid: DataFrame, pattern: str, replacement: str) -> DataFrame:
+    """Regex-rewrite series names (aliasSub(pattern, replacement));
+    graphite's \\1 backrefs map to Spark's $1."""
+    spark_repl = __import__("re").sub(r"\\(\d)", r"$\1", replacement)
+    return grid.withColumn("path", F.regexp_replace("path", pattern, spark_repl))
+
+
+def alias_by_metric(grid: DataFrame) -> DataFrame:
+    """Shorten every series name to its final dot-segment (aliasByMetric())."""
+    return grid.withColumn(
+        "path", F.element_at(F.split("path", r"\."), -1)
+    )
+
+
+def substr_names(grid: DataFrame, start: int = 0, stop: int = 0) -> DataFrame:
+    """Keep path segments [start, stop) — graphite substr(); stop=0 means
+    to the end. Node indices 0-based like aliasByNode."""
+    parts = F.split("path", r"\.")
+    length = (F.size(parts) - start) if stop == 0 else F.lit(stop - start)
+    return grid.withColumn(
+        "path", F.array_join(F.slice(parts, start + 1, length), ".")
+    )
+
+
+def maximum_above(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose max exceeds n (maximumAbove())."""
+    keep = (
+        grid.groupBy("path").agg(F.max("stat").alias("__v"))
+        .filter(F.col("__v") > n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def minimum_below(grid: DataFrame, n: float) -> DataFrame:
+    """Keep series whose min is under n (minimumBelow())."""
+    keep = (
+        grid.groupBy("path").agg(F.min("stat").alias("__v"))
+        .filter(F.col("__v") < n).select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def sort_by(grid: DataFrame, how: str = "avg", reverse: bool = False) -> DataFrame:
+    """Order series for presentation (sortByTotal/sortByMaxima/sortByMinima/
+    sortBy): attach a dense `__ord` rank column computed from a whole-series
+    aggregate; the render boundary orders its collect by __ord when present.
+    The rank table is series-count sized — broadcast back onto the grid."""
+    agg = _series_rank_agg(how)
+    order = F.desc_nulls_last("__v") if reverse else F.asc_nulls_last("__v")
+    ranked = (
+        grid.groupBy("path")
+        .agg(agg(None).alias("__v"))
+        .withColumn("__ord", F.row_number().over(
+            Window.orderBy(order, "path")
+        ))
+        .select("path", "__ord")
+    )
+    return grid.drop("__ord").join(F.broadcast(ranked), "path", "left")
+
+
+def sort_by_name(grid: DataFrame, natural: bool = False) -> DataFrame:
+    """sortByName(): lexical series order via the same __ord convention.
+    natural=True zero-pads digit runs so srv2 < srv10."""
+    key = (
+        F.regexp_replace("path", r"(\d+)", r"0000000000$1") if natural
+        else F.col("path")
+    )
+    ranked = (
+        grid.select("path").distinct()
+        .withColumn("__ord", F.row_number().over(Window.orderBy(key.alias("__k"))))
+        .select("path", "__ord")
+    )
+    return grid.drop("__ord").join(F.broadcast(ranked), "path", "left")

@@ -75,10 +75,12 @@ def decode_blobs(
         F.col(key_col).alias("key"),
         F.col(blob_col).alias("blob"),
         (F.octet_length(blob_col) / (batch_bucket_mb * 1024 * 1024)).cast("int").alias("_bucket"),
-        # partition by (size-class, key): same-class payloads batch together
-        # for bounded Arrow batches, while the key spreads each class across
-        # the cluster (by class alone, one class = one partition = one task)
-    ).repartition("_bucket", "key")
+        # RANGE-partition by (size-class, key): classes stay contiguous —
+        # every partition holds payloads of one (or two adjacent) size
+        # classes, bounding Arrow batch memory — while the key spreads each
+        # class across many tasks (hash repartition on the pair would mix
+        # classes arbitrarily within a partition)
+    ).repartitionByRange("_bucket", "key")
 
     def _decode(batches):
         for pdf in batches:

@@ -62,3 +62,59 @@ def salted_agg(
     salt = F.pmod(F.hash(*df.columns), F.lit(n_salt)).alias("__salt")
     phase1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    cap: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """All intra-bucket id pairs (id1 < id2) of a self-join on `keys`,
+    skew-safe: buckets larger than `cap` are grid-split so no single task
+    owns a degenerate bucket's quadratic pair tail.
+
+    The failure mode this guards (VERDICT r1 #6): an LSH band join where
+    thousands of identical documents share one (band, key) — the bucket's
+    n^2/2 output pairs are REAL candidates (can't be dropped without
+    changing semantics), but a plain self-join computes them all in the one
+    task that owns the hot key. AQE skew-join won't split it: the skew is
+    in output volume, not input partition bytes.
+
+    Scheme: left side keeps one cell per row (its salt); right side of BIG
+    buckets replicates across all `n_cells` cells. A pair (x, y) matches
+    exactly where cell == salt(x), so each pair appears once and each task
+    computes ~(n/n_cells) x n of the bucket instead of n x n. Small buckets
+    pay one broadcast-join probe and an explode of a 1-element array.
+
+    Output: (id1, id2) distinct pairs. Deterministic (hash salt, no rand).
+    """
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    big = (
+        sizes.filter(F.col("__n") > cap)
+        .select(*keys)
+        .withColumn("__big", F.lit(True))
+    )
+    tagged = df.join(F.broadcast(big), keys, "left")
+    salt = F.pmod(F.xxhash64(id_col), F.lit(n_cells)).cast("int")
+    left = tagged.withColumn(
+        "__cell", F.when(F.col("__big"), salt).otherwise(F.lit(0))
+    ).drop("__big")
+    cells = F.when(
+        F.col("__big"), F.sequence(F.lit(0), F.lit(n_cells - 1))
+    ).otherwise(F.array(F.lit(0)))
+    right = tagged.withColumn("__cell", F.explode(cells)).drop("__big")
+    a, b = left.alias("a"), right.alias("b")
+    cond = (F.col("a.__cell") == F.col("b.__cell")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        )
+        .distinct()
+    )

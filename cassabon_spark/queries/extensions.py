@@ -281,18 +281,14 @@ def dedup_minhash(spark, sf_dir):
     bands = mh.select(
         "doc_id", "lang", F.posexplode(band_keys).alias("band", "bkey")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    # skew-safe band self-join: a degenerate band key (e.g. thousands of
+    # identical docs sharing one signature) grid-splits across tasks
+    # instead of computing its quadratic pair tail in one straggler
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    cand = salted_self_pairs(
+        bands, ["band", "bkey", "lang"], "doc_id"
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))

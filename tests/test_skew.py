@@ -76,3 +76,84 @@ def test_salted_agg_rejects_non_decomposable(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------- salted self-pairs
+
+
+def test_salted_self_pairs_matches_naive(spark):
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    # mixed buckets: several small, one over-cap
+    df = spark.range(200).select(
+        (F.col("id") % 7).cast("string").alias("bkey"),
+        F.col("id").alias("doc_id"),
+    )
+    got = salted_self_pairs(df, ["bkey"], "doc_id", cap=10, n_cells=4)
+    a, b = df.alias("a"), df.alias("b")
+    want = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_salted_self_pairs_degenerate_bucket(spark):
+    """10k identical docs in ONE band bucket (VERDICT r1 #6): ~50M real
+    candidate pairs. The grid split must spread the quadratic tail over
+    n_cells tasks; with the plain self-join one task owns all of it."""
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.lit("degenerate").alias("bkey"), F.col("id").alias("doc_id")
+    )
+    pairs = salted_self_pairs(df, ["bkey"], "doc_id", cap=64, n_cells=16)
+    # count() aggregates the pair stream without materializing it anywhere
+    assert pairs.count() == n * (n - 1) // 2
+    # the left side must carry 16 distinct cells so the join fans out
+    sizes = (
+        df.withColumn(
+            "__cell", F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int")
+        )
+        .groupBy("__cell")
+        .count()
+    )
+    cells = sizes.count()
+    assert cells == 16
+    # hash salt spreads near-uniformly: no cell above 2x the mean
+    top = sizes.agg(F.max("count")).first()[0]
+    assert top < 2 * (n / 16)
+
+
+def test_dedup_minhash_survives_identical_corpus(spark, tmp_path):
+    """End-to-end: the minhash band join finishes on an adversarial corpus
+    of identical documents (all shared signatures -> one hot band key)."""
+    import pandas as pd
+
+    n = 2_000
+    text = "the same exact document body repeated verbatim for every row"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "lang": ["en"] * n,
+            "text": [text] * n,
+            "title": [f"t{i}" for i in range(n)],
+            "url": [f"u{i}" for i in range(n)],
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+    from cassabon_spark.queries import load_registry
+
+    reg = load_registry()
+    out = reg["dedup_minhash_lsh"].fn(spark, str(sf))
+    # identical docs: every pair is a jaccard-1.0 duplicate
+    assert out.count() == n * (n - 1) // 2

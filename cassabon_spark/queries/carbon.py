@@ -252,7 +252,10 @@ ORDER BY path, time_s
     _PCTL_SQL,
     "statsd-style timer rollup beyond the reference's 5 methods: exact "
     "interpolated p50/p95/p99 per (path, 1h window) — percentile() is a "
-    "JVM aggregate, one shuffle like any other rollup method",
+    "JVM aggregate, one shuffle like any other rollup method. CONTRACT: "
+    "exact percentiles are single-tier only — they do not re-aggregate to "
+    "coarser windows (p95 of 6h is not derivable from 1h p95s); coarser "
+    "tiers use carbon_percentile_sketch_rollup's mergeable histogram",
 )
 def carbon_percentile(spark, sf_dir):
     prep(spark)
@@ -275,6 +278,91 @@ def carbon_percentile(spark, sf_dir):
     )
     return out.select("path", "time_s", "p50", "p95", "p99", "cnt").orderBy(
         "path", "time_s"
+    )
+
+
+
+# ------------------------------------------- mergeable percentile sketch
+
+# The sketch's value range is the operator's declared contract (statsd
+# histogram style): events.value lives in [0, 500); 250 bins -> 2.0
+# absolute error bound. Source rows carry BOTH window keys so the fine
+# (1h) sketch merges losslessly into the coarse (6h) tier.
+_SK_LO, _SK_HI, _SK_BINS = 0.0, 500.0, 250
+
+from cassabon_spark.operators.sketch import (  # noqa: E402
+    histogram_sketch,
+    merge_sketches,
+    sketch_quantiles,
+    sketch_quantiles_sql,
+)
+
+_SK_SRC = f"""
+SELECT * FROM (
+  SELECT 'evt.' || event_type AS path,
+         CAST(FLOOR(EPOCH(ts) / 21600) * 21600 + 21600 AS BIGINT) AS time_s,
+         value
+  FROM events
+  WHERE 'evt.' || event_type IN ('evt.click', 'evt.view', 'evt.purchase')
+)
+WHERE time_s > {JAN_5} AND time_s <= {JAN_8}
+"""
+
+_PCTL_SKETCH_SQL = (
+    "SELECT path, time_s, ROUND(ROUND(q50, 8), 4) AS p50, "
+    "ROUND(ROUND(q95, 8), 4) AS p95, ROUND(ROUND(q99, 8), 4) AS p99 FROM ("
+    + sketch_quantiles_sql(
+        _SK_SRC, ["path", "time_s"], [0.50, 0.95, 0.99],
+        _SK_LO, _SK_HI, _SK_BINS,
+    )
+    + ") ORDER BY path, time_s"
+)
+
+
+@register(
+    "carbon_percentile_sketch_rollup",
+    _PCTL_SKETCH_SQL,
+    "multi-tier percentile rollup via a mergeable fixed-range histogram "
+    "sketch (operators/sketch.py): 1h sketches merge by count-addition "
+    "into 6h windows, p50/p95/p99 interpolated from the merged bins. "
+    "This is the re-aggregatable percentile the exact rollup cannot be; "
+    "error bound (hi-lo)/nbins = 2.0. Bin arithmetic is IEEE add/mul/div "
+    "only, so the DuckDB oracle reproduces every estimate bit-for-bit.",
+)
+def carbon_percentile_sketch(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.queries import R
+
+    m = _metrics(spark, sf_dir).filter(
+        F.col("path").isin(["evt.click", "evt.view", "evt.purchase"])
+    )
+    keyed = m.select(
+        "path",
+        (F.floor(F.col("ts") / 3600) * 3600 + 3600).cast("bigint").alias("w1"),
+        (F.floor(F.col("ts") / 21600) * 21600 + 21600)
+        .cast("bigint")
+        .alias("time_s"),
+        "value",
+    )
+    # fine tier: one sketch per (path, 1h window) — what the store persists
+    fine = histogram_sketch(
+        keyed, ["path", "time_s", "w1"], "value", _SK_LO, _SK_HI, _SK_BINS
+    )
+    # coarse tier: drop the fine key, ADD counts (the lossless merge)
+    merged = merge_sketches(fine, ["path", "time_s"])
+    out = sketch_quantiles(
+        merged, ["path", "time_s"], [0.50, 0.95, 0.99], _SK_LO, _SK_HI, _SK_BINS
+    )
+    return (
+        out.filter((F.col("time_s") > JAN_5) & (F.col("time_s") <= JAN_8))
+        .select(
+            "path",
+            "time_s",
+            R(F.col("q50"), 4).alias("p50"),
+            R(F.col("q95"), 4).alias("p95"),
+            R(F.col("q99"), 4).alias("p99"),
+        )
+        .orderBy("path", "time_s")
     )
 
 

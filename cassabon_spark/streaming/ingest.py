@@ -74,27 +74,90 @@ def _write_batch(
         update_index_incremental(batch_df.sparkSession, metrics, index_dir)
 
 
+def kafka_records_to_lines(records: DataFrame) -> DataFrame:
+    """Kafka record payloads -> one carbon line per row (column `value`).
+
+    A Kafka record carries a BINARY value that may hold MANY newline-joined
+    carbon lines (producers batch, exactly like the reference's UDP
+    datagrams, carbon_plaintext.go:148-183 — but record framing means no
+    cross-record reassembly is ever needed). Split + explode, drop empties;
+    the downstream parse (A3) handles anything malformed.
+
+    Pure Catalyst (split/explode/filter), shared verbatim between the
+    streaming reader and the batch unit test.
+    """
+    return (
+        records.select(
+            F.explode(F.split(F.col("value").cast("string"), "\n")).alias("value")
+        )
+        .filter(F.trim("value") != "")
+    )
+
+
+def lines_reader(
+    spark: SparkSession,
+    source: str = "files",
+    lines_dir: str | None = None,
+    source_options: dict | None = None,
+    max_files_per_trigger: int = 64,
+) -> DataFrame:
+    """Streaming DataFrame of carbon lines (column `value`) from any source.
+
+    source='files'  — file-drop dir (the tested production shape; the
+                      socket bridge in sources.bridge rolls TCP/UDP into
+                      files). Needs lines_dir.
+    source='kafka'  — readStream.format('kafka') with source_options
+                      passed through (kafka.bootstrap.servers, subscribe,
+                      startingOffsets, ...). Payloads may be multi-line;
+                      kafka_records_to_lines normalizes them.
+    source='socket' — readStream.format('socket') (dev-only, at-most-once;
+                      host/port in source_options).
+
+    Everything downstream (parse -> route -> rollup -> sink) is identical
+    across sources — the graph is source-agnostic by construction.
+    """
+    opts = dict(source_options or {})
+    if source == "files":
+        if not lines_dir:
+            raise ValueError("source='files' needs lines_dir")
+        return (
+            spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .options(**opts)
+            .text(lines_dir)
+        )
+    if source == "kafka":
+        records = spark.readStream.format("kafka").options(**opts).load()
+        return kafka_records_to_lines(records)
+    if source == "socket":
+        return spark.readStream.format("socket").options(**opts).load()
+    raise ValueError(f"unknown ingest source {source!r}")
+
+
 def ingest_stream(
     spark: SparkSession,
     config: RollupConfig,
-    lines_dir: str,
-    out_dir: str,
-    checkpoint_dir: str,
+    lines_dir: str | None = None,
+    out_dir: str = None,
+    checkpoint_dir: str = None,
     available_now: bool = False,
     trigger_seconds: int = 5,
     max_files_per_trigger: int = 64,
     index_dir: str | None = None,
     table_format: str = "dirs",
+    source: str = "files",
+    source_options: dict | None = None,
 ):
-    """Start the ingest query over a file-drop directory of carbon line files
-    (the production shape: the socket bridge in sources.bridge rolls TCP/UDP
-    traffic into files; Kafka would slot in identically via readStream).
+    """Start the ingest query: lines from `source` (files / kafka / socket,
+    see lines_reader) through parse -> route -> rollup -> store.
 
     Returns the StreamingQuery. Caller owns awaitTermination/stop.
     """
-    lines = (
-        spark.readStream.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .text(lines_dir)
+    lines = lines_reader(
+        spark,
+        source=source,
+        lines_dir=lines_dir,
+        source_options=source_options,
+        max_files_per_trigger=max_files_per_trigger,
     )
     writer = lines.writeStream.foreachBatch(
         lambda df, bid: _write_batch(df, bid, config, out_dir, index_dir, table_format)

@@ -154,3 +154,71 @@ def test_checkpoint_restart_exactly_once(spark):
         assert cnt == 10
         resp = query_metrics(spark, store, CFG, ["s.path"], 995, 1025, now_s=2000)
         assert resp["series"]["s.path"] == [None, 5.5, 15.5]
+
+
+# ---------------------------------------------------- source abstraction
+
+
+def test_kafka_records_to_lines_batch(spark):
+    """The kafka payload normalization is pure Catalyst — testable on a
+    static frame: multi-line payloads split, blanks dropped, binary cast."""
+    from cassabon_spark.streaming.ingest import kafka_records_to_lines
+
+    rows = [
+        (bytearray(b"evt.a 1 100\nevt.b 2 200\n"),),
+        (bytearray(b"evt.c 3 300"),),
+        (bytearray(b"\n\n"),),
+    ]
+    records = spark.createDataFrame(rows, "value binary")
+    lines = [r["value"] for r in kafka_records_to_lines(records).collect()]
+    assert sorted(lines) == ["evt.a 1 100", "evt.b 2 200", "evt.c 3 300"]
+
+
+def test_kafka_lines_share_parse_path(spark):
+    """Payload lines flow through the SAME A3 parser as the file source."""
+    from cassabon_spark.sources.carbon import parse_carbon_lines
+    from cassabon_spark.streaming.ingest import kafka_records_to_lines
+
+    records = spark.createDataFrame(
+        [(bytearray(b"evt.a 1.5 100\nmalformed\n"),)], "value binary"
+    )
+    metrics, bad = parse_carbon_lines(
+        kafka_records_to_lines(records), line_col="value"
+    )
+    got = metrics.collect()
+    assert len(got) == 1 and got[0]["path"] == "evt.a" and got[0]["value"] == 1.5
+
+
+def test_kafka_reader_graph_construction(spark):
+    """The kafka variant builds the same downstream graph; the connector
+    jar may be absent in this environment, in which case constructing the
+    reader raises and the test skips (config-level path still covered by
+    the payload tests above)."""
+    import pytest as _pytest
+
+    from cassabon_spark.streaming.ingest import lines_reader
+
+    try:
+        lines = lines_reader(
+            spark,
+            source="kafka",
+            source_options={
+                "kafka.bootstrap.servers": "localhost:9999",
+                "subscribe": "carbon",
+                "startingOffsets": "earliest",
+            },
+        )
+    except Exception as e:  # noqa: BLE001 — DATA_SOURCE_NOT_FOUND etc.
+        _pytest.skip(f"kafka connector unavailable: {type(e).__name__}")
+    assert lines.isStreaming and dict(lines.dtypes)["value"] == "string"
+    plan = lines._jdf.queryExecution().logical().toString()
+    assert "kafka" in plan.lower()
+
+
+def test_unknown_source_rejected(spark):
+    from cassabon_spark.streaming.ingest import lines_reader
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown ingest source"):
+        lines_reader(spark, source="carrier-pigeon")

@@ -172,7 +172,10 @@ class Engine:
         reference's flush, run as maintenance (streaming.ingest.compact_store).
         Without arguments compacts every existing partition (fine locally;
         at scale schedule per recent partition). Returns partitions touched."""
-        from cassabon_spark.streaming.ingest import compact_partials, compact_store
+        from cassabon_spark.streaming.ingest import (
+            compact_snapshot_partition,
+            compact_store,
+        )
 
         if self.table is not None:
             parts = sorted(
@@ -189,11 +192,7 @@ class Engine:
                     continue
                 self.table.rewrite_partition(
                     {"resolution_s": res, "date_bucket": day},
-                    lambda df: compact_partials(df.drop("resolution_s", "date_bucket"))
-                    .withColumn("resolution_s", F.lit(int(res)).cast("bigint"))
-                    .withColumn("date_bucket", F.lit(day))
-                    .repartition(1)
-                    .sortWithinPartitions("path", "time"),
+                    compact_snapshot_partition,
                     partition_cols=("resolution_s", "date_bucket"),
                 )
                 touched += 1

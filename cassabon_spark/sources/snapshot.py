@@ -71,9 +71,26 @@ class SnapshotTable:
             for p in Path(self.root, MANIFEST_DIR).glob("v*.json")
         )
 
+    def _head_hint_path(self) -> Path:
+        return Path(self.root, MANIFEST_DIR, "_HEAD")
+
     def version(self) -> int | None:
-        vs = self.versions()
-        return vs[-1] if vs else None
+        """Latest version, O(1) in commit count: read the _HEAD hint and
+        probe forward past any commits whose hint write was lost (the hint
+        is best-effort — commits are the manifests themselves). Falls back
+        to a full listing when no/invalid hint exists."""
+        try:
+            v = int(self._head_hint_path().read_text().strip())
+        except (OSError, ValueError):
+            vs = self.versions()
+            return vs[-1] if vs else None
+        if not self._manifest_path(v).exists():
+            # stale-ahead hint (e.g. restored backup) — re-list
+            vs = self.versions()
+            return vs[-1] if vs else None
+        while self._manifest_path(v + 1).exists():
+            v += 1
+        return v
 
     def _load(self, version: int) -> dict:
         return json.loads(self._manifest_path(version).read_text())
@@ -97,6 +114,13 @@ class SnapshotTable:
             raise CommitConflict(f"version {next_v} already committed") from e
         finally:
             tmp.unlink(missing_ok=True)
+        # best-effort O(1) head pointer; version() self-heals if this is lost
+        try:
+            hint = Path(self.root, MANIFEST_DIR, f".head-{uuid.uuid4().hex}")
+            hint.write_text(str(next_v))
+            os.replace(hint, self._head_hint_path())
+        except OSError:
+            pass
         return next_v
 
     # ------------------------------------------------------------ read path
@@ -265,6 +289,40 @@ class SnapshotTable:
         return (v, [dict(d) for d in dropped])
 
     # ------------------------------------------------------------ maintenance
+
+    def auto_compact(
+        self,
+        transform: Callable[[DataFrame], DataFrame],
+        partition_cols: tuple[str, ...] = (),
+        max_files_per_partition: int = 16,
+        vacuum_retain: int = 16,
+    ) -> int:
+        """Threshold-triggered compaction: rewrite (via `transform`) every
+        partition whose manifest file count exceeds the threshold, then
+        vacuum manifests/files beyond the retain window so neither commit
+        count nor small-file count grows without bound under streaming
+        appends. The trigger check is driver-side over the in-memory
+        manifest — a no-op costs one JSON read, no data IO.
+
+        Returns the number of partitions compacted. Call it from the ingest
+        foreachBatch (streaming.ingest does) or a maintenance cron.
+        """
+        snap = self.snapshot()
+        counts: dict[tuple, dict] = {}
+        for f in snap["files"]:
+            key = tuple(sorted(f["partition"].items()))
+            counts.setdefault(key, {"partition": f["partition"], "n": 0})
+            counts[key]["n"] += 1
+        hot = [c["partition"] for c in counts.values() if c["n"] > max_files_per_partition]
+        for part in hot:
+            try:
+                self.rewrite_partition(part, transform, partition_cols=partition_cols)
+            except CommitConflict:
+                # a racing writer moved head; next batch's trigger retries
+                break
+        if hot and vacuum_retain > 0:
+            self.vacuum(retain_last=vacuum_retain)
+        return len(hot)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Physically delete data files referenced by NO retained snapshot

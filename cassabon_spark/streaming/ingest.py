@@ -57,8 +57,16 @@ def _write_batch(
         # files for vacuum (sources/snapshot.py)
         from cassabon_spark.sources.snapshot import SnapshotTable
 
-        SnapshotTable(batch_df.sparkSession, out_dir).append(
-            bucketed, partition_cols=("resolution_s", "date_bucket")
+        table = SnapshotTable(batch_df.sparkSession, out_dir)
+        table.append(bucketed, partition_cols=("resolution_s", "date_bucket"))
+        # threshold-triggered auto-compaction: partitions accumulating many
+        # small partial files merge back to one row per (path, window);
+        # manifests beyond the retain window are pruned so head resolution
+        # and file listings stay O(1) in commit count. No-op cost: one
+        # manifest read per batch.
+        table.auto_compact(
+            compact_snapshot_partition,
+            partition_cols=("resolution_s", "date_bucket"),
         )
     else:
         (
@@ -169,13 +177,15 @@ def ingest_stream(
     return writer.start()
 
 
-def compact_partials(part: DataFrame) -> DataFrame:
+def compact_partials(part: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Merge partial rollup rows into one row per (path, window): the
     additive re-aggregation every carried column supports (sum/cnt, min,
     max, struct-tie-broken last). Shared by the directory compactor below
-    and the snapshot-table compaction path (engine.compact)."""
+    and the snapshot-table compaction paths (engine.compact + the
+    auto-compaction trigger). extra_keys keeps partition columns through
+    the merge when compacting in place."""
     return (
-        part.groupBy("path", "expression", "method", "time")
+        part.groupBy("path", "expression", "method", "time", *extra_keys)
         .agg(
             F.sum("cnt").alias("cnt"),
             F.sum("vsum").alias("vsum"),
@@ -192,6 +202,18 @@ def compact_partials(part: DataFrame) -> DataFrame:
             .when(F.col("method") == "sum", F.col("vsum"))
             .when(F.col("method") == "last", F.col("vlast")),
         )
+    )
+
+
+def compact_snapshot_partition(df: DataFrame) -> DataFrame:
+    """Partition-compaction transform for SnapshotTable.rewrite_partition /
+    auto_compact: merge partials keeping the partition columns, one sorted
+    output file per partition (row-group-friendly for the read path's
+    path/time predicates)."""
+    return (
+        compact_partials(df, extra_keys=("resolution_s", "date_bucket"))
+        .repartition(1)
+        .sortWithinPartitions("path", "time")
     )
 
 

@@ -145,3 +145,103 @@ def test_empty_table_reads_as_typed_empty_after_full_delete(spark, tmp_path):
     out = t.read()
     assert out.count() == 0
     assert set(out.columns) == {"k", "v", "res", "day"}
+
+
+# ------------------------------------------------- auto-compaction / O(1) head
+
+
+def test_auto_compact_bounds_files_and_manifests(spark, tmp_path):
+    """N small commits into one partition: the threshold trigger merges the
+    partition back to one file and prunes manifests beyond the retain
+    window — reader cost stays O(1) in commit count."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    schema = "k string, v bigint, res bigint, day string"
+    for i in range(12):
+        t.append(
+            spark.createDataFrame([(f"k{i}", i, 10, "2020-01-01")], schema),
+            partition_cols=("res", "day"),
+        )
+    part_files = [
+        f for f in t.snapshot()["files"]
+        if f["partition"] == {"res": "10", "day": "2020-01-01"}
+    ]
+    assert len(part_files) == 12
+    # transform: dedupe-free merge (just coalesce files)
+    n = t.auto_compact(
+        lambda df: df.repartition(1).sortWithinPartitions("k"),
+        partition_cols=("res", "day"),
+        max_files_per_partition=8,
+        vacuum_retain=4,
+    )
+    assert n == 1
+    part_files = [
+        f for f in t.snapshot()["files"]
+        if f["partition"] == {"res": "10", "day": "2020-01-01"}
+    ]
+    assert len(part_files) == 1
+    # data survives the rewrite
+    assert t.read().count() == 12
+    # manifests pruned to the retain window
+    assert len(t.versions()) <= 4
+    # below threshold -> no-op
+    assert (
+        t.auto_compact(
+            lambda df: df, partition_cols=("res", "day"), max_files_per_partition=8
+        )
+        == 0
+    )
+
+
+def test_head_hint_is_o1_and_self_heals(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    hint = Path(t.root, "_manifests", "_HEAD")
+    assert hint.read_text().strip() == "0"
+    # stale-behind hint (lost write): version() probes forward
+    t.append(
+        spark.createDataFrame([("z", 9, 10, "2020-01-09")], "k string, v bigint, res bigint, day string"),
+        partition_cols=("res", "day"),
+    )
+    hint.write_text("0")
+    assert t.version() == 1
+    # corrupt hint: falls back to listing
+    hint.write_text("garbage")
+    assert t.version() == 1
+    # missing hint: falls back to listing
+    hint.unlink()
+    assert t.version() == 1
+
+
+def test_streaming_ingest_auto_compacts(spark, tmp_path):
+    """End-to-end: many tiny microbatches through ingest_stream
+    (table_format='snapshot') leave a bounded per-partition file count and
+    an intact, compacted store."""
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.streaming.ingest import ingest_stream
+
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "sum", "windows": ["10s:1h"]}}
+    )
+    base = 1_700_000_000 - (1_700_000_000 % 10)
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    out = str(tmp_path / "store")
+    ck = str(tmp_path / "ck")
+    # 20 single-line files -> many commits into the SAME (res, day) partition
+    for i in range(20):
+        (lines_dir / f"f{i}.txt").write_text(f"m.a 1 {base + i * 10}\n")
+        q = ingest_stream(
+            spark, cfg, str(lines_dir), out, ck,
+            available_now=True, table_format="snapshot",
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    t = SnapshotTable(spark, out)
+    per_part: dict = {}
+    for f in t.snapshot()["files"]:
+        key = tuple(sorted(f["partition"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert max(per_part.values()) <= 17  # default threshold 16, compacts past it
+    df = t.read()
+    # every ingested point survives compaction: 20 windows, sum 1 each
+    assert df.count() == 20
+    assert df.agg(F.sum("stat")).first()[0] == 20.0

@@ -1069,3 +1069,167 @@ def carbon_groupbynode(spark, sf_dir):
         .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
         .orderBy("slot_s")
     )
+
+
+# ------------------------------------- round-2 render-function promotions
+
+_SORTTOTAL_SQL = f"""
+{_GRID_CTE},
+ranked AS (
+  SELECT path, ROW_NUMBER() OVER (ORDER BY SUM(stat) DESC NULLS LAST, path) AS ord
+  FROM grid GROUP BY path
+)
+SELECT g.path, g.slot_s, ROUND(ROUND(g.stat, 8), 4) AS stat, r.ord
+FROM grid g JOIN ranked r ON g.path = r.path
+ORDER BY r.ord, g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_sort_by_total",
+    _SORTTOTAL_SQL,
+    "Graphite sortByTotal() over the grid: presentation order as a dense "
+    "__ord rank from a whole-series aggregate, broadcast back onto the "
+    "grid — the render boundary orders its collect by it",
+)
+def carbon_sort_by_total(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import sort_by
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method="average",
+    )
+    return (
+        sort_by(grid, "total", reverse=True)
+        .select(
+            "path",
+            "slot_s",
+            R(F.col("stat"), 4).alias("stat"),
+            F.col("__ord").alias("ord"),
+        )
+        .orderBy("ord", "path", "slot_s")
+    )
+
+
+# consolidation = the engine's maxDataPoints/consolidateBy path: the READ
+# re-buckets the 1h tier onto a 3h grid with the consolidation method (A14
+# machinery with method override), so the coarse grid is computed scan-side,
+# never by post-processing a collected fine grid.
+_CONSOLIDATE_SQL = f"""
+WITH m AS ({_M}),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  -- scan window matches the read path: [from, to] on close time; 1h rows
+  -- BEFORE the first 3h boundary still merge into it (A14 ceil-merge)
+  HAVING time_s >= {JAN_5} AND time_s <= {JAN_8}
+),
+rebucket AS (
+  SELECT path,
+         CAST(FLOOR((time_s + 10800 - 1) / 10800) * 10800 AS BIGINT) AS slot_s,
+         MAX(vsum / cnt) AS stat
+  FROM store GROUP BY 1, 2
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 + 10800}, {JAN_8}, 10800)) AS slot_s) s
+)
+SELECT spine.path, spine.slot_s, ROUND(ROUND(rebucket.stat, 8), 4) AS stat
+FROM spine LEFT JOIN rebucket
+  ON rebucket.path = spine.path AND rebucket.slot_s = spine.slot_s
+ORDER BY spine.path, spine.slot_s
+"""
+
+
+@register(
+    "carbon_render_consolidate",
+    _CONSOLIDATE_SQL,
+    "consolidateBy('max') + maxDataPoints coarsening as the READ path runs "
+    "it: the 1h tier re-buckets onto a 3h grid scan-side with the "
+    "consolidation method (engine.render_target's guard), so the driver "
+    "never collects the fine grid",
+)
+def carbon_render_consolidate(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    grid = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=10800,  # 3x coarser than the tier: the maxDataPoints factor
+        method="max",  # consolidateBy('max')
+        resolution_s=3600,
+    )
+    return grid.select(
+        "path", "slot_s", R(F.col("stat"), 4).alias("stat")
+    ).orderBy("path", "slot_s")
+
+
+# timeShift('1d'): fetch [from-1d, to-1d], display at [from, to] — the
+# fetch-window extension is the semantic fixed this round (ADVICE r1 #1).
+_TIMESHIFT_SQL = f"""
+WITH m AS ({_M}),
+store AS (
+  SELECT path, CAST(FLOOR(ts / 3600) * 3600 + 3600 AS BIGINT) AS time_s,
+         COUNT(*) AS cnt, SUM(value) AS vsum
+  FROM m
+  WHERE path IN ('evt.click', 'evt.view')
+  GROUP BY 1, 2
+  HAVING time_s >= {JAN_5 - 86400 + 3600} AND time_s <= {JAN_8 - 86400}
+),
+spine AS (
+  SELECT p.path, s.slot_s
+  FROM (SELECT UNNEST(['evt.click', 'evt.view']) AS path) p,
+       (SELECT UNNEST(GENERATE_SERIES({JAN_5 - 86400 + 3600}, {JAN_8 - 86400}, 3600)) AS slot_s) s
+)
+SELECT spine.path, spine.slot_s + 86400 AS slot_s,
+       ROUND(ROUND(store.vsum / store.cnt, 8), 4) AS stat
+FROM spine LEFT JOIN store
+  ON store.path = spine.path AND store.time_s = spine.slot_s
+ORDER BY spine.path, slot_s
+"""
+
+
+@register(
+    "carbon_series_timeshift",
+    _TIMESHIFT_SQL,
+    "Graphite timeShift(series, '1d') with the implied-minus convention: "
+    "the read FETCHES [from-1d, to-1d] and relabels the slots into "
+    "[from, to] — data moves, the display window does not",
+)
+def carbon_timeshift(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import time_shift
+    from cassabon_spark.queries import R
+
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    shifted_fetch = query_metrics_df(
+        spark,
+        finest,
+        paths=["evt.click", "evt.view"],
+        from_s=JAN_5 - 86400,
+        to_s=JAN_8 - 86400,
+        step=3600,
+        method="average",
+    )
+    return (
+        time_shift(shifted_fetch, 86400)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )

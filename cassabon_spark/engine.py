@@ -244,7 +244,15 @@ class Engine:
                 return cached
             self.cache_stats["misses"] += 1
         resp = qmod.query_metrics(
-            self.spark, self.store, self.config, paths, from_s, to_s, now_s=now_s
+            self.spark,
+            self.store,
+            self.config,
+            paths,
+            from_s,
+            to_s,
+            now_s=now_s,
+            max_datapoints=self.MAX_DATAPOINTS,
+            max_cells=self.MAX_RENDER_CELLS,
         )
         if key is not None:
             if len(self._result_cache) >= self._result_cache_max:

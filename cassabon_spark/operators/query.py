@@ -133,6 +133,8 @@ def query_metrics(
     from_s: int,
     to_s: int,
     now_s: int | None = None,
+    max_datapoints: int | None = None,
+    max_cells: int | None = None,
 ) -> dict:
     """Full GET /metrics equivalent -> MetricResponse-shaped dict
     {"from": normalFrom, "to": to, "step": step, "series": {path: [v|None,...]}}
@@ -141,15 +143,35 @@ def query_metrics(
     Tier/step selection per path via the broadcast config (A10); paths that
     share (step, method) are answered by one DataFrame chain; results are
     collected (bounded by paths x slots, same as the reference's response).
+
+    max_datapoints coarsens the step (read-time A14 re-aggregation with the
+    path's own method) when the range would exceed that many slots per
+    series — bounding BOTH the spine and the collect. max_cells is the hard
+    guard: a request whose paths x slots grid still exceeds it raises
+    instead of materializing an unbounded response on the driver.
     """
     now_s = int(_time.time()) if now_s is None else now_s
     groups: dict[tuple[int, str, int], list[str]] = {}
     for p in paths:
         d = config.route(p)
         tier = config.select_tier(d.expression, from_s, now_s)
-        groups.setdefault((tier.window_s, d.method, tier.window_s), []).append(p)
+        grp_step = tier.window_s
+        if max_datapoints:
+            slots = max(0, to_s - from_s) // grp_step + 1
+            if slots > max_datapoints:
+                grp_step = tier.window_s * -(-slots // max_datapoints)  # ceil
+        groups.setdefault((grp_step, d.method, tier.window_s), []).append(p)
     if not groups:
         return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+    if max_cells:
+        cells = sum(
+            len(ps) * (max(0, to_s - from_s) // k[0] + 1) for k, ps in groups.items()
+        )
+        if cells > max_cells:
+            raise ValueError(
+                f"metrics grid of {cells} cells exceeds max_cells={max_cells}; "
+                "narrow the paths or time range, or lower max_datapoints"
+            )
     # The reference serves ONE step per response (the first path's tier,
     # metricquery.go:102-121); multi-step groups answer with the finest.
     step = min(k[0] for k in groups)

@@ -154,3 +154,40 @@ def test_sub_step_range_returns_empty_grid(spark):
     out = query_metrics_df(spark, store, ["p"], 1000, 1005, 10, "average")
     assert out.count() == 0
     assert out.columns == ["path", "slot_s", "stat"]
+
+
+def test_query_metrics_max_datapoints_guard(spark):
+    """A year at 1s step would be a 31M-slot grid; the guard coarsens the
+    step BEFORE the spine exists, and the hard cell cap raises instead of
+    collecting unbounded (VERDICT r1 #2)."""
+    import pytest as _pytest
+
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.operators.query import query_metrics
+
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "sum", "windows": ["1s:730d"]}}
+    )
+    base = 1_700_000_000
+    store = spark.createDataFrame(
+        [("m.a", 1.0)], "path string, stat double"
+    ).select(
+        "path",
+        F.timestamp_seconds(F.lit(base + 3600)).alias("time"),
+        "stat",
+        F.lit(1).cast("bigint").alias("resolution_s"),
+    )
+    year = 365 * 86400
+    resp = query_metrics(
+        spark, store, cfg, ["m.a"], base, base + year,
+        now_s=base + year + 10, max_datapoints=10_000,
+    )
+    assert resp["step"] >= year // 10_000
+    assert len(resp["series"]["m.a"]) <= 10_000
+    # the ingested point survives the coarsened read
+    assert any(v == 1.0 for v in resp["series"]["m.a"] if v is not None)
+    with _pytest.raises(ValueError, match="max_cells"):
+        query_metrics(
+            spark, store, cfg, ["m.a"], base, base + year,
+            now_s=base + year + 10, max_datapoints=10_000, max_cells=100,
+        )

@@ -156,8 +156,16 @@ def _how(v, default: str) -> str:
 # of their grids (graphite semantics: the function sees all matched series).
 _SPECS: dict[str, Callable] = {
     "derivative": lambda g: sfn.derivative(g),
-    "nonNegativeDerivative": lambda g: sfn.non_negative_derivative(g),
-    "perSecond": lambda g: sfn.per_second(g),
+    "nonNegativeDerivative": lambda g, maxValue=None: (
+        sfn.non_negative_derivative(g)
+        if maxValue is None
+        else sfn.non_negative_derivative_max(g, float(maxValue))
+    ),
+    "perSecond": lambda g, maxValue=None: (
+        sfn.per_second(g)
+        if maxValue is None
+        else sfn.per_second_max(g, float(maxValue))
+    ),
     "integral": lambda g: sfn.integral(g),
     "movingAverage": lambda g, w: sfn.moving_average(g, int(w)),
     "movingMax": lambda g, w: sfn.moving_max(g, int(w)),
@@ -259,6 +267,47 @@ _SPECS: dict[str, Callable] = {
     # at the render boundary (maxDataPoints coarsening) — engine reads it
     # out of the AST via target_consolidation() before fetching.
     "consolidateBy": lambda g, how="avg": g,
+    # ------------------------------------------------------------ batch 2
+    "groupByNodes": lambda g, how, *nodes: sfn.group_by_nodes(
+        g, _how(how, "sum"), *[int(n) for n in nodes]
+    ),
+    "sumSeriesWithWildcards": lambda g, *pos: sfn.combine_with_wildcards(
+        g, "sum", *[int(p) for p in pos]
+    ),
+    "averageSeriesWithWildcards": lambda g, *pos: sfn.combine_with_wildcards(
+        g, "avg", *[int(p) for p in pos]
+    ),
+    "multiplySeriesWithWildcards": lambda g, *pos: sfn.combine_with_wildcards(
+        g, "multiply", *[int(p) for p in pos]
+    ),
+    "aggregate": lambda g, how="avg": sfn.aggregate_series(g, _how(how, "avg")),
+    "filterSeries": lambda g, how, op, t: sfn.filter_series(
+        g, _how(how, "avg"), str(op).strip("\"'"), float(t)
+    ),
+    "highest": lambda g, n=1, how="avg": sfn.top_series(g, int(n), _how(how, "avg")),
+    "lowest": lambda g, n=1, how="avg": sfn.bottom_series(g, int(n), _how(how, "avg")),
+    "exponentialMovingAverage": lambda g, n: sfn.exponential_moving_average(g, int(n)),
+    "minMax": lambda g: sfn.min_max(g),
+    "sigmoid": lambda g: sfn.sigmoid_series(g),
+    "logit": lambda g: sfn.logit_series(g),
+    "round": lambda g, p=0: sfn.round_series(g, int(p)),
+    "timeSlice": lambda g, s, e: sfn.time_slice(g, _dur_s(s), _dur_s(e)),
+    "unique": lambda g: sfn.unique_series(g),
+    "holtWintersConfidenceBands": lambda g, season=24, delta=3: (
+        sfn.holt_winters_bands_series(g, int(season), float(delta))
+    ),
+    # presentation-only graphite functions: rendering attributes have no
+    # data semantics here — accept-and-pass-through so real dashboard
+    # targets evaluate (graphite applies them at draw time)
+    "secondYAxis": lambda g: g,
+    "lineWidth": lambda g, w=1: g,
+    "dashed": lambda g, n=5: g,
+    "color": lambda g, c="": g,
+    "stacked": lambda g, name="": g,
+    "drawAsInfinite": lambda g: g,
+    "legendValue": lambda g, *a: g,
+    "verticalLine": lambda g, *a: g,
+    "cactiStyle": lambda g, *a: g,
 }
 
 #: moving-window functions whose window may be a graphite interval STRING
@@ -269,7 +318,7 @@ _INTERVAL_WINDOW_FNS = {
 }
 
 #: series-free generators — evaluated from the render context, no fetch.
-_GENERATOR_FNS = {"constantLine", "threshold", "timeFunction"}
+_GENERATOR_FNS = {"constantLine", "threshold", "timeFunction", "identity", "sinFunction"}
 
 # diffSeries is special-cased: base path must be concrete (first arg).
 
@@ -354,8 +403,16 @@ def evaluate_target(
             return base.select(
                 F.lit(label).alias("path"), "slot_s", F.lit(value).alias("stat")
             )
-        # timeFunction("name"): value == slot timestamp
-        label = str(nd.args[0]) if nd.args else "timeFunction"
+        if nd.name == "sinFunction":
+            label = str(nd.args[0]) if nd.args else "sinFunction"
+            amplitude = float(nd.args[1]) if len(nd.args) > 1 else 1.0
+            return base.select(
+                F.lit(label).alias("path"),
+                "slot_s",
+                (F.sin(F.col("slot_s").cast("double")) * amplitude).alias("stat"),
+            )
+        # timeFunction("name") / identity("name"): value == slot timestamp
+        label = str(nd.args[0]) if nd.args else nd.name
         return base.select(
             F.lit(label).alias("path"),
             "slot_s",
@@ -441,6 +498,15 @@ def evaluate_target(
                 ev(series_args[0], offset),
                 ev(series_args[1], offset),
                 *[int(n) for n in node_args],
+            )
+        if nd.name == "divideSeriesLists":
+            series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
+            if len(series_args) != 2:
+                raise TargetSyntaxError(
+                    "divideSeriesLists needs (dividendSeriesList, divisorSeriesList)"
+                )
+            return sfn.divide_series_lists(
+                ev(series_args[0], offset), ev(series_args[1], offset)
             )
         if nd.name == "divideSeries":
             if len(nd.args) != 2 or not isinstance(nd.args[1], PathGlob):

@@ -925,3 +925,227 @@ def sort_by_name(grid: DataFrame, natural: bool = False) -> DataFrame:
         .select("path", "__ord")
     )
     return grid.drop("__ord").join(F.broadcast(ranked), "path", "left")
+
+
+# ---------------------------------------------- round-2 additions, batch 2
+
+
+def group_by_nodes(grid: DataFrame, how: str, *nodes: int) -> DataFrame:
+    """Multi-node groupByNodes(seriesList, how, *nodes): series sharing ALL
+    the given path segments combine element-wise."""
+    agg = _COMBINE[how]
+    parts = F.split("path", r"\.")
+    key = F.concat_ws(".", *[F.element_at(parts, n + 1) for n in nodes])
+    return (
+        grid.withColumn("path", key)
+        .groupBy("path", "slot_s")
+        .agg(agg("stat").cast("double").alias("stat"))
+    )
+
+
+def combine_with_wildcards(grid: DataFrame, how: str, *positions: int) -> DataFrame:
+    """sumSeriesWithWildcards / averageSeriesWithWildcards /
+    multiplySeriesWithWildcards: DROP the given path segments, combine
+    series that then share a name. The complement of groupByNodes."""
+    parts = F.split("path", r"\.")
+    pos = sorted(set(int(p) for p in positions))
+    # filter's lambda index is 0-based, matching graphite node positions
+    kept = (
+        F.expr(
+            "filter(split(path, '\\\\.'), (x, i) -> NOT array_contains("
+            + "array(" + ",".join(str(p) for p in pos) + "), i))"
+        )
+        if pos
+        else parts
+    )
+    key = F.array_join(kept, ".")
+    if how == "multiply":
+        any_null = F.max(F.col("stat").isNull().cast("int"))
+        return (
+            grid.withColumn("path", key)
+            .groupBy("path", "slot_s")
+            .agg(F.when(any_null == 0, F.product("stat")).cast("double").alias("stat"))
+        )
+    agg = _COMBINE[how]
+    return (
+        grid.withColumn("path", key)
+        .groupBy("path", "slot_s")
+        .agg(agg("stat").cast("double").alias("stat"))
+    )
+
+
+def aggregate_series(grid: DataFrame, how: str = "avg") -> DataFrame:
+    """Graphite aggregate(seriesList, func): the generic across-series
+    combine — summarize() vocabulary plus multiply."""
+    if how == "multiply":
+        out = multiply_series(grid)
+        return out.withColumn("path", F.lit("aggregateSeries"))
+    aggs = {
+        "sum": F.sum("stat"),
+        "avg": F.avg("stat"),
+        "min": F.min("stat"),
+        "max": F.max("stat"),
+        "count": F.count("stat").cast("double"),
+        "stddev": F.stddev_pop("stat"),
+        "median": F.expr("percentile(stat, 0.5)"),
+        "range": F.max("stat") - F.min("stat"),
+        "last": F.last("stat", ignorenulls=True),
+    }
+    if how not in aggs:
+        raise ValueError(
+            f"unsupported aggregation {how!r}; one of {', '.join(sorted(aggs))}"
+        )
+    return (
+        grid.groupBy("slot_s")
+        .agg(aggs[how].cast("double").alias("stat"))
+        .select(F.lit("aggregateSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+def filter_series(grid: DataFrame, how: str, op: str, threshold: float) -> DataFrame:
+    """Graphite filterSeries(seriesList, func, operator, threshold): the
+    generic whole-series predicate filter (averageAbove & friends are its
+    special cases) — broadcast semi-join on the qualifying path set."""
+    agg = _series_rank_agg(how)(None)
+    ops = {
+        "=": F.col("__v") == threshold,
+        "!=": F.col("__v") != threshold,
+        ">": F.col("__v") > threshold,
+        ">=": F.col("__v") >= threshold,
+        "<": F.col("__v") < threshold,
+        "<=": F.col("__v") <= threshold,
+    }
+    if op not in ops:
+        raise ValueError(f"unsupported operator {op!r}; one of {sorted(ops)}")
+    keep = grid.groupBy("path").agg(agg.alias("__v")).filter(ops[op]).select("path")
+    return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+def non_negative_derivative_max(grid: DataFrame, max_value: float) -> DataFrame:
+    """nonNegativeDerivative(maxValue): a negative delta is a counter WRAP —
+    recover it as (maxValue - prev + cur + 1), graphite's wrap formula."""
+    prev = F.lag("stat").over(_w())
+    d = F.col("stat") - prev
+    wrapped = F.lit(float(max_value)) - prev + F.col("stat") + F.lit(1.0)
+    return grid.withColumn(
+        "stat",
+        F.when(d >= 0, d).when(
+            d < 0, F.when(wrapped >= 0, wrapped)
+        ),
+    )
+
+
+def per_second_max(grid: DataFrame, max_value: float) -> DataFrame:
+    """perSecond(maxValue): wrap-recovering rate."""
+    wrapped = non_negative_derivative_max(grid, max_value)
+    return wrapped.withColumn("stat", F.col("stat") / _step_col())
+
+
+def exponential_moving_average(grid: DataFrame, n: int) -> DataFrame:
+    """exponentialMovingAverage(n): alpha = 2/(n+1), recursive — expressed
+    CLOSED-FORM as a window aggregate: ema_k = alpha * sum_{j<=k}
+    (1-alpha)^(k-j) * x_j (+ the (1-alpha)^k seed toward x_0), i.e.
+    sum(x_j / (1-alpha)^j) * alpha * (1-alpha)^k with the head term folded.
+    Stays in whole-stage codegen; no per-path Python, no recursion.
+
+    Numerical note: (1-alpha)^j overflows double for very long series /
+    tiny alpha; render grids are slot-bounded (maxDataPoints) so j stays
+    small. Null slots hold the previous EMA (graphite carries None -> skip)."""
+    alpha = 2.0 / (n + 1.0)
+    beta = 1.0 - alpha
+    # weight each value by beta^(-k), prefix-sum, then scale by beta^k
+    k = F.row_number().over(_w()) - 1
+    weighted = F.when(F.col("stat").isNotNull(), F.col("stat") * F.pow(F.lit(beta), -k))
+    run = F.sum(weighted).over(_w().rowsBetween(Window.unboundedPreceding, 0))
+    first_w = F.first(weighted, ignorenulls=True).over(
+        _w().rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # seed: ema_0 = x_0 (textbook recursive EMA; graphite-web seeds with an
+    # n-point SMA instead — a head-window difference only, documented)
+    ema = (run - first_w) * F.lit(alpha) * F.pow(F.lit(beta), k) + first_w * F.pow(
+        F.lit(beta), k
+    )
+    return grid.withColumn(
+        "stat", F.when(F.col("stat").isNotNull(), ema)
+    )
+
+
+def min_max(grid: DataFrame) -> DataFrame:
+    """minMax(): normalize each series to [0, 1] over the render window."""
+    lo = F.min("stat").over(_whole())
+    hi = F.max("stat").over(_whole())
+    return grid.withColumn(
+        "stat",
+        F.when(hi != lo, (F.col("stat") - lo) / (hi - lo)).otherwise(
+            F.when(F.col("stat").isNotNull(), F.lit(0.0))
+        ),
+    )
+
+
+def sigmoid_series(grid: DataFrame) -> DataFrame:
+    """sigmoid(): 1 / (1 + e^-x)."""
+    return grid.withColumn("stat", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("stat"))))
+
+
+def logit_series(grid: DataFrame) -> DataFrame:
+    """logit(): ln(x / (1-x)); x outside (0,1) -> null (graphite None)."""
+    x = F.col("stat")
+    return grid.withColumn(
+        "stat", F.when((x > 0) & (x < 1), F.log(x / (F.lit(1.0) - x)))
+    )
+
+
+def round_series(grid: DataFrame, precision: int = 0) -> DataFrame:
+    """roundFunction(precision)."""
+    return grid.withColumn("stat", F.round("stat", int(precision)))
+
+
+def time_slice(grid: DataFrame, start_s: int, end_s: int) -> DataFrame:
+    """timeSlice(start, end): null out values outside the sub-window (the
+    grid keeps its slots — graphite keeps the frame, drops the values)."""
+    inside = F.col("slot_s").between(start_s, end_s)
+    return grid.withColumn("stat", F.when(inside, F.col("stat")))
+
+
+def unique_series(grid: DataFrame) -> DataFrame:
+    """unique(): collapse duplicate (path, slot) rows (e.g. the same series
+    matched by overlapping globs in a group())."""
+    return grid.dropDuplicates(["path", "slot_s"])
+
+
+def holt_winters_bands_series(
+    grid: DataFrame, season_slots: int = 24, delta: float = 3.0
+) -> DataFrame:
+    """holtWintersConfidenceBands() in grid shape: two series per input,
+    `<path> upper` / `<path> lower` (graphite's naming)."""
+    bands = holt_winters_confidence_bands(grid, season_slots, delta)
+    upper = bands.select(
+        F.concat(F.col("path"), F.lit(" upper")).alias("path"),
+        "slot_s",
+        F.col("upper").alias("stat"),
+    )
+    lower = bands.select(
+        F.concat(F.col("path"), F.lit(" lower")).alias("path"),
+        "slot_s",
+        F.col("lower").alias("stat"),
+    )
+    return upper.unionByName(lower)
+
+
+def divide_series_lists(dividends: DataFrame, divisors: DataFrame) -> DataFrame:
+    """divideSeriesLists(dividendSeriesList, divisorSeriesList): pair the
+    two lists positionally IN PATH ORDER (graphite zips them; mismatched
+    lengths error upstream) and divide slot-wise."""
+    rank = Window.orderBy("path")
+    d1 = dividends.select("path", "slot_s", "stat").withColumn(
+        "__i", F.dense_rank().over(rank)
+    )
+    d2 = divisors.select(
+        F.col("path").alias("__dp"), "slot_s", F.col("stat").alias("__div")
+    ).withColumn("__i", F.dense_rank().over(Window.orderBy("__dp")))
+    out = d1.join(d2, ["__i", "slot_s"], "left")
+    return out.select(
+        "path",
+        "slot_s",
+        F.when(F.col("__div") != 0, F.col("stat") / F.col("__div")).alias("stat"),
+    )

@@ -325,3 +325,95 @@ def test_new_series_functions(spark):
     )
     # b's current (latest non-null) is 4.0 at slot 10; a's is 3.0 -> b wins
     assert {r["path"] for r in g6.collect()} == {"b"}
+
+
+def test_batch2_combines_and_filters(spark):
+    rows = [
+        ("svc.a.cpu", 10, 1.0), ("svc.a.mem", 10, 2.0),
+        ("svc.b.cpu", 10, 10.0), ("svc.b.mem", 10, 20.0),
+    ]
+    g = evaluate_target(
+        parse_target("groupByNodes(svc.*.*, 'sum', 0, 2)"), _resolver(spark, rows)
+    )
+    out = {r["path"]: r["stat"] for r in g.collect()}
+    assert out == {"svc.cpu": 11.0, "svc.mem": 22.0}
+    g2 = evaluate_target(
+        parse_target("sumSeriesWithWildcards(svc.*.*, 1)"), _resolver(spark, rows)
+    )
+    out2 = {r["path"]: r["stat"] for r in g2.collect()}
+    assert out2 == {"svc.cpu": 11.0, "svc.mem": 22.0}
+    g3 = evaluate_target(
+        parse_target("filterSeries(svc.*.*, 'max', '>', 5)"), _resolver(spark, rows)
+    )
+    assert {r["path"] for r in g3.collect()} == {"svc.b.cpu", "svc.b.mem"}
+    g4 = evaluate_target(
+        parse_target("aggregate(svc.*.*, 'median')"), _resolver(spark, rows)
+    )
+    assert g4.collect()[0]["stat"] == 6.0
+
+
+def test_batch2_counter_wrap_and_transforms(spark):
+    # 8-bit counter wrapping: 250 -> 4 means delta 10 at maxValue 255
+    rows = [("c", 10, 250.0), ("c", 20, 4.0), ("c", 30, 14.0)]
+    g = evaluate_target(
+        parse_target("nonNegativeDerivative(c, 255)"), _resolver(spark, rows)
+    )
+    assert [r["stat"] for r in g.orderBy("slot_s").collect()] == [None, 10.0, 10.0]
+    g2 = evaluate_target(parse_target("round(sigmoid(c), 2)"),
+                         _resolver(spark, [("c", 10, 0.0)]))
+    assert g2.collect()[0]["stat"] == 0.5
+    g3 = evaluate_target(parse_target("minMax(c)"),
+                         _resolver(spark, [("c", 10, 5.0), ("c", 20, 15.0)]))
+    assert {r["slot_s"]: r["stat"] for r in g3.collect()} == {10: 0.0, 20: 1.0}
+    g4 = evaluate_target(parse_target("timeSlice(c, '15s', '25s')"),
+                         _resolver(spark, [("c", 10, 1.0), ("c", 20, 2.0), ("c", 30, 3.0)]))
+    assert {r["slot_s"]: r["stat"] for r in g4.collect()} == {10: None, 20: 2.0, 30: None}
+
+
+def test_batch2_ema_matches_recursive(spark):
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0]
+    rows = [("m", (i + 1) * 10, v) for i, v in enumerate(vals)]
+    g = evaluate_target(
+        parse_target("exponentialMovingAverage(m, 3)"), _resolver(spark, rows)
+    )
+    got = [r["stat"] for r in g.orderBy("slot_s").collect()]
+    alpha = 2.0 / 4.0
+    want = [vals[0]]
+    for v in vals[1:]:
+        want.append(alpha * v + (1 - alpha) * want[-1])
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+
+
+def test_batch2_divide_series_lists(spark):
+    rows = [
+        ("num.a", 10, 10.0), ("num.b", 10, 20.0),
+        ("den.a", 10, 2.0), ("den.b", 10, 4.0),
+    ]
+    g = evaluate_target(
+        parse_target("divideSeriesLists(num.*, den.*)"), _resolver(spark, rows)
+    )
+    out = {r["path"]: r["stat"] for r in g.collect()}
+    assert out == {"num.a": 5.0, "num.b": 5.0}
+
+
+def test_batch2_generators_and_presentation(spark):
+    ctx = {"spark": spark, "from_s": 0, "to_s": 20, "step": 10}
+    rows = [("m", 10, 1.0)]
+    g = evaluate_target(
+        parse_target("sinFunction('wave', 2)"), _resolver(spark, rows), ctx
+    )
+    import math
+
+    out = {r["slot_s"]: r["stat"] for r in g.collect()}
+    assert abs(out[10] - 2 * math.sin(10)) < 1e-12
+    # presentation no-ops pass series through untouched
+    g2 = evaluate_target(
+        parse_target("secondYAxis(lineWidth(dashed(m), 2))"), _resolver(spark, rows)
+    )
+    assert g2.collect()[0]["stat"] == 1.0
+    g3 = evaluate_target(
+        parse_target("holtWintersConfidenceBands(m, 2, 3)"),
+        _resolver(spark, [("m", 10 * i, float(i % 3)) for i in range(1, 13)]),
+    )
+    paths = {r["path"] for r in g3.select("path").distinct().collect()}
+    assert paths == {"m upper", "m lower"}

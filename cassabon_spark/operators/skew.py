@@ -96,6 +96,23 @@ def salted_self_pairs(
         .select(*keys)
         .withColumn("__big", F.lit(True))
     )
+    if big.isEmpty():
+        # fast path: no oversized bucket — the plain self-join's per-task
+        # work is already bounded by cap^2, so skip the grid machinery
+        # (one cheap aggregation job; the input is typically cached or a
+        # narrow projection of a cached frame)
+        a, b = df.alias("a"), df.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return (
+            a.join(b, cond)
+            .select(
+                F.col(f"a.{id_col}").alias("id1"),
+                F.col(f"b.{id_col}").alias("id2"),
+            )
+            .distinct()
+        )
     tagged = df.join(F.broadcast(big), keys, "left")
     salt = F.pmod(F.xxhash64(id_col), F.lit(n_cells)).cast("int")
     left = tagged.withColumn(

@@ -1696,3 +1696,363 @@ def similarity_ivf_kmeans(spark, sf_dir):
         .withColumn("rnk", F.col("rnk").cast("bigint"))
         .orderBy("qid", "rnk")
     )
+
+
+# ------------------------------------ training-data pipeline ops (round 2)
+
+# Gopher-style repetition filter: fraction of all bigrams taken by the
+# single most repeated bigram. High top-fraction => templated/degenerate
+# text (the Gopher/MassiveText "repetition" family of quality rules).
+_REPETITION_SQL = f"""
+WITH toks AS ({_TOKS}),
+big AS (
+  SELECT doc_id, source, ARRAY_TO_STRING(t[i:i+1], ' ') AS bg
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 1, 0))) AS g(i)
+  WHERE LEN(t) >= 21
+),
+per_bg AS (
+  SELECT doc_id, source, bg, COUNT(*) AS c FROM big GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, source, MAX(c) AS top_c, SUM(c) AS n_bg
+  FROM per_bg GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN top_c * 1.0 / n_bg > 0.18 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       ROUND(ROUND(AVG(top_c * 1.0 / n_bg), 8), 4) AS avg_top_frac
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_repetition_filter",
+    _REPETITION_SQL,
+    "Gopher-style repetition quality rule: per-doc top-bigram fraction "
+    "(most-repeated bigram count / total bigrams) over docs with >20 "
+    "tokens; one explode + two hash aggregations, no Python. Flags "
+    "templated/degenerate text the length/stopword rules miss",
+)
+def text_repetition_filter(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "source", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 21
+    )
+    bigrams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)), "
+                "(x, i) -> concat(x, ' ', element_at(t, i + 2)))"
+            )
+        ).alias("bg"),
+    )
+    per_bg = bigrams.groupBy("doc_id", "source", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_bg.groupBy("doc_id", "source").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    frac = F.col("top_c") / F.col("n_bg")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((frac > 0.18).cast("int")).cast("bigint").alias("n_repetitive"),
+            R(F.avg(frac), 4).alias("avg_top_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+# Benchmark decontamination: overlap of each training doc's distinct
+# 5-gram shingles against the shingle set of a held-out "benchmark" slice
+# (deterministically doc_id % 97 == 0 here; in production the benchmark
+# files). The eval shingle set is benchmark-sized -> broadcast; the join
+# keys on the shingle string so the probe shuffles ONCE on content, never
+# all-pairs. Docs with >= 20% overlap are contaminated.
+_CONTAM_SQL = f"""
+WITH toks AS ({_TOKS}),
+sh5 AS (
+  SELECT DISTINCT doc_id, ARRAY_TO_STRING(t[i:i+4], ' ') AS s
+  FROM toks, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 4, 0))) AS g(i)
+),
+eval_sh AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, s FROM sh5 WHERE doc_id % 97 <> 0),
+per_doc AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_sh,
+         SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM train t LEFT JOIN eval_sh e ON t.s = e.s
+  GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN n_hit * 1.0 / n_sh >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(ROUND(MAX(n_hit * 1.0 / n_sh), 8), 4) AS max_overlap
+FROM per_doc
+"""
+
+
+@register(
+    "pipeline_contamination",
+    _CONTAM_SQL,
+    "benchmark decontamination: 5-gram shingle overlap of every training "
+    "doc against a broadcast eval-set shingle table; content-keyed single "
+    "shuffle, contamination = hit fraction >= 0.2",
+)
+def pipeline_contamination(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    sh5 = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 5))).alias("s"),
+    )
+    eval_sh = (
+        sh5.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    train = sh5.filter(F.col("doc_id") % 97 != 0)
+    per_doc = (
+        train.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    overlap = F.col("n_hit") / F.col("n_sh")
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+        F.sum((overlap >= 0.2).cast("int")).cast("bigint").alias("n_contaminated"),
+        R(F.max(overlap), 4).alias("max_overlap"),
+    )
+
+
+# Deterministic train/holdout split: Knuth multiplicative hash on doc_id —
+# pure BIGINT arithmetic, identical in any engine (no md5-string parsing,
+# no rand()); bucket < 5 => 5% holdout. The split is stable under
+# re-partitioning, re-runs, and engine swaps — the property a training
+# pipeline actually needs from its splitter.
+_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         (doc_id * 2654435761) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 5 THEN 'holdout' ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM b
+GROUP BY 1, 2
+ORDER BY lang, split
+"""
+
+
+@register(
+    "pipeline_split_train_holdout",
+    _SPLIT_SQL,
+    "deterministic 95/5 split via Knuth multiplicative hash on doc_id "
+    "(BIGINT-only arithmetic: reproducible across engines/partitionings; "
+    "doc_id < 3.5e9 stays within int64)",
+)
+def pipeline_split(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    return (
+        docs.select(
+            "lang",
+            F.when(bucket < 5, F.lit("holdout")).otherwise("train").alias("split"),
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+# Sequence packing (concat-and-chunk): documents stream per language in
+# doc_id order into 2048-token sequences; a doc belongs to the chunk its
+# FIRST token falls in (floor(tokens_before / 2048)). One window cumsum
+# per lang partition — the packing plan is computed without materializing
+# a single concatenated token stream.
+_PACK_SQL = f"""
+WITH toks AS ({_TOKS}),
+counted AS (SELECT doc_id, lang, LEN(t) AS n_tok FROM toks),
+placed AS (
+  SELECT lang, n_tok,
+         CAST(FLOOR(
+           (SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tok) / 2048.0) AS BIGINT) AS chunk
+  FROM counted
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(chunk) AS BIGINT) AS last_chunk,
+       ROUND(ROUND(SUM(n_tok) * 1.0 / (COUNT(DISTINCT chunk) * 2048), 8), 4)
+         AS fill_ratio
+FROM placed
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "pipeline_sequence_packing",
+    _PACK_SQL,
+    "training-sequence packing plan (concat-and-chunk, 2048-token "
+    "sequences): per-lang window cumsum assigns each doc the chunk its "
+    "first token lands in — no concatenated stream is ever materialized",
+)
+def pipeline_sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    counted = docs.select(
+        "doc_id", "lang", F.size(tokens_expr("text")).alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    before = F.sum("n_tok").over(w) - F.col("n_tok")
+    placed = counted.select(
+        "lang", "n_tok", F.floor(before / 2048.0).cast("bigint").alias("chunk")
+    )
+    return (
+        placed.groupBy("lang")
+        .agg(
+            F.countDistinct("chunk").cast("bigint").alias("n_chunks"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.max("chunk").cast("bigint").alias("last_chunk"),
+            R(
+                F.sum("n_tok") / (F.countDistinct("chunk") * 2048),
+                4,
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Canonical-representative selection: the decision step AFTER clustering —
+# each near-dup component keeps its longest member (ties: smallest
+# doc_id). Output is the removal plan: component, canonical doc, members
+# dropped. Reuses the cluster labels (min-label propagation) and joins
+# doc lengths back — one broadcastable label table, one semi-join shape.
+_CANONICAL_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, MIN(lab) AS component FROM r GROUP BY node
+)
+SELECT component,
+       -- composite scalar key: longest doc wins, smallest doc_id breaks
+       -- ties (n_chars < 2^31 and node < 2^32 keep the key in int64)
+       CAST(ARG_MAX(node, d.n_chars * 4294967296 - node) AS BIGINT) AS canonical,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+       CAST(SUM(d.n_chars) - MAX(d.n_chars) AS BIGINT) AS chars_dropped
+FROM reach JOIN documents d ON d.doc_id = reach.node
+GROUP BY component
+ORDER BY component
+"""
+
+
+@register(
+    "dedup_keep_canonical",
+    _CANONICAL_SQL,
+    "near-dup removal plan: per cluster keep the longest member (ties: "
+    "smallest doc_id), report what gets dropped — the step that turns "
+    "pair/cluster output into an actionable dedup",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    prep(spark)
+    # reuse the pair graph, propagate min labels (identical mechanics to
+    # dedup_minhash_clusters), then join lengths back for the keep decision
+    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
+    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(16):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    member = labels.join(docs, labels.node == docs.doc_id).select(
+        F.col("lab").alias("component"), "node", "n_chars"
+    )
+    return (
+        member.groupBy("component")
+        .agg(
+            F.max_by(
+                "node", F.col("n_chars") * F.lit(4294967296) - F.col("node")
+            )
+            .cast("bigint")
+            .alias("canonical"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+            (F.sum("n_chars") - F.max("n_chars")).cast("bigint").alias(
+                "chars_dropped"
+            ),
+        )
+        .orderBy("component")
+    )

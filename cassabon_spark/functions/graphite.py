@@ -299,6 +299,7 @@ _SPECS: dict[str, Callable] = {
     # presentation-only graphite functions: rendering attributes have no
     # data semantics here — accept-and-pass-through so real dashboard
     # targets evaluate (graphite applies them at draw time)
+    "removeEmptySeries": lambda g: sfn.remove_empty_series(g),
     "secondYAxis": lambda g: g,
     "lineWidth": lambda g, w=1: g,
     "dashed": lambda g, n=5: g,
@@ -499,6 +500,46 @@ def evaluate_target(
                 ev(series_args[1], offset),
                 *[int(n) for n in node_args],
             )
+        if nd.name == "fallbackSeries":
+            if len(nd.args) != 2:
+                raise TargetSyntaxError(
+                    "fallbackSeries needs (seriesList, fallbackSeriesList)"
+                )
+            primary = ev(nd.args[0], offset)
+            # driver-side emptiness probe: render-sized frame, one cheap job
+            return primary if not primary.isEmpty() else ev(nd.args[1], offset)
+        if nd.name == "useSeriesAbove":
+            # useSeriesAbove(seriesList, value, search, replace): for series
+            # whose MAX exceeds value, fetch the search->replace-substituted
+            # path instead (graphite's 'look at the related metric when this
+            # one is hot' pattern)
+            if len(nd.args) < 4:
+                raise TargetSyntaxError(
+                    "useSeriesAbove needs (seriesList, value, search, replace)"
+                )
+            seed = ev(nd.args[0], offset)
+            value = float(nd.args[1])
+            search, replace = str(nd.args[2]), str(nd.args[3])
+            hot = [
+                r["path"]
+                for r in seed.groupBy("path")
+                .agg(F.max("stat").alias("__m"))
+                .filter(F.col("__m") > value)
+                .select("path")
+                .orderBy("path")
+                .limit(201)
+                .collect()
+            ]
+            if len(hot) > 200:
+                raise TargetSyntaxError(
+                    "useSeriesAbove matched >200 series; narrow the seriesList"
+                )
+            if not hot:
+                return seed.limit(0)
+            outs = [
+                fetch(p.replace(search, replace), offset) for p in hot
+            ]
+            return union_all(outs)
         if nd.name == "divideSeriesLists":
             series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
             if len(series_args) != 2:

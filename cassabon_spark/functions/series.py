@@ -1149,3 +1149,14 @@ def divide_series_lists(dividends: DataFrame, divisors: DataFrame) -> DataFrame:
         "slot_s",
         F.when(F.col("__div") != 0, F.col("stat") / F.col("__div")).alias("stat"),
     )
+
+
+def remove_empty_series(grid: DataFrame) -> DataFrame:
+    """removeEmptySeries(): drop series whose every slot is null."""
+    keep = (
+        grid.groupBy("path")
+        .agg(F.count("stat").alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select("path")
+    )
+    return grid.join(F.broadcast(keep), "path", "left_semi")

@@ -417,3 +417,38 @@ def test_batch2_generators_and_presentation(spark):
     )
     paths = {r["path"] for r in g3.select("path").distinct().collect()}
     assert paths == {"m upper", "m lower"}
+
+
+def test_remove_empty_fallback_use_above(spark):
+    rows = [
+        ("a", 10, None), ("a", 20, None),
+        ("b", 10, 1.0), ("b", 20, 2.0),
+        ("b.detail", 10, 7.0),
+    ]
+    g = evaluate_target(parse_target("removeEmptySeries(group(a, b))"),
+                        _resolver(spark, rows))
+    assert {r["path"] for r in g.collect()} == {"b"}
+    g2 = evaluate_target(parse_target("fallbackSeries(nosuch.path, b)"),
+                         _resolver(spark, rows))
+    assert {r["path"] for r in g2.collect()} == {"b"}
+    g3 = evaluate_target(parse_target("fallbackSeries(b, a)"),
+                         _resolver(spark, rows))
+    assert {r["path"] for r in g3.collect()} == {"b"}
+    # b's max 2.0 > 1.5 -> fetch 'b.detail' instead (search 'b' -> 'b.detail')
+    g4 = evaluate_target(
+        parse_target("useSeriesAbove(b, 1.5, 'b', 'b.detail')"),
+        _resolver(spark, rows),
+    )
+    assert {(r["path"], r["stat"]) for r in g4.collect()} == {("b.detail", 7.0)}
+
+
+def test_engine_render_sort_order(spark, tmp_path):
+    """sortByTotal's __ord drives the collect order: the response series
+    dict iterates biggest-total first."""
+    eng = _mk_engine(spark, tmp_path, method="sum")
+    lines = [f"evt.small 1 {BASE}", f"evt.big 100 {BASE}", f"evt.mid 10 {BASE}"]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    out = eng.render_target(
+        "sortByTotal(evt.*)", BASE - 10, BASE + 20, now_s=BASE + 30
+    )
+    assert list(out["series"]) == ["evt.big", "evt.mid", "evt.small"]

@@ -198,3 +198,137 @@ def ivf_kmeans_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "cosine", "rnk")
     )
+
+
+# ------------------------------------------------ product quantization (PQ)
+
+def _sub_expr(vec_col: str, s: int, dsub: int):
+    """1-based slice of subspace s (0-based) from a vector column."""
+    return F.slice(F.col(vec_col), s * dsub + 1, dsub)
+
+
+def _l2sq_expr(a, b):
+    """Sum of squared differences, left-fold in element order with DOUBLE
+    casts — the summation-order-portable pattern the IVF oracle proved."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _dot_expr(a, b):
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebook: the md5-ordered first n_codes corpus
+    vectors are the 'training sample'; code (s, j) is sample j's subspace-s
+    slice. (s, j, code) — m x n_codes rows, broadcast-sized. No k-means:
+    reproducible bit-for-bit in SQL, same trade as the IVF pivot variant."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    train = (
+        corpus.select(vec_col, F.row_number().over(w).alias("__r"))
+        .filter(F.col("__r") <= n_codes)
+        .withColumn("j", F.col("__r") - 1)
+    )
+    subs = F.explode(
+        F.array(*[
+            F.struct(F.lit(s).alias("s"), _sub_expr(vec_col, s, dsub).alias("code"))
+            for s in range(m)
+        ])
+    )
+    return train.select("j", subs.alias("sc")).select("j", "sc.s", "sc.code")
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as m small code ids: (id, s, j) — the 100 TB
+    memory story (64 floats -> 8 nibbles per vector). Nearest code by
+    squared L2 per subspace; deterministic ties on smallest j. One
+    broadcast join (corpus x m x n_codes narrow rows) + one min_by
+    aggregation — no shuffle of the float vectors themselves."""
+    subs = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub_expr(vec_col, s, dsub).alias("sub"))
+                for s in range(m)
+            ])
+        ).alias("sc"),
+    ).select("id", "sc.s", "sc.sub")
+    dist = _l2sq_expr("sub", "code")
+    joined = subs.join(F.broadcast(codebook), "s")
+    # composite scalar key: smallest distance wins, smallest j breaks ties
+    # (distances are cross-engine-identical doubles; j < 2^20)
+    return (
+        joined.groupBy("id", "s")
+        .agg(
+            F.min_by("j", F.struct(dist.alias("d"), F.col("j"))).alias("j")
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries score candidates through a
+    per-query lookup table dot(q_s, code_{s,j}) — after encoding, the
+    corpus side carries ONLY (id, s, j); the scoring join touches no
+    corpus floats. (qid, cid, adc, rnk), adc = dot(q, reconstruction)."""
+    codebook = pq_codebook(corpus, m, dsub, n_codes, id_col, vec_col)
+    encoded = pq_encode(corpus, codebook, m, dsub, id_col, vec_col)
+    qsubs = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub_expr(vec_col, s, dsub).alias("qsub"))
+                for s in range(m)
+            ])
+        ).alias("sc"),
+    ).select("qid", "sc.s", "sc.qsub")
+    lut = qsubs.join(F.broadcast(codebook), "s").select(
+        "qid", "s", "j", _dot_expr("qsub", "code").alias("pdot")
+    )
+    scored = (
+        encoded.join(F.broadcast(lut), ["s", "j"])
+        .filter(F.col("id") != F.col("qid"))
+        .groupBy("qid", F.col("id").alias("cid"))
+        .agg(F.sum("pdot").alias("adc"))
+    )
+    # rank on ROUND(adc, 8): the m-term ADC sum is the one order-sensitive
+    # float reduction; the 1e-8 quantum absorbs summation-order ulp noise
+    # so the ranking (and any oracle of it) is engine-independent
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("adc", 8)), F.asc("cid")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "adc", "rnk")
+    )

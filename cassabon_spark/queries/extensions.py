@@ -2056,3 +2056,98 @@ def dedup_keep_canonical(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# ------------------------------------------------ ANN: product quantization
+
+# PQ-ADC: the memory-compression scale path (64 float dims -> 8 nibble
+# codes per vector). Deterministic codebook = subspace slices of the
+# md5-ordered first 16 corpus vectors (no k-means), so the whole index is
+# exact-oracle-checked like the IVF/LSH variants. Ranking keys on
+# ROUND(adc, 8) before the cid tie-break: the 8-term ADC sum is the only
+# order-sensitive float reduction and the 1e-8 quantum absorbs ulp noise.
+_PQ_M, _PQ_DSUB, _PQ_CODES = 8, 8, 16
+
+_PQ_L2 = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {n}), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+_PQ_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {n}), i -> "
+    "CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_PQ_SQL = f"""
+WITH train AS (
+  SELECT te, r - 1 AS j FROM (
+    SELECT embedding AS te,
+           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+    FROM embeddings
+  ) WHERE r <= {_PQ_CODES}
+),
+codebook AS (
+  SELECT j, s, te[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS code
+  FROM train, UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS g(s)
+),
+subs AS (
+  SELECT vec_id AS id, s,
+         embedding[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM embeddings, UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS g(s)
+),
+encoded AS (
+  SELECT id, s, j FROM (
+    SELECT sb.id, sb.s, cb.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY sb.id, sb.s
+             ORDER BY {_PQ_L2.format(a="sb.sub", b="cb.code", n=_PQ_DSUB)} ASC, cb.j
+           ) AS r
+    FROM subs sb JOIN codebook cb ON sb.s = cb.s
+  ) WHERE r = 1
+),
+qlut AS (
+  SELECT q.id AS qid, cb.s, cb.j,
+         {_PQ_DOT.format(a="q.sub", b="cb.code", n=_PQ_DSUB)} AS pdot
+  FROM (SELECT * FROM subs WHERE id < 5) q
+  JOIN codebook cb ON q.s = cb.s
+),
+scored AS (
+  SELECT qid, e.id AS cid, SUM(pdot) AS adc
+  FROM encoded e JOIN qlut ON e.s = qlut.s AND e.j = qlut.j
+  WHERE e.id <> qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ROUND(adc, 8) DESC, cid
+         ) AS rnk
+  FROM scored
+)
+SELECT qid, cid, ROUND(ROUND(adc, 8), 4) AS adc, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_pq_adc",
+    _PQ_SQL,
+    "product-quantization ANN (m=8 x 16 codes, deterministic codebook): "
+    "corpus encoded to 8 nibble codes per vector; queries score through a "
+    "broadcast per-query LUT join — the scoring pass touches NO corpus "
+    "floats. The 100 TB memory story: ~32x vector compression",
+)
+def similarity_pq_adc(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import pq_adc_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_adc_topk(emb, queries, k=5, m=_PQ_M, dsub=_PQ_DSUB, n_codes=_PQ_CODES)
+    return out.select(
+        "qid",
+        "cid",
+        R(F.col("adc"), 4).alias("adc"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    ).orderBy("qid", "rnk")

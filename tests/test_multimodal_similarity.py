@@ -143,3 +143,35 @@ def test_ivf_kmeans_topk_recall_and_probe_bound(spark):
     # determinism: same seed, same corpus -> identical result set
     again = {(r["qid"], r["cid"]) for r in ivf_kmeans_topk(emb, q, k=5, n_cells=8, nprobe=3).collect()}
     assert again == got
+
+
+def test_pq_adc_recall_sanity(spark):
+    """PQ-ADC with a 16-code deterministic codebook is a coarse quantizer;
+    assert it beats random guessing on recall@5 vs exact cosine top-k and
+    that its output contract holds (5 ranked candidates per query)."""
+    from cassabon_spark.operators.similarity import cosine_topk, pq_adc_topk
+    from cassabon_spark.queries import T
+
+    emb = T(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq = pq_adc_topk(emb, queries, k=5).collect()
+    assert len(pq) == 25
+    by_q = {}
+    for r in pq:
+        by_q.setdefault(r["qid"], []).append((r["rnk"], r["cid"], r["adc"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        # rounded-adc rank keys are non-increasing
+        adcs = [round(r[2], 8) for r in rows]
+        assert all(a >= b for a, b in zip(adcs, adcs[1:]))
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(
+        len(exact_sets[q] & {c for _, c, _ in rows}) for q, rows in by_q.items()
+    )
+    n_corpus = emb.count()
+    # random recall@5 would be ~5/n_corpus per slot; require far above it
+    assert hits / 25.0 > 10 * 5.0 / n_corpus

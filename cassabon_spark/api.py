@@ -112,18 +112,43 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                 elif u.path == "/paths":
                     glob = q.get("query", [""])[0]
                     self._json(engine.get_paths(glob))
+                elif u.path == "/metrics/find":
+                    # graphite-web finder format: one entry per matched
+                    # index node, leaf/expandable flags driving the tree UI
+                    glob = q.get("query", [""])[0]
+                    self._json(
+                        [
+                            {
+                                "text": p["path"].rsplit(".", 1)[-1],
+                                "id": p["path"],
+                                "leaf": 1 if p["leaf"] else 0,
+                                "expandable": 0 if p["leaf"] else 1,
+                                "allowChildren": 0 if p["leaf"] else 1,
+                            }
+                            for p in engine.get_paths(glob)
+                        ]
+                    )
                 elif u.path == "/metrics":
+                    from cassabon_spark.functions.graphite import parse_at_time
+
+                    now = int(time.time())
                     paths = q.get("path", [])
-                    frm = int(q.get("from", ["0"])[0])
-                    to = int(q.get("to", ["0"])[0])
+                    frm = parse_at_time(q.get("from", ["0"])[0], now)
+                    to = parse_at_time(q.get("to", ["0"])[0], now)
                     self._json(engine.get_metrics(paths, frm, to))
                 elif u.path == "/render":
                     # graphite-web accepts repeated target= params; the
                     # merged series dict is kept for compat and per-target
-                    # entries ride under "targets" (steps may differ)
+                    # entries ride under "targets" (steps may differ).
+                    # from/until accept graphite relative forms (-1h, now)
+                    from cassabon_spark.functions.graphite import parse_at_time
+
+                    now = int(time.time())
                     targets = q.get("target", [])
-                    frm = int(q.get("from", ["0"])[0])
-                    to = int(q.get("to", ["0"])[0])
+                    frm = parse_at_time(q.get("from", ["0"])[0], now)
+                    to = parse_at_time(
+                        q.get("until", q.get("to", ["0"]))[0], now
+                    )
                     md_q = q.get("maxDataPoints", [])
                     self._json(
                         engine.render_targets(

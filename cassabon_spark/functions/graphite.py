@@ -131,6 +131,26 @@ def _dur_s(v) -> int:
     return int(m.group(1)) * _DUR_S[m.group(2)]
 
 
+def parse_at_time(v, now_s: int) -> int:
+    """graphite-web from/until values: epoch ints, 'now', or relative
+    offsets like '-1h' / '-30min' (render/attime.py's common subset).
+    Unsigned bare ints pass through as epochs."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    s = str(v).strip().strip("\"'")
+    if s == "now" or s == "":
+        return int(now_s)
+    if s.lstrip("+-").isdigit():
+        n = int(s)
+        # graphite treats small negative numbers as relative-to-now seconds
+        return int(now_s) + n if s.startswith(("+", "-")) else n
+    m = _DUR_RE.match(s)
+    if m:
+        sec = int(m.group(1)) * _DUR_S[m.group(2)]
+        return int(now_s) + sec
+    raise TargetSyntaxError(f"unparseable time {v!r}")
+
+
 def _shift_s(v) -> int:
     """timeShift/timeStack offset in seconds with graphite's sign rule: an
     UNSIGNED interval implies minus ('1d' means one day BACK; '+1d' means

@@ -128,3 +128,47 @@ def test_stats_route_counts_requests(api):
     assert routes["GET /paths"]["total_ms"] > 0
     # the 404 from the earlier test is tallied as an error
     assert any(v["errors"] >= 1 for v in routes.values())
+
+
+def test_metrics_find_graphite_format(api):
+    srv, _ = api
+    status, out = _get(srv.url + "/metrics/find?query=svc.api.*")
+    assert status == 200
+    by_id = {e["id"]: e for e in out}
+    # svc.api.errors' index entry was removed by the DELETE /paths test
+    # above (module-scoped engine) — only latency remains findable
+    assert set(by_id) == {"svc.api.latency"}
+    e = by_id["svc.api.latency"]
+    assert e["text"] == "latency" and e["leaf"] == 1 and e["expandable"] == 0
+    status, out2 = _get(srv.url + "/metrics/find?query=svc.*")
+    inner = {e["id"]: e for e in out2}["svc.api"]
+    assert inner["leaf"] == 0 and inner["expandable"] == 1
+
+
+def test_parse_at_time_forms():
+    from cassabon_spark.functions.graphite import TargetSyntaxError, parse_at_time
+
+    import pytest as _pytest
+
+    now = 1_700_000_000
+    assert parse_at_time("now", now) == now
+    assert parse_at_time("-1h", now) == now - 3600
+    assert parse_at_time("-30min", now) == now - 1800
+    assert parse_at_time("+2d", now) == now + 2 * 86400
+    assert parse_at_time("1699999000", now) == 1699999000
+    assert parse_at_time(1699999000, now) == 1699999000
+    assert parse_at_time("-120", now) == now - 120
+    with _pytest.raises(TargetSyntaxError):
+        parse_at_time("wibble", now)
+
+
+def test_render_relative_until(api):
+    srv, _ = api
+    # until defaults through graphite's &until= alias; relative forms parse
+    status, resp = _get(
+        srv.url
+        + f"/render?target=sumSeries(svc.api.*)&from={BASE - 10}&until={BASE + 40}"
+    )
+    assert status == 200
+    # only latency is still indexed at this point (see DELETE tests above)
+    assert resp["series"]["sumSeries"] == [None, 1.0, 2.0, 3.0, 4.0]

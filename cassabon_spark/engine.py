@@ -297,6 +297,17 @@ class Engine:
         now = now_s if now_s is not None else int(__import__("time").time())
         tier = self.config.select_tier(d.expression, from_s, now)
         step = tier.window_s
+        # same maxDataPoints guard as render_target/get_metrics: coarsen
+        # the fetch step before the spine exists, hard-cap the grid cells
+        slots = max(0, to_s - from_s) // step + 1
+        if self.MAX_DATAPOINTS and slots > self.MAX_DATAPOINTS:
+            step = tier.window_s * -(-slots // self.MAX_DATAPOINTS)
+            slots = max(0, to_s - from_s) // step + 1
+        if len(paths) * slots > self.MAX_RENDER_CELLS:
+            raise ValueError(
+                f"render grid {len(paths)} paths x {slots} slots exceeds "
+                f"MAX_RENDER_CELLS={self.MAX_RENDER_CELLS}"
+            )
         grid = query_metrics_df(
             self.spark,
             self.store,

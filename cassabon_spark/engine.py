@@ -64,6 +64,10 @@ class Engine:
         self.config = config
         self.store_dir = store_dir
         self.index_dir = index_dir or f"{store_dir}_index"
+        # graphite 1.1 tagged series get their own inverted index (the
+        # reference predates tags; operators/tags.py) — tagged paths stay
+        # OUT of the dot-tree index, exactly like graphite-web
+        self.tag_index_dir = f"{self.index_dir}_tags"
         if table_format not in ("dirs", "snapshot"):
             raise ValueError(f"unknown table_format {table_format!r}")
         self.table_format = table_format
@@ -141,10 +145,41 @@ class Engine:
 
     def _update_index(self, metrics: DataFrame) -> None:
         """Incremental A18: expand ancestors of NEW paths only (anti-join
-        against the existing index) and append."""
+        against the existing index) and append. Tagged series (`;tag=v`)
+        go to the tag index instead of the dot tree."""
         from cassabon_spark.operators.index import update_index_incremental
+        from cassabon_spark.operators.tags import (
+            is_tagged_expr,
+            update_tag_index_incremental,
+        )
 
-        update_index_incremental(self.spark, metrics, self.index_dir)
+        untagged = metrics.filter(~is_tagged_expr("path"))
+        update_index_incremental(self.spark, untagged, self.index_dir)
+        tagged = metrics.filter(is_tagged_expr("path"))
+        if not tagged.isEmpty():
+            update_tag_index_incremental(self.spark, tagged, self.tag_index_dir)
+
+    def _has_tag_index(self) -> bool:
+        p = Path(self.tag_index_dir)
+        return p.exists() and any(p.iterdir())
+
+    @property
+    def tag_index(self) -> DataFrame:
+        return self.spark.read.parquet(self.tag_index_dir)
+
+    def get_tagged_series(self, *exprs: str) -> list[str]:
+        """seriesByTag resolution: tag expressions -> matching series names
+        (sorted). Empty when no tagged series were ever ingested."""
+        from cassabon_spark.operators.tags import series_by_tag
+
+        if not self._has_tag_index():
+            return []
+        return [
+            r["series"]
+            for r in series_by_tag(self.tag_index, *exprs)
+            .orderBy("series")
+            .collect()
+        ]
 
     def sweep_retention(self, now_s: int) -> list[str]:
         if self.table is not None:
@@ -385,9 +420,8 @@ class Engine:
             )
         step_holder: dict[str, int] = {}
 
-        def grid_for_glob(glob: str, offset_s: int = 0):
+        def grid_for_series(paths: list[str], offset_s: int = 0):
             f, t = from_s + offset_s, to_s + offset_s
-            paths = [p["path"] for p in self.get_paths(glob) if p["leaf"]]
             if not paths:
                 return self.spark.createDataFrame(
                     [], "path string, slot_s bigint, stat double"
@@ -418,17 +452,29 @@ class Engine:
                 resolution_s=tier.window_s,
             )
 
-        if not globs or not self._has_store():
+        def grid_for_glob(glob: str, offset_s: int = 0):
+            return grid_for_series(
+                [p["path"] for p in self.get_paths(glob) if p["leaf"]], offset_s
+            )
+
+        has_tags = "seriesByTag" in target and self._has_tag_index()
+        if (not globs and not has_tags) or not self._has_store():
             return {"from": from_s, "to": to_s, "step": 0, "series": {}}
         ctx = {
             "spark": self.spark,
             "from_s": from_s,
             "to_s": to_s,
             "now_s": now,
+            "series_by_tag": self.get_tagged_series,
+            "grid_for_series": grid_for_series,
         }
         # seed the context step from the first glob's tier so interval-string
         # windows and generators see the render resolution
-        first_paths = [p["path"] for p in self.get_paths(globs[0]) if p["leaf"]]
+        first_paths = (
+            [p["path"] for p in self.get_paths(globs[0]) if p["leaf"]]
+            if globs
+            else self.get_tagged_series("name=~.")[:1]
+        )
         if first_paths:
             d0 = self.config.route(first_paths[0])
             ctx["step"] = self.config.select_tier(d0.expression, from_s, now).window_s

@@ -506,6 +506,34 @@ def evaluate_target(
             return union_all(copies)
         if nd.name in _GENERATOR_FNS:
             return generate(nd)
+        if nd.name == "seriesByTag":
+            # tag-expression fetch: resolve 'tag=value' exprs through the
+            # engine's tag index, then ride the normal (offset-aware) read
+            # path with the explicit series list
+            resolver = ctx.get("series_by_tag")
+            gfs = ctx.get("grid_for_series")
+            if resolver is None or gfs is None:
+                raise TargetSyntaxError(
+                    "seriesByTag needs an engine context with a tag index"
+                )
+            exprs = [str(a) for a in nd.args]
+            if not exprs:
+                raise TargetSyntaxError("seriesByTag needs tag expressions")
+            try:
+                series = resolver(*exprs)
+            except ValueError as e:
+                raise TargetSyntaxError(f"seriesByTag: {e}") from e
+            return gfs(list(series), offset)
+        if nd.name == "aliasByTags":
+            from cassabon_spark.operators.tags import alias_by_tags
+
+            series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
+            tag_args = [
+                str(a) for a in nd.args if not isinstance(a, (Call, PathGlob))
+            ]
+            if len(series_args) != 1:
+                raise TargetSyntaxError("aliasByTags needs (seriesList, *tags)")
+            return alias_by_tags(ev(series_args[0], offset), *tag_args)
         if nd.name == "applyByNode":
             return apply_by_node(nd, offset)
         if nd.name == "weightedAverage":

@@ -1,0 +1,149 @@
+"""Graphite 1.1 tagged metrics: `base.path;tag1=v1;tag2=v2`.
+
+The reference predates carbon tag support entirely (its index is the
+dot-tree only, datastore/indexmanager.go) — this module adds the tag
+surface graphite-web 1.1+ users expect, additively: the STORE still keys
+on the full serialized path (so rollup/read/delete are untouched); tags
+get their own inverted index (series, tag, value) and `seriesByTag`
+resolves tag expressions to full paths that then ride the normal read
+path.
+
+Everything is built-in expressions: tag splitting is split/transform/
+map_from_entries, matching is semi/anti joins against the tag index —
+no Python, no regex explosion. The tag index is series-count sized (rows
+= series x tags), broadcastable at any realistic cardinality.
+
+seriesByTag expression forms (graphite-web tags.py public semantics):
+  'tag=value'   exact match
+  'tag!=value'  series whose `tag` is NOT value (includes series
+                lacking the tag)
+  'tag=~regex'  value matches regex (anchored at the start, like
+                graphite)
+  'tag!=~regex' value does not match
+The metric base name is tag 'name' (graphite's convention).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class TagExprError(ValueError):
+    pass
+
+
+def base_expr(path_col="path"):
+    """Base metric name: everything before the first ';'."""
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return F.element_at(F.split(c, ";"), 1)
+
+
+def tags_map_expr(path_col: str = "path"):
+    """map<tag,value> from the ';tag=value' segments; the base name rides
+    as tag 'name' (graphite convention). Malformed segments (no '=') are
+    dropped. `path_col` must be a column NAME (the segment transform is a
+    SQL higher-order function)."""
+    entries = F.expr(
+        f"transform(filter(slice(split({path_col}, ';'), 2, 1000), "
+        "x -> x LIKE '%=%'), "
+        "x -> struct(split_part(x, '=', 1) as key, "
+        "substring(x, instr(x, '=') + 1) as value))"
+    )
+    name_entry = F.array(
+        F.struct(F.lit("name").alias("key"), base_expr(path_col).alias("value"))
+    )
+    return F.map_from_entries(F.concat(name_entry, entries))
+
+
+def is_tagged_expr(path_col="path"):
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    return c.contains(";")
+
+
+def build_tag_index(metrics: DataFrame, path_col: str = "path") -> DataFrame:
+    """Distinct (series, tag, value) rows for every tagged path — the
+    inverted index seriesByTag probes. One explode over the (small)
+    distinct-path set, never over the point stream."""
+    paths = (
+        metrics.select(F.col(path_col).alias("series"))
+        .filter(is_tagged_expr("series"))
+        .distinct()
+    )
+    return paths.select(
+        "series",
+        F.explode(F.map_entries(tags_map_expr("series"))).alias("kv"),
+    ).select("series", F.col("kv.key").alias("tag"), F.col("kv.value").alias("value"))
+
+
+_EXPR_RE = re.compile(r"^([^!=~]+)(=~|!=~|=|!=)(.*)$")
+
+
+def parse_tag_expr(expr: str) -> tuple[str, str, str]:
+    m = _EXPR_RE.match(expr.strip())
+    if not m or not m.group(1):
+        raise TagExprError(f"unparseable tag expression {expr!r}")
+    tag, op, val = m.group(1), m.group(2), m.group(3)
+    return tag, op, val
+
+
+def series_by_tag(index: DataFrame, *exprs: str) -> DataFrame:
+    """Resolve seriesByTag expressions against the tag index -> one-column
+    DataFrame (series). Requires at least one NON-negated expression
+    (graphite's rule — a pure-negative query would scan everything).
+
+    Positive expressions semi-join candidate series; negative ones
+    anti-join. The index side of every join is broadcast."""
+    if not exprs:
+        raise TagExprError("seriesByTag needs at least one expression")
+    parsed = [parse_tag_expr(e) for e in exprs]
+    if not any(op in ("=", "=~") for _, op, _ in parsed):
+        raise TagExprError(
+            "seriesByTag needs at least one non-negated expression"
+        )
+
+    def matches(tag: str, op: str, val: str) -> DataFrame:
+        hit = index.filter(F.col("tag") == tag)
+        if op in ("=", "!="):
+            hit = hit.filter(F.col("value") == val)
+        else:  # =~ / !=~ — graphite anchors the regex at the start
+            hit = hit.filter(F.col("value").rlike("^(?:" + val + ")"))
+        return hit.select("series")
+
+    # seed: all tagged series (cheap distinct over the index)
+    out = index.select("series").distinct()
+    for tag, op, val in parsed:
+        m = matches(tag, op.lstrip("!"), val) if op in ("=", "=~") else matches(
+            tag, {"!=": "=", "!=~": "=~"}[op], val
+        )
+        how = "left_semi" if op in ("=", "=~") else "left_anti"
+        out = out.join(F.broadcast(m), "series", how)
+    return out
+
+
+def update_tag_index_incremental(
+    spark, metrics: DataFrame, tag_index_dir: str, path_col: str = "path"
+) -> None:
+    """Append (series, tag, value) rows for NEWLY seen tagged series only
+    (anti-join on series against the stored index) — the tag twin of
+    operators.index.update_index_incremental."""
+    import os
+
+    new = build_tag_index(metrics, path_col=path_col)
+    has = os.path.isdir(tag_index_dir) and any(os.scandir(tag_index_dir))
+    if has:
+        existing = spark.read.parquet(tag_index_dir).select("series").distinct()
+        new = new.join(existing, "series", "left_anti")
+    new.write.mode("append").parquet(tag_index_dir)
+
+
+def alias_by_tags(grid: DataFrame, *tags: str) -> DataFrame:
+    """aliasByTags('host', 'name'): rename each series to the joined
+    values of the given tags, read straight off the serialized path."""
+    if not tags:
+        return grid
+    m = tags_map_expr("path")
+    vals = [F.coalesce(F.element_at(m, t), F.lit("")) for t in tags]
+    return grid.withColumn("path", F.concat_ws(".", *vals))

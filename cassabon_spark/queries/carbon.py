@@ -1233,3 +1233,80 @@ def carbon_timeshift(spark, sf_dir):
         .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
         .orderBy("path", "slot_s")
     )
+
+
+# ------------------------------------------------- graphite 1.1 tagged series
+
+# Tagged-series ingest: serialize events as `path;region=rN` lines, run the
+# REAL A3 parser + tag splitter (operators/tags.py), aggregate per (base,
+# region). The reference predates carbon tags; this is the graphite 1.1
+# surface users expect — string-exact across engines, so fully oracle-able.
+_TAGGED_SQL = f"""
+WITH m AS ({_M}),
+lines AS (
+  SELECT PRINTF('%s;region=r%d %d %d',
+                path, user_id % 3,
+                CAST(FLOOR(value * 100) AS BIGINT),
+                CAST(FLOOR(ts) AS BIGINT)) AS line
+  FROM (SELECT 'evt.' || event_type AS path, value, EPOCH(ts) AS ts, user_id
+        FROM events)
+),
+parsed AS (
+  SELECT f[1] AS path,
+         TRY_CAST(f[2] AS DOUBLE) AS value
+  FROM (SELECT STRING_SPLIT_REGEX(TRIM(line), '\\s+') AS f FROM lines)
+  WHERE LEN(f) = 3
+),
+split AS (
+  SELECT STRING_SPLIT(path, ';')[1] AS base,
+         STRING_SPLIT(STRING_SPLIT(path, ';')[2], '=')[2] AS region,
+         value
+  FROM parsed
+  WHERE path IS NOT NULL AND value IS NOT NULL
+)
+SELECT base, region,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value) / 100, 2) AS total
+FROM split
+GROUP BY 1, 2
+ORDER BY base, region
+"""
+
+
+@register(
+    "carbon_tagged_series",
+    _TAGGED_SQL,
+    "graphite 1.1 tagged metrics: `path;tag=value` lines through the real "
+    "A3 parser + tag splitter (operators/tags.py map_from_entries — no "
+    "Python), aggregated per (base name, tag value). Beyond-reference "
+    "surface: cassabon predates carbon tags",
+)
+def carbon_tagged_series(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.tags import base_expr, tags_map_expr
+    from cassabon_spark.sources.carbon import parse_carbon_lines
+
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s;region=r%d %d %d",
+            F.concat(F.lit("evt."), F.col("event_type")),
+            F.col("user_id") % 3,
+            F.floor(F.col("value") * 100).cast("bigint"),
+            F.floor(F.col("ts").cast("double")).cast("bigint"),
+        ).alias("line")
+    )
+    metrics, _ = parse_carbon_lines(lines)
+    split = metrics.select(
+        base_expr("path").alias("base"),
+        F.element_at(tags_map_expr("path"), "region").alias("region"),
+        "value",
+    )
+    return (
+        split.groupBy("base", "region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value") / 100, 2).alias("total"),
+        )
+        .orderBy("base", "region")
+    )

@@ -1,0 +1,140 @@
+"""Graphite 1.1 tagged metrics: parse, inverted index, seriesByTag
+resolution, and the engine end-to-end (the reference predates tags)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from cassabon_spark.operators.tags import (
+    TagExprError,
+    build_tag_index,
+    parse_tag_expr,
+    series_by_tag,
+    tags_map_expr,
+)
+
+
+def test_tags_map_and_base(spark):
+    df = spark.createDataFrame(
+        [("disk.used;host=web1;dc=east",), ("cpu.idle",), ("m;bad;x=1",)],
+        "path string",
+    )
+    out = {r["path"]: r["m"] for r in df.select("path", tags_map_expr("path").alias("m")).collect()}
+    assert out["disk.used;host=web1;dc=east"] == {
+        "name": "disk.used", "host": "web1", "dc": "east",
+    }
+    assert out["cpu.idle"] == {"name": "cpu.idle"}
+    # malformed ';bad' segment dropped, valid one kept
+    assert out["m;bad;x=1"] == {"name": "m", "x": "1"}
+
+
+def test_build_tag_index(spark):
+    df = spark.createDataFrame(
+        [("disk.used;host=web1",), ("disk.used;host=web2",), ("cpu.idle",)],
+        "path string",
+    )
+    idx = build_tag_index(df)
+    rows = {(r["series"], r["tag"], r["value"]) for r in idx.collect()}
+    assert rows == {
+        ("disk.used;host=web1", "name", "disk.used"),
+        ("disk.used;host=web1", "host", "web1"),
+        ("disk.used;host=web2", "name", "disk.used"),
+        ("disk.used;host=web2", "host", "web2"),
+    }
+
+
+def test_parse_tag_expr_forms():
+    assert parse_tag_expr("host=web1") == ("host", "=", "web1")
+    assert parse_tag_expr("host!=web1") == ("host", "!=", "web1")
+    assert parse_tag_expr("host=~web.*") == ("host", "=~", "web.*")
+    assert parse_tag_expr("host!=~web.*") == ("host", "!=~", "web.*")
+    with pytest.raises(TagExprError):
+        parse_tag_expr("nonsense")
+
+
+def test_series_by_tag_matrix(spark):
+    df = spark.createDataFrame(
+        [
+            ("disk.used;dc=east;host=web1",),
+            ("disk.used;dc=east;host=web2",),
+            ("disk.used;dc=west;host=web3",),
+            ("disk.free;dc=east;host=web1",),
+        ],
+        "path string",
+    )
+    idx = build_tag_index(df)
+
+    def q(*exprs):
+        return {r["series"] for r in series_by_tag(idx, *exprs).collect()}
+
+    assert q("name=disk.used") == {
+        "disk.used;dc=east;host=web1",
+        "disk.used;dc=east;host=web2",
+        "disk.used;dc=west;host=web3",
+    }
+    assert q("name=disk.used", "dc=east") == {
+        "disk.used;dc=east;host=web1",
+        "disk.used;dc=east;host=web2",
+    }
+    assert q("name=disk.used", "host!=web2") == {
+        "disk.used;dc=east;host=web1",
+        "disk.used;dc=west;host=web3",
+    }
+    assert q("name=~disk.*", "host=~web[12]") == {
+        "disk.used;dc=east;host=web1",
+        "disk.used;dc=east;host=web2",
+        "disk.free;dc=east;host=web1",
+    }
+    assert q("name=disk.used", "host!=~web[12]") == {
+        "disk.used;dc=west;host=web3",
+    }
+    with pytest.raises(TagExprError, match="non-negated"):
+        q("host!=web1")
+
+
+BASE = 1_700_000_000 - (1_700_000_000 % 10)
+
+
+def test_engine_tagged_end_to_end(spark, tmp_path):
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+
+    cfg = RollupConfig.from_dict({"default": {"method": "sum", "windows": ["10s:1h"]}})
+    eng = Engine(spark, cfg, str(tmp_path / "store"), str(tmp_path / "index"))
+    lines = [
+        f"disk.used;host=web1;dc=east 10 {BASE}",
+        f"disk.used;host=web2;dc=east 20 {BASE}",
+        f"disk.used;host=web3;dc=west 30 {BASE}",
+        f"cpu.idle 99 {BASE}",
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    # the dot-tree index holds ONLY the untagged path (graphite keeps
+    # tagged series out of the tree)
+    tree = {p["path"] for p in eng.get_paths("*") } | {
+        p["path"] for p in eng.get_paths("*.*")
+    }
+    assert "cpu.idle" in tree
+    assert not any(";" in p for p in tree)
+    # tag resolution
+    assert eng.get_tagged_series("name=disk.used", "dc=east") == [
+        "disk.used;host=web1;dc=east",
+        "disk.used;host=web2;dc=east",
+    ]
+    # render a tag target end-to-end through the read path
+    out = eng.render_target(
+        "sumSeries(seriesByTag('name=disk.used', 'dc=east'))",
+        BASE - 10,
+        BASE + 20,
+        now_s=BASE + 30,
+    )
+    vals = [v for v in out["series"]["sumSeries"] if v is not None]
+    assert vals == [30.0]
+    # aliasByTags renames with tag values off the serialized path
+    out2 = eng.render_target(
+        "aliasByTags(seriesByTag('name=disk.used', 'dc=east'), 'host')",
+        BASE - 10,
+        BASE + 20,
+        now_s=BASE + 30,
+    )
+    assert set(out2["series"]) == {"web1", "web2"}

@@ -112,6 +112,11 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                 elif u.path == "/paths":
                     glob = q.get("query", [""])[0]
                     self._json(engine.get_paths(glob))
+                elif u.path == "/tags/findSeries":
+                    # graphite-web tag finder: repeated expr= params,
+                    # e.g. /tags/findSeries?expr=name=disk.used&expr=dc=east
+                    exprs = q.get("expr", [])
+                    self._json(engine.get_tagged_series(*exprs))
                 elif u.path == "/metrics/find":
                     # graphite-web finder format: one entry per matched
                     # index node, leaf/expandable flags driving the tree UI

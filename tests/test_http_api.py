@@ -172,3 +172,32 @@ def test_render_relative_until(api):
     assert status == 200
     # only latency is still indexed at this point (see DELETE tests above)
     assert resp["series"]["sumSeries"] == [None, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_tags_find_series_route(spark, tmp_path):
+    from cassabon_spark.api import CassabonAPI
+    from cassabon_spark.engine import Engine
+
+    eng = Engine(spark, CFG, str(tmp_path / "ts"), str(tmp_path / "ti"))
+    lines = [
+        f"disk.used;host=web1 1 {BASE}",
+        f"disk.used;host=web2 2 {BASE}",
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    with CassabonAPI(eng) as srv:
+        status, out = _get(
+            srv.url + "/tags/findSeries?expr=name%3Ddisk.used&expr=host%3Dweb2"
+        )
+        assert status == 200 and out == ["disk.used;host=web2"]
+        # pure-negative tag query is a 400, not a 500
+        status, _err = _get_status_tolerant(
+            srv.url + "/tags/findSeries?expr=host!%3Dweb1"
+        )
+        assert status == 400
+
+
+def _get_status_tolerant(url):
+    try:
+        return _get(url)
+    except urllib.error.HTTPError as e:
+        return e.code, None

@@ -76,10 +76,21 @@ def _write_batch(
         )
     if index_dir is not None:
         # reference step 8 (SURVEY §3.1): new paths ride the same batch into
-        # the index, anti-joined so only first sightings expand
+        # the index, anti-joined so only first sightings expand; tagged
+        # series go to the tag index, not the dot tree (operators/tags.py)
         from cassabon_spark.operators.index import update_index_incremental
+        from cassabon_spark.operators.tags import (
+            is_tagged_expr,
+            update_tag_index_incremental,
+        )
 
-        update_index_incremental(batch_df.sparkSession, metrics, index_dir)
+        spark_b = batch_df.sparkSession
+        update_index_incremental(
+            spark_b, metrics.filter(~is_tagged_expr("path")), index_dir
+        )
+        tagged = metrics.filter(is_tagged_expr("path"))
+        if not tagged.isEmpty():
+            update_tag_index_incremental(spark_b, tagged, f"{index_dir}_tags")
 
 
 def kafka_records_to_lines(records: DataFrame) -> DataFrame:

@@ -138,3 +138,27 @@ def test_engine_tagged_end_to_end(spark, tmp_path):
         now_s=BASE + 30,
     )
     assert set(out2["series"]) == {"web1", "web2"}
+
+
+def test_streaming_ingest_routes_tagged_to_tag_index(spark, tmp_path):
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+    from cassabon_spark.streaming.ingest import ingest_stream
+
+    cfg = RollupConfig.from_dict({"default": {"method": "sum", "windows": ["10s:1h"]}})
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "f.txt").write_text(
+        f"disk.used;host=web1 5 {BASE}\ncpu.idle 1 {BASE}\n"
+    )
+    eng = Engine(spark, cfg, str(tmp_path / "store"), str(tmp_path / "index"))
+    q = ingest_stream(
+        spark, cfg, str(lines_dir), eng.store_dir, str(tmp_path / "ck"),
+        available_now=True, index_dir=eng.index_dir,
+    )
+    q.awaitTermination()
+    tree = {p["path"] for p in eng.get_paths("*")} | {
+        p["path"] for p in eng.get_paths("*.*")
+    }
+    assert tree == {"cpu", "cpu.idle"}  # no tagged entries in the dot tree
+    assert eng.get_tagged_series("name=disk.used") == ["disk.used;host=web1"]

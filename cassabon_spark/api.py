@@ -117,6 +117,10 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     # e.g. /tags/findSeries?expr=name=disk.used&expr=dc=east
                     exprs = q.get("expr", [])
                     self._json(engine.get_tagged_series(*exprs))
+                elif u.path == "/tags":
+                    self._json(engine.list_tags())
+                elif u.path.startswith("/tags/"):
+                    self._json(engine.list_tag_values(u.path[len("/tags/"):]))
                 elif u.path == "/metrics/find":
                     # graphite-web finder format: one entry per matched
                     # index node, leaf/expandable flags driving the tree UI

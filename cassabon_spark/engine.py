@@ -167,6 +167,28 @@ class Engine:
     def tag_index(self) -> DataFrame:
         return self.spark.read.parquet(self.tag_index_dir)
 
+    def list_tags(self) -> list[str]:
+        """Distinct tag names (graphite /tags autocomplete)."""
+        if not self._has_tag_index():
+            return []
+        return [
+            r["tag"]
+            for r in self.tag_index.select("tag").distinct().orderBy("tag").collect()
+        ]
+
+    def list_tag_values(self, tag: str) -> list[str]:
+        """Distinct values of one tag (graphite /tags/<tag> autocomplete)."""
+        if not self._has_tag_index():
+            return []
+        return [
+            r["value"]
+            for r in self.tag_index.filter(F.col("tag") == tag)
+            .select("value")
+            .distinct()
+            .orderBy("value")
+            .collect()
+        ]
+
     def get_tagged_series(self, *exprs: str) -> list[str]:
         """seriesByTag resolution: tag expressions -> matching series names
         (sorted). Empty when no tagged series were ever ingested."""

@@ -201,3 +201,22 @@ def _get_status_tolerant(url):
         return _get(url)
     except urllib.error.HTTPError as e:
         return e.code, None
+
+
+def test_tags_autocomplete_routes(spark, tmp_path):
+    from cassabon_spark.api import CassabonAPI
+    from cassabon_spark.engine import Engine
+
+    eng = Engine(spark, CFG, str(tmp_path / "as"), str(tmp_path / "ai"))
+    lines = [
+        f"disk.used;host=web1;dc=east 1 {BASE}",
+        f"disk.used;host=web2;dc=west 2 {BASE}",
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    with CassabonAPI(eng) as srv:
+        status, tags = _get(srv.url + "/tags")
+        assert status == 200 and tags == ["dc", "host", "name"]
+        status, vals = _get(srv.url + "/tags/host")
+        assert status == 200 and vals == ["web1", "web2"]
+        status, none = _get(srv.url + "/tags/nosuch")
+        assert status == 200 and none == []

@@ -237,13 +237,21 @@ def pq_codebook(
     """Deterministic PQ codebook: the md5-ordered first n_codes corpus
     vectors are the 'training sample'; code (s, j) is sample j's subspace-s
     slice. (s, j, code) — m x n_codes rows, broadcast-sized. No k-means:
-    reproducible bit-for-bit in SQL, same trade as the IVF pivot variant."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    reproducible bit-for-bit in SQL, same trade as the IVF pivot variant.
+
+    Scale note: sample selection is orderBy(key).limit(n_codes) — Catalyst
+    plans TakeOrderedAndProject (distributed per-partition top-k + merge),
+    so no corpus row ever crosses a single-task global sort. The ordinal j
+    is assigned by a window AFTER the limit, over exactly n_codes rows —
+    bounded by construction, not by data volume."""
+    key = F.md5(F.col(id_col).cast("string"))
     train = (
-        corpus.select(vec_col, F.row_number().over(w).alias("__r"))
-        .filter(F.col("__r") <= n_codes)
-        .withColumn("j", F.col("__r") - 1)
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias(vec_col), key.alias("__k"))
+        .orderBy("__k", "__id")
+        .limit(n_codes)
     )
+    w = Window.orderBy("__k", "__id")
+    train = train.withColumn("j", F.row_number().over(w) - 1).drop("__k", "__id")
     subs = F.explode(
         F.array(*[
             F.struct(F.lit(s).alias("s"), _sub_expr(vec_col, s, dsub).alias("code"))

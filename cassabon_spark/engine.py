@@ -495,7 +495,7 @@ class Engine:
             TargetSyntaxError,
             evaluate_target,
             parse_target,
-            target_consolidation,
+            target_consolidations,
             target_globs,
         )
         from cassabon_spark.operators.query import normalize_from, query_metrics_df
@@ -504,18 +504,24 @@ class Engine:
         globs = target_globs(node)
         now = now_s if now_s is not None else int(__import__("time").time())
         md = max_datapoints if max_datapoints is not None else self.MAX_DATAPOINTS
-        consolidate = target_consolidation(node)
         method_map = {
             "avg": "average", "sum": "sum", "min": "min", "max": "max",
             "last": "last",
         }
-        if consolidate is not None and consolidate not in method_map:
-            raise TargetSyntaxError(
-                f"consolidateBy({consolidate!r}): one of {sorted(method_map)}"
-            )
+        # validate EVERY consolidateBy occurrence up front (a bogus method
+        # 400s even if its subtree never fetches); the method itself is
+        # scoped per-fetch by evaluate_target's consolidation stack
+        # (ADVICE r2 #5 — it used to override every glob in the target)
+        for c in target_consolidations(node):
+            if c not in method_map:
+                raise TargetSyntaxError(
+                    f"consolidateBy({c!r}): one of {sorted(method_map)}"
+                )
         step_holder: dict[str, int] = {}
 
-        def grid_for_series(paths: list[str], offset_s: int = 0):
+        def grid_for_series(
+            paths: list[str], offset_s: int = 0, consolidate: str | None = None
+        ):
             f, t = from_s + offset_s, to_s + offset_s
             if not paths:
                 return self.spark.createDataFrame(
@@ -535,7 +541,7 @@ class Engine:
                     "glob or time range, or lower max_datapoints"
                 )
             step_holder.setdefault("step", step)
-            method = method_map[consolidate] if consolidate else d.method
+            method = method_map[consolidate] if consolidate in method_map else d.method
             return query_metrics_df(
                 self.spark,
                 self.store,
@@ -547,9 +553,13 @@ class Engine:
                 resolution_s=tier.window_s,
             )
 
-        def grid_for_glob(glob: str, offset_s: int = 0):
+        def grid_for_glob(
+            glob: str, offset_s: int = 0, consolidate: str | None = None
+        ):
             return grid_for_series(
-                [p["path"] for p in self.get_paths(glob) if p["leaf"]], offset_s
+                [p["path"] for p in self.get_paths(glob) if p["leaf"]],
+                offset_s,
+                consolidate,
             )
 
         has_tags = "seriesByTag" in target and self._has_tag_index()

@@ -222,9 +222,8 @@ _SPECS: dict[str, Callable] = {
         g, None if limit is None else int(limit)
     ),
     "summarize": lambda g, b, how="sum": sfn.summarize(g, _dur_s(b), _how(how, "sum")),
-    "smartSummarize": lambda g, b, how="sum": sfn.smart_summarize(
-        g, _dur_s(b), _how(how, "sum")
-    ),
+    # smartSummarize is special-cased in evaluate_target: its buckets align
+    # to the render context's from_s (ctx is invisible to this table).
     "hitcount": lambda g, b: sfn.hitcount(g, _dur_s(b)),
     "highestAverage": lambda g, k: sfn.top_series(g, int(k), "avg"),
     "highestMax": lambda g, k: sfn.top_series(g, int(k), "max"),
@@ -368,15 +367,31 @@ def evaluate_target(
     import inspect
 
     ctx = context or {}
-    try:
-        _params = inspect.signature(grid_for_glob).parameters
-        _takes_offset = len(_params) >= 2 or any(
-            p.kind == inspect.Parameter.VAR_POSITIONAL for p in _params.values()
+
+    def _arity(fn) -> tuple[bool, bool]:
+        """(takes_offset, takes_consolidate) from the resolver signature."""
+        try:
+            params = inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return True, True
+        var = any(
+            p.kind == inspect.Parameter.VAR_POSITIONAL for p in params.values()
         )
-    except (TypeError, ValueError):
-        _takes_offset = True
+        return (len(params) >= 2 or var, len(params) >= 3 or var)
+
+    _takes_offset, _takes_cons = _arity(grid_for_glob)
+
+    # consolidateBy scope stack (ADVICE r2 #5): the method applies only to
+    # fetches BENEATH the consolidateBy node — evaluation is synchronous
+    # recursive plan-building, so a dynamic stack pushed/popped around the
+    # subtree scopes it exactly (nearest enclosing call wins, graphite
+    # semantics); sibling globs keep their route default.
+    cons_stack: list[str] = []
 
     def fetch(glob: str, offset: int) -> DataFrame:
+        cons = cons_stack[-1] if cons_stack else None
+        if _takes_offset and _takes_cons:
+            return grid_for_glob(glob, offset, cons)
         if _takes_offset:
             return grid_for_glob(glob, offset)
         # a single-arg resolver declares itself window-less (returns ALL
@@ -504,6 +519,37 @@ def evaluate_target(
             if not copies:
                 raise TargetSyntaxError("timeStack range is empty")
             return union_all(copies)
+        if nd.name == "consolidateBy":
+            series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
+            if len(series_args) != 1:
+                raise TargetSyntaxError(
+                    "consolidateBy needs (seriesList, consolidationFunc)"
+                )
+            method = "avg"
+            for a in nd.args:
+                if not isinstance(a, (Call, PathGlob)):
+                    method = _how(a, "avg")
+            cons_stack.append(method)
+            try:
+                return ev(series_args[0], offset)
+            finally:
+                cons_stack.pop()
+        if nd.name == "smartSummarize":
+            # special-cased like timeShift (ADVICE r2 #2): graphite aligns
+            # buckets to the query 'from' (no partial leading bucket), so
+            # the render context's from_s must reach origin_s — the _SPECS
+            # table can't see ctx. Inside a timeShift the grid still lives
+            # in the SHIFTED timeline (relabel happens above), so the
+            # origin shifts with the fetch offset.
+            if len(nd.args) < 2:
+                raise TargetSyntaxError(
+                    "smartSummarize needs (seriesList, intervalString)"
+                )
+            how = _how(str(nd.args[2]), "sum") if len(nd.args) > 2 else "sum"
+            origin = int(ctx.get("from_s") or 0) + offset
+            return sfn.smart_summarize(
+                ev(nd.args[0], offset), _dur_s(nd.args[1]), how, origin_s=origin
+            )
         if nd.name in _GENERATOR_FNS:
             return generate(nd)
         if nd.name == "seriesByTag":
@@ -523,7 +569,14 @@ def evaluate_target(
                 series = resolver(*exprs)
             except ValueError as e:
                 raise TargetSyntaxError(f"seriesByTag: {e}") from e
-            return gfs(list(series), offset)
+            gfs_off, gfs_cons = _arity(gfs)
+            if gfs_off and gfs_cons:
+                return gfs(
+                    list(series), offset, cons_stack[-1] if cons_stack else None
+                )
+            if gfs_off:
+                return gfs(list(series), offset)
+            return gfs(list(series))
         if nd.name == "aliasByTags":
             from cassabon_spark.operators.tags import alias_by_tags
 
@@ -594,9 +647,14 @@ def evaluate_target(
                 raise TargetSyntaxError(
                     "divideSeriesLists needs (dividendSeriesList, divisorSeriesList)"
                 )
-            return sfn.divide_series_lists(
-                ev(series_args[0], offset), ev(series_args[1], offset)
-            )
+            try:
+                return sfn.divide_series_lists(
+                    ev(series_args[0], offset), ev(series_args[1], offset)
+                )
+            except TargetSyntaxError:
+                raise
+            except ValueError as e:  # length mismatch -> target error/400
+                raise TargetSyntaxError(f"divideSeriesLists: {e}") from e
         if nd.name == "divideSeries":
             if len(nd.args) != 2 or not isinstance(nd.args[1], PathGlob):
                 raise TargetSyntaxError(
@@ -663,6 +721,22 @@ def target_consolidation(node) -> str | None:
             if found:
                 return found
     return None
+
+
+def target_consolidations(node) -> list[str]:
+    """EVERY consolidateBy() method named in the target, in AST order —
+    for up-front validation; scoping is evaluate_target's stack."""
+    out = []
+    if isinstance(node, Call):
+        if node.name == "consolidateBy":
+            method = "avg"
+            for a in node.args:
+                if not isinstance(a, (Call, PathGlob)):
+                    method = _how(a, "avg")
+            out.append(method)
+        for a in node.args:
+            out.extend(target_consolidations(a))
+    return out
 
 
 def target_globs(node) -> list[str]:

@@ -321,33 +321,70 @@ class SnapshotTable:
                 # a racing writer moved head; next batch's trigger retries
                 break
         if hot and vacuum_retain > 0:
-            self.vacuum(retain_last=vacuum_retain)
+            # grace-windowed: this runs from the streaming foreachBatch hot
+            # path, where a CONCURRENT writer (engine.compact cron, manual
+            # append) may have staged/linked files whose manifest hasn't
+            # committed yet — deleting them would leave a committed manifest
+            # pointing at nothing (ADVICE r2 #3). Young files are exempt.
+            self.vacuum(retain_last=vacuum_retain, grace_s=600)
         return len(hot)
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(self, retain_last: int = 1, grace_s: int = 0) -> list[str]:
         """Physically delete data files referenced by NO retained snapshot
         (and prune manifests older than the retained window). Crash-orphaned
-        staging output is reclaimed too. Returns deleted file paths."""
+        staging output is reclaimed too. Returns deleted file paths.
+
+        grace_s > 0 makes the sweep concurrent-writer safe: unreferenced
+        data files and staging dirs YOUNGER than the grace window survive —
+        they may belong to an in-flight append whose manifest commits next
+        (staged files are hard-linked into place BEFORE the commit). An
+        in-flight write older than the grace window is treated as crashed.
+        The auto-compaction path always passes a grace window; grace_s=0
+        (manual maintenance, single-writer) keeps full reclamation."""
         import shutil
+        import time
 
         vs = self.versions()
         retained = vs[-retain_last:] if (vs and retain_last > 0) else []
         live = {
             f["path"] for v in retained for f in self._load(v)["files"]
         }
+        cutoff = time.time() - grace_s
         deleted = []
         for p in sorted(Path(self.root).rglob("*.parquet")):
             rel = p.relative_to(self.root).as_posix()
             if rel.startswith((MANIFEST_DIR, STAGING_DIR)):
                 continue
             if rel not in live:
-                p.unlink()
+                try:
+                    if grace_s > 0 and p.stat().st_mtime >= cutoff:
+                        continue  # possibly an uncommitted in-flight append
+                    p.unlink()
+                except FileNotFoundError:
+                    continue  # racing vacuum/writer already handled it
                 deleted.append(rel)
-        # drop now-empty partition dirs, stale staging, old manifests
-        shutil.rmtree(Path(self.root, STAGING_DIR), ignore_errors=True)
+        # drop stale staging (whole dir when grace_s=0; per-write subdirs
+        # older than the grace window otherwise), empty dirs, old manifests
+        staging = Path(self.root, STAGING_DIR)
+        if grace_s <= 0:
+            shutil.rmtree(staging, ignore_errors=True)
+        elif staging.is_dir():
+            for sub in staging.iterdir():
+                try:
+                    newest = max(
+                        (q.stat().st_mtime for q in sub.rglob("*") if q.is_file()),
+                        default=sub.stat().st_mtime,
+                    )
+                    if newest < cutoff:
+                        shutil.rmtree(sub, ignore_errors=True)
+                except FileNotFoundError:
+                    continue
         for d in sorted((p for p in Path(self.root).rglob("*") if p.is_dir()), reverse=True):
-            if d.name != MANIFEST_DIR and not any(d.iterdir()):
-                d.rmdir()
+            try:
+                if d.name != MANIFEST_DIR and not any(d.iterdir()):
+                    d.rmdir()
+            except OSError:
+                continue  # a racing writer repopulated / removed it
         for v in vs[:-retain_last] if retain_last > 0 else vs:
             self._manifest_path(v).unlink(missing_ok=True)
         return deleted

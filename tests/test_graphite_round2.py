@@ -105,14 +105,23 @@ def test_summarize_count_and_bad_method(spark):
         ).collect()
 
 
-def test_smart_summarize_aligns_to_origin(spark):
+def test_smart_summarize_aligns_to_from(spark):
+    """ADVICE r2 #2: smartSummarize buckets align to the query 'from' (no
+    partial leading bucket) — NOT epoch multiples like summarize."""
     rows = [("m", 15, 1.0), ("m", 25, 2.0), ("m", 35, 3.0), ("m", 45, 4.0)]
+    ctx = {"from_s": 15, "to_s": 45, "step": 10}
     g = evaluate_target(
+        parse_target("smartSummarize(m, '20s', 'sum')"), _resolver(spark, rows), ctx
+    )
+    # from-aligned buckets (origin 15): (15,35]=2+3, (35,55]=4; slot 15
+    # itself closes the zero-width head bucket -> labels at origin
+    out = {r["slot_s"]: r["stat"] for r in g.collect()}
+    assert out == {15: 1.0, 35: 5.0, 55: 4.0}
+    # without a context the origin defaults to 0 (epoch) — summarize-like
+    g0 = evaluate_target(
         parse_target("smartSummarize(m, '20s', 'sum')"), _resolver(spark, rows)
     )
-    # epoch-origin buckets (origin 0): (0,20]=1, (20,40]=5, (40,60]=4
-    out = {r["slot_s"]: r["stat"] for r in g.collect()}
-    assert out == {20: 1.0, 40: 5.0, 60: 4.0}
+    assert {r["slot_s"]: r["stat"] for r in g0.collect()} == {20: 1.0, 40: 5.0, 60: 4.0}
 
 
 def test_sort_by_total_orders_series(spark):
@@ -128,6 +137,27 @@ def test_sort_by_total_orders_series(spark):
     g2 = evaluate_target(parse_target("sortByName(group(b, a, c))"), _resolver(spark, rows))
     ranks2 = {r["path"]: r["__ord"] for r in g2.select("path", "__ord").distinct().collect()}
     assert ranks2 == {"a": 1, "b": 2, "c": 3}
+
+
+def test_sort_by_name_natural_numeric_widths(spark):
+    """ADVICE r2 #1: srv2 must sort before srv10 under natural=1 — digit
+    runs of DIFFERENT widths compare numerically."""
+    rows = [
+        ("srv10", 10, 1.0), ("srv2", 10, 1.0), ("srv1", 10, 1.0),
+        ("srv10a2", 10, 1.0), ("srv10a10", 10, 1.0),
+    ]
+    g = evaluate_target(
+        parse_target("sortByName(group(srv10, srv2, srv1, srv10a2, srv10a10), 1)"),
+        _resolver(spark, rows),
+    )
+    ranks = {r["path"]: r["__ord"] for r in g.select("path", "__ord").distinct().collect()}
+    assert ranks == {"srv1": 1, "srv2": 2, "srv10": 3, "srv10a2": 4, "srv10a10": 5}
+    # non-natural stays purely lexical
+    g2 = evaluate_target(
+        parse_target("sortByName(group(srv10, srv2, srv1))"), _resolver(spark, rows)
+    )
+    ranks2 = {r["path"]: r["__ord"] for r in g2.select("path", "__ord").distinct().collect()}
+    assert ranks2 == {"srv1": 1, "srv10": 2, "srv2": 3}
 
 
 def test_generators_and_interval_windows(spark):
@@ -252,6 +282,46 @@ def test_engine_consolidate_by(spark, tmp_path):
         )
 
 
+def test_engine_consolidate_by_scoped_to_subtree(spark, tmp_path):
+    """ADVICE r2 #5: consolidateBy applies only beneath its node — sibling
+    globs in the same target keep the route default."""
+    eng = _mk_engine(spark, tmp_path)
+    lines = [f"evt.a {i} {BASE + i * 10}" for i in range(12)] + [
+        f"evt.b {i} {BASE + i * 10}" for i in range(12)
+    ]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    out = eng.render_target(
+        "group(consolidateBy(evt.a, 'max'), evt.b)",
+        BASE - 10,
+        BASE + 120,
+        now_s=BASE + 130,
+        max_datapoints=5,
+    )
+    # coarse bucket (BASE+10, BASE+40] holds values 1,2,3
+    assert out["series"]["evt.a"][1] == 3.0  # max under consolidateBy
+    assert out["series"]["evt.b"][1] == 2.0  # sibling keeps route avg
+    # two consolidateBy calls with different methods each scope their own
+    out2 = eng.render_target(
+        "group(consolidateBy(evt.a, 'max'), consolidateBy(evt.b, 'min'))",
+        BASE - 10,
+        BASE + 120,
+        now_s=BASE + 130,
+        max_datapoints=5,
+    )
+    assert out2["series"]["evt.a"][1] == 3.0
+    assert out2["series"]["evt.b"][1] == 1.0
+
+
+def test_divide_series_lists_length_mismatch(spark):
+    rows = [
+        ("num.a", 10, 10.0), ("num.b", 10, 20.0), ("den.a", 10, 2.0),
+    ]
+    with pytest.raises(TargetSyntaxError, match="same length"):
+        evaluate_target(
+            parse_target("divideSeriesLists(num.*, den.*)"), _resolver(spark, rows)
+        )
+
+
 def test_engine_derived_step_after_summarize(spark, tmp_path):
     eng = _mk_engine(spark, tmp_path, method="sum")
     lines = [f"evt.a 1 {BASE + i * 10}" for i in range(12)]
@@ -370,12 +440,44 @@ def test_batch2_counter_wrap_and_transforms(spark):
     assert {r["slot_s"]: r["stat"] for r in g4.collect()} == {10: None, 20: 2.0, 30: None}
 
 
-def test_batch2_ema_matches_recursive(spark):
-    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0]
+def _graphite_ema(vals, n):
+    """Reference loop, straight from graphite-web functions.py: SMA of the
+    first n points seeds the EMA; None emits None without updating."""
+    alpha = 2.0 / (n + 1.0)
+    head = [v for v in vals[:n] if v is not None]
+    ema = sum(head) / len(head) if head else 0.0
+    out = [None] * (n - 1) + [ema]
+    for v in vals[n:]:
+        if v is None:
+            out.append(None)
+        else:
+            ema = alpha * v + (1 - alpha) * ema
+            out.append(ema)
+    return out
+
+
+def test_batch2_ema_matches_graphite_sma_seed(spark):
+    vals = [10.0, 12.0, 9.0, 14.0, None, 11.0, 13.0]
     rows = [("m", (i + 1) * 10, v) for i, v in enumerate(vals)]
     g = evaluate_target(
         parse_target("exponentialMovingAverage(m, 3)"), _resolver(spark, rows)
     )
+    got = [r["stat"] for r in g.orderBy("slot_s").collect()]
+    want = _graphite_ema(vals, 3)
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert abs(a - b) < 1e-9
+
+
+def test_batch2_ema_first_seed_matches_recursive(spark):
+    from cassabon_spark.functions.series import exponential_moving_average
+
+    vals = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0]
+    rows = [("m", (i + 1) * 10, v) for i, v in enumerate(vals)]
+    grid = spark.createDataFrame(rows, "path string, slot_s bigint, stat double")
+    g = exponential_moving_average(grid, 3, seed="first")
     got = [r["stat"] for r in g.orderBy("slot_s").collect()]
     alpha = 2.0 / 4.0
     want = [vals[0]]

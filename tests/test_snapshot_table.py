@@ -139,6 +139,37 @@ def test_vacuum_reclaims_unreferenced_files_and_old_manifests(spark, tmp_path):
     assert {r["k"] for r in t.read().collect()} == {"b"}
 
 
+def test_vacuum_grace_window_spares_inflight_append(spark, tmp_path):
+    """ADVICE r2 #3: a grace-windowed vacuum (the auto_compact path) must
+    NOT delete freshly staged-but-uncommitted files of a concurrent writer
+    — simulate the in-flight window by staging without committing."""
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete_where(F.col("k") == "a", partition_cols=("res", "day"))
+    # writer B: staged (hard-linked into place) but manifest NOT committed
+    staged = t._stage(
+        spark.createDataFrame(
+            [("w", 9, 10, "2020-01-09")], "k string, v bigint, res bigint, day string"
+        ),
+        ("res", "day"),
+    )
+    live = {f["path"] for f in t.snapshot()["files"]}
+    deleted = t.vacuum(retain_last=1, grace_s=600)
+    # the old-version files are also young here; the point is the staged
+    # file specifically survived and the commit can proceed
+    for f in staged:
+        assert Path(t.root, f["path"]).exists()
+    head = t.version()
+    snap = t.snapshot(head)
+    t._commit(head, {"op": "append", "files": snap["files"] + staged,
+                     "schema": snap.get("schema")})
+    assert {r["k"] for r in t.read().collect()} == {"b", "w"}
+    assert not (set(deleted) & {f["path"] for f in staged})
+    assert live <= {f["path"] for f in t.snapshot()["files"]}
+    # aggressive manual vacuum (grace 0) still reclaims old versions
+    t.vacuum(retain_last=1)
+    assert {r["k"] for r in t.read().collect()} == {"b", "w"}
+
+
 def test_empty_table_reads_as_typed_empty_after_full_delete(spark, tmp_path):
     t = _mk(spark, tmp_path, ROWS[:1])
     t.delete_where(F.lit(True), partition_cols=("res", "day"))

@@ -233,6 +233,7 @@ def pq_codebook(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt: str = "",
 ) -> DataFrame:
     """Deterministic PQ codebook: the md5-ordered first n_codes corpus
     vectors are the 'training sample'; code (s, j) is sample j's subspace-s
@@ -243,8 +244,13 @@ def pq_codebook(
     plans TakeOrderedAndProject (distributed per-partition top-k + merge),
     so no corpus row ever crosses a single-task global sort. The ordinal j
     is assigned by a window AFTER the limit, over exactly n_codes rows —
-    bounded by construction, not by data volume."""
-    key = F.md5(F.col(id_col).cast("string"))
+    bounded by construction, not by data volume.
+
+    `salt` prefixes the id before hashing, picking a DIFFERENT deterministic
+    sample: required when the corpus is residuals of md5-chosen pivots
+    (ivfpq_adc_topk) — the unsalted md5-first rows ARE the pivots, whose
+    residuals are identically zero, which degenerates the codebook."""
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     train = (
         corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias(vec_col), key.alias("__k"))
         .orderBy("__k", "__id")
@@ -292,6 +298,110 @@ def pq_encode(
         .agg(
             F.min_by("j", F.struct(dist.alias("d"), F.col("j"))).alias("j")
         )
+    )
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m: int = 8,
+    dsub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ residual ANN (VERDICT r2 next #5): the standard composition —
+    a coarse quantizer routes each vector to its nearest cell, PQ encodes
+    the RESIDUAL x - centroid (residuals are smaller and better-centered
+    than raw vectors, so the same 16-code codebook quantizes them with less
+    error), and queries probe only nprobe cells.
+
+    Inner-product ADC decomposes exactly: dot(q, c + r̂) = dot(q, c) +
+    Σ_s dot(q_s, code_{s,j_s}) — so the LUT uses the FULL query subvectors
+    against the residual codebook and no query residual is ever formed.
+
+    Determinism: cells are the md5-ordered first n_cells corpus vectors
+    (TakeOrderedAndProject, same as pq_codebook's sample), assignment ranks
+    cosine with id tie-breaks, the codebook trains on the md5-first n_codes
+    RESIDUALS — every step SQL-reproducible, so the whole index is
+    exact-oracle-checked. Ranking keys on ROUND(adc, 8) like PQ-ADC.
+
+    Scale shape: corpus floats are touched once (assignment + residual +
+    encoding); scoring joins nibble codes against a broadcast LUT
+    (queries x m x n_codes) and a broadcast probe map (queries x nprobe),
+    and only candidates inside probed cells are scored — |corpus| * nprobe
+    / n_cells code-rows instead of every pair. The encode-then-join on id
+    is two co-shufflable corpus-sized narrow frames; a production build
+    would carry the cell id through encoding to skip it.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    pivots = (
+        corpus.select(
+            F.col(id_col).alias("pivot_id"), F.col(vec_col).alias("pe"), key.alias("__k")
+        )
+        .orderBy("__k", "pivot_id")
+        .limit(n_cells)
+        .drop("__k")
+    )
+    sim_p = cosine_sim_expr(vec_col, "pe")
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    assigned = corpus.crossJoin(F.broadcast(pivots)).withColumn(
+        "prnk", F.row_number().over(w_assign)
+    )
+    res = F.zip_with(
+        F.col(vec_col), F.col("pe"), lambda x, y: x.cast("double") - y.cast("double")
+    )
+    cells = assigned.filter(F.col("prnk") == 1).select(
+        F.col(id_col), F.col("pivot_id"), res.alias("res")
+    )
+    codebook = pq_codebook(
+        cells, m=m, dsub=dsub, n_codes=n_codes, id_col=id_col, vec_col="res",
+        salt="ivfpq|",  # unsalted order would sample the pivots themselves
+        # — zero residuals, degenerate codebook
+    )
+    encoded = pq_encode(
+        cells, codebook, m=m, dsub=dsub, id_col=id_col, vec_col="res"
+    )
+    # query side: nprobe nearest cells + the dot(q, centroid) offset
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+    sim_q = cosine_sim_expr("qe", "pe")
+    w_probe = Window.partitionBy("qid").orderBy(F.desc(sim_q), F.asc("pivot_id"))
+    probes = (
+        q.crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("qid", "pivot_id", _dot_expr("qe", "pe").alias("qc"))
+    )
+    qsubs = q.select(
+        "qid",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("s"), _sub_expr("qe", s, dsub).alias("qsub"))
+                for s in range(m)
+            ])
+        ).alias("sc"),
+    ).select("qid", "sc.s", "sc.qsub")
+    lut = qsubs.join(F.broadcast(codebook), "s").select(
+        "qid", "s", "j", _dot_expr("qsub", "code").alias("pdot")
+    )
+    scored = (
+        encoded.join(
+            cells.select(F.col(id_col).alias("id"), "pivot_id"), "id"
+        )
+        .join(F.broadcast(probes), "pivot_id")
+        .filter(F.col("id") != F.col("qid"))
+        .join(F.broadcast(lut), ["qid", "s", "j"])
+        .groupBy("qid", F.col("id").alias("cid"))
+        .agg((F.max("qc") + F.sum("pdot")).alias("adc"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("adc", 8)), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "adc", "rnk")
     )
 
 

@@ -2171,3 +2171,135 @@ def similarity_pq_adc(spark, sf_dir):
         R(F.col("adc"), 4).alias("adc"),
         F.col("rnk").cast("bigint").alias("rnk"),
     ).orderBy("qid", "rnk")
+
+
+# -------------------------------------------- ANN: IVF + PQ residual (r3)
+
+# The standard IVF-PQ composition: the coarse quantizer (md5-pivot cells,
+# same scheme as similarity_ivf_topk) routes vectors; PQ encodes the
+# RESIDUAL x - centroid. Inner-product ADC decomposes exactly:
+# dot(q, c + r̂) = dot(q, c) + Σ_s dot(q_s, code_{s,j}) — so the oracle is
+# exact like the parent operators (VERDICT r2 next #5).
+_IVFPQ_DIM = 64
+
+_IVFPQ_SQL = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe
+  FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+),
+cellmap AS (  -- nearest pivot per corpus vector (cosine, id tie-break)
+  SELECT vec_id, pivot_id, pe FROM (
+    SELECT e.vec_id, p.pivot_id, p.pe,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+  ) WHERE prnk = 1
+),
+resid AS (
+  SELECT c.vec_id, c.pivot_id,
+         LIST_TRANSFORM(GENERATE_SERIES(1, {_IVFPQ_DIM}), i ->
+           CAST(e.embedding[i] AS DOUBLE) - CAST(c.pe[i] AS DOUBLE)) AS res
+  FROM cellmap c JOIN embeddings e USING (vec_id)
+),
+train AS (
+  -- salted order: the unsalted md5-first rows ARE the pivots, whose
+  -- residuals are identically zero (degenerate codebook)
+  SELECT res AS te, r - 1 AS j FROM (
+    SELECT res,
+           ROW_NUMBER() OVER (
+             ORDER BY MD5('ivfpq|' || CAST(vec_id AS VARCHAR)), vec_id
+           ) AS r
+    FROM resid
+  ) WHERE r <= {_PQ_CODES}
+),
+codebook AS (
+  SELECT j, s, te[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS code
+  FROM train, UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS g(s)
+),
+subs AS (
+  SELECT vec_id AS id, s,
+         res[s*{_PQ_DSUB}+1 : s*{_PQ_DSUB}+{_PQ_DSUB}] AS sub
+  FROM resid, UNNEST(GENERATE_SERIES(0, {_PQ_M - 1})) AS g(s)
+),
+encoded AS (
+  SELECT id, s, j FROM (
+    SELECT sb.id, sb.s, cb.j,
+           ROW_NUMBER() OVER (
+             PARTITION BY sb.id, sb.s
+             ORDER BY {_PQ_L2.format(a="sb.sub", b="cb.code", n=_PQ_DSUB)} ASC, cb.j
+           ) AS r
+    FROM subs sb JOIN codebook cb ON sb.s = cb.s
+  ) WHERE r = 1
+),
+probes AS (  -- each query's nprobe nearest cells + the dot(q, centroid) offset
+  SELECT qid, pivot_id, qc FROM (
+    SELECT e.vec_id AS qid, p.pivot_id,
+           {_IVF_DOT.format(a="e.embedding", b="p.pe")} AS qc,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+    WHERE e.vec_id < 5
+  ) WHERE prnk <= {_IVF_NPROBE}
+),
+qlut AS (  -- FULL query subvectors vs the residual codebook
+  SELECT q.vec_id AS qid, cb.s, cb.j,
+         {_PQ_DOT.format(a="q.embedding[cb.s*" + str(_PQ_DSUB) + "+1 : cb.s*" + str(_PQ_DSUB) + "+" + str(_PQ_DSUB) + "]", b="cb.code", n=_PQ_DSUB)} AS pdot
+  FROM embeddings q, codebook cb
+  WHERE q.vec_id < 5
+),
+scored AS (
+  SELECT p.qid, en.id AS cid, MAX(p.qc) + SUM(l.pdot) AS adc
+  FROM encoded en
+  JOIN cellmap cm ON en.id = cm.vec_id
+  JOIN probes p ON cm.pivot_id = p.pivot_id
+  JOIN qlut l ON l.qid = p.qid AND l.s = en.s AND l.j = en.j
+  WHERE en.id <> p.qid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ROUND(adc, 8) DESC, cid
+         ) AS rnk
+  FROM scored
+)
+SELECT qid, cid, ROUND(ROUND(adc, 8), 4) AS adc, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_ivfpq_adc",
+    _IVFPQ_SQL,
+    "IVF+PQ residual ANN (16 md5-pivot cells, nprobe=2; m=8 x 16 codes on "
+    "residuals): dot(q, c + r̂) = dot(q, c) + ADC over residual codes, so "
+    "queries probe 2 cells and score only nibble codes — the composed "
+    "100 TB path (cell pruning x ~32x vector compression), exact-oracled",
+)
+def similarity_ivfpq_adc(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = ivfpq_adc_topk(
+        emb, queries, k=5, n_cells=_IVF_K, nprobe=_IVF_NPROBE,
+        m=_PQ_M, dsub=_PQ_DSUB, n_codes=_PQ_CODES,
+    )
+    return out.select(
+        "qid",
+        "cid",
+        R(F.col("adc"), 4).alias("adc"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+    ).orderBy("qid", "rnk")

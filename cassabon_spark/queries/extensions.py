@@ -2303,3 +2303,352 @@ def similarity_ivfpq_adc(spark, sf_dir):
         R(F.col("adc"), 4).alias("adc"),
         F.col("rnk").cast("bigint").alias("rnk"),
     ).orderBy("qid", "rnk")
+
+
+# --------------------------------- training-data pipeline ops (round 3)
+
+# Gopher/MassiveText-style composite quality rules, evaluated per document
+# and reported as per-source pass rates (the shape a 100 TB curation job
+# actually emits: one small rule-fraction table per shard/source, merged by
+# addition downstream). Thresholds tuned to DISCRIMINATE on this corpus —
+# a rule every document passes is a vacuous test (r1 lesson).
+_GOPHER_SQL = f"""
+WITH toks AS ({_TOKS}),
+per_doc AS (
+  SELECT doc_id, source,
+         LEN(t) AS wc,
+         LIST_SUM(LIST_TRANSFORM(t, x -> LEN(x))) * 1.0 / LEN(t) AS mwl
+  FROM toks WHERE LEN(t) > 0
+),
+top_frac AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS tf
+  FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM toks, UNNEST(t) AS u(tok)
+    GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+),
+stopw AS (
+  SELECT DISTINCT doc_id
+  FROM toks, UNNEST(t) AS u(tok)
+  WHERE tok IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')
+),
+rules AS (
+  SELECT p.doc_id, p.source,
+         p.wc BETWEEN 10 AND 1000              AS r_wordcount,
+         p.mwl BETWEEN 2.5 AND 8.0             AS r_meanwordlen,
+         tf.tf <= 0.15                         AS r_topword,
+         s.doc_id IS NOT NULL                  AS r_stopword
+  FROM per_doc p
+  JOIN top_frac tf USING (doc_id)
+  LEFT JOIN stopw s USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                               AS n_docs,
+       CAST(SUM(CASE WHEN r_wordcount THEN 1 ELSE 0 END) AS BIGINT)   AS pass_wordcount,
+       CAST(SUM(CASE WHEN r_meanwordlen THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanwordlen,
+       CAST(SUM(CASE WHEN r_topword THEN 1 ELSE 0 END) AS BIGINT)     AS pass_topword,
+       CAST(SUM(CASE WHEN r_stopword THEN 1 ELSE 0 END) AS BIGINT)    AS pass_stopword,
+       CAST(SUM(CASE WHEN r_wordcount AND r_meanwordlen AND r_topword
+                      AND r_stopword THEN 1 ELSE 0 END) AS BIGINT)    AS pass_all
+FROM rules
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_gopher_rules",
+    _GOPHER_SQL,
+    "Gopher-style composite quality rules (word-count bounds, mean word "
+    "length, top-word fraction, stopword presence) -> per-source pass "
+    "rates; the mergeable per-shard shape a 100 TB curation sweep emits",
+)
+def text_gopher_rules(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select(
+        "doc_id", "source", tokens_expr("text").alias("t")
+    ).filter(F.size("t") > 0)
+    wc = F.size("t")
+    mwl = F.expr(
+        "aggregate(t, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+    ) / wc
+    per_doc = toks.select("doc_id", "source", wc.alias("wc"), mwl.alias("mwl"))
+    top_frac = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("tf"))
+    )
+    stop = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin("the", "a", "of", "to", "and", "in", "is"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("has_stop", F.lit(True))
+    )
+    rules = (
+        per_doc.join(top_frac, "doc_id")
+        .join(stop, "doc_id", "left")
+        .select(
+            "source",
+            F.col("wc").between(10, 1000).alias("r_wordcount"),
+            F.col("mwl").between(2.5, 8.0).alias("r_meanwordlen"),
+            (F.col("tf") <= 0.15).alias("r_topword"),
+            F.coalesce(F.col("has_stop"), F.lit(False)).alias("r_stopword"),
+        )
+    )
+    as_int = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            as_int("r_wordcount").alias("pass_wordcount"),
+            as_int("r_meanwordlen").alias("pass_meanwordlen"),
+            as_int("r_topword").alias("pass_topword"),
+            as_int("r_stopword").alias("pass_stopword"),
+            F.sum(
+                (
+                    F.col("r_wordcount")
+                    & F.col("r_meanwordlen")
+                    & F.col("r_topword")
+                    & F.col("r_stopword")
+                ).cast("long")
+            ).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+# Nearest-centroid label audit over the embeddings' `label` column (unused
+# by any other query): per-label centroids (rounded to 6 decimals so both
+# engines rank from IDENTICAL inputs — the per-dim AVG is the one
+# summation-order-sensitive step), every vector classified to its nearest
+# centroid by L2, confusion counts out. The embedding-cluster quality
+# check a labeling/distillation pipeline runs after assigning pseudo-labels.
+_CENTROID_DIM = 64
+
+_CENTROID_SQL = f"""
+WITH dims AS (
+  SELECT label, i, ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS cv
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, {_CENTROID_DIM})) AS g(i)
+  GROUP BY label, i
+),
+cents AS (
+  SELECT label AS clabel, LIST(cv ORDER BY i) AS cvec FROM dims GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, label, clabel FROM (
+    SELECT e.vec_id, e.label, c.clabel,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_CENTROID_DIM}), i ->
+                       (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]))) ASC,
+                      c.clabel
+           ) AS r
+    FROM embeddings e, cents c
+  ) WHERE r = 1
+)
+SELECT label, clabel AS pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned
+GROUP BY label, clabel
+ORDER BY label, pred
+"""
+
+
+@register(
+    "embedding_centroid_confusion",
+    _CENTROID_SQL,
+    "nearest-centroid label audit: per-label centroids (dims rounded so "
+    "ranking inputs are engine-identical), each vector assigned to its "
+    "nearest centroid by L2, (label, pred, n) confusion out; centroids "
+    "broadcast (n_labels x dim), corpus scanned once",
+)
+def embedding_centroid_confusion(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+    )
+    cents = dims.groupBy(F.col("label").alias("clabel")).agg(
+        F.expr("transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)")
+        .alias("cvec")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(embedding, cvec, (x, y) -> "
+        "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc(l2), F.asc("clabel"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+    )
+    return (
+        assigned.groupBy("label", F.col("clabel").alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "pred")
+    )
+
+
+# Token-budget mixture allocation: split a fixed training-token budget
+# across sources proportionally to their token mass with LARGEST-REMAINDER
+# rounding — allocations are integers that sum EXACTLY to the budget (the
+# bookkeeping a data-mixture config generator needs; float shares drift).
+# Pure integer arithmetic end to end, so the oracle is trivially exact.
+_MIX_BUDGET = 50_000
+
+_MIX_SQL = f"""
+WITH toks AS ({_TOKS}),
+src AS (
+  SELECT source, CAST(SUM(LEN(t)) AS BIGINT) AS tokens FROM toks GROUP BY source
+),
+tot AS (SELECT SUM(tokens) AS tt FROM src),
+base AS (
+  SELECT source, tokens,
+         ({_MIX_BUDGET} * tokens) // tt            AS floor_alloc,
+         ({_MIX_BUDGET} * tokens) % tt             AS remainder
+  FROM src, tot
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rr,
+         {_MIX_BUDGET} - SUM(floor_alloc) OVER () AS leftover
+  FROM base
+)
+SELECT source, tokens,
+       CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM ranked
+ORDER BY source
+"""
+
+
+@register(
+    "pipeline_token_budget_mix",
+    _MIX_SQL,
+    "training-mixture allocation: fixed token budget split across sources "
+    "by largest-remainder rounding (integer-exact, sums to the budget); "
+    "the window runs over one row per SOURCE — bounded by construction",
+)
+def pipeline_token_budget_mix(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    src = (
+        docs.select("source", tokens_expr("text").alias("t"))
+        .groupBy("source")
+        .agg(F.sum(F.size("t")).cast("bigint").alias("tokens"))
+    )
+    tot = src.agg(F.sum("tokens").alias("tt"))
+    # integer div/mod only — float shares would drift off the exact budget
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (F.lit(_MIX_BUDGET) * F.col("tokens") % F.col("tt")).alias("remainder"),
+        F.expr(f"({_MIX_BUDGET} * tokens) div tt").alias("floor_alloc"),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.withColumn("rr", F.row_number().over(w_rank)).withColumn(
+        "leftover", F.lit(_MIX_BUDGET) - F.sum("floor_alloc").over(w_all)
+    )
+    return ranked.select(
+        "source",
+        "tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    ).orderBy("source")
+
+
+# Add-one-smoothed bigram surprisal: the 2-gram upgrade of
+# text_unigram_surprisal — the standard cheap LM-quality filter
+# (perplexity under the corpus's own bigram model). Counts join on
+# (lang, w1, w2) against the corpus model; V = per-lang vocab size.
+_BIGRAM_SQL = f"""
+WITH toks AS ({_TOKS}),
+uni AS (
+  SELECT doc_id, lang, tok FROM toks, UNNEST(t) AS u(tok)
+),
+big AS (
+  SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+),
+c1 AS (SELECT lang, tok AS w1, COUNT(*) AS n1 FROM uni GROUP BY lang, tok),
+c2 AS (SELECT lang, w1, w2, COUNT(*) AS n2 FROM big GROUP BY lang, w1, w2),
+vocab AS (SELECT lang, COUNT(DISTINCT tok) AS v FROM uni GROUP BY lang),
+scored AS (
+  SELECT b.doc_id, b.lang,
+         AVG(-LN((c2.n2 + 1.0) / (c1.n1 + vv.v))) AS surprisal
+  FROM big b
+  JOIN c2 ON c2.lang = b.lang AND c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ON c1.lang = b.lang AND c1.w1 = b.w1
+  JOIN vocab vv ON vv.lang = b.lang
+  GROUP BY b.doc_id, b.lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(ROUND(AVG(surprisal), 8), 4) AS avg_surprisal,
+       ROUND(ROUND(MAX(surprisal), 8), 4) AS max_surprisal
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_bigram_surprisal",
+    _BIGRAM_SQL,
+    "add-one-smoothed bigram surprisal -ln (c(w1,w2)+1)/(c(w1)+V) under the "
+    "corpus's own model, per-lang doc aggregates; two count joins + a "
+    "broadcast vocab join, all JVM-side",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    uni = toks.select("doc_id", "lang", F.explode("t").alias("tok"))
+    # sequence(1, 0) would step BACKWARD in Spark — guard short docs
+    bg_pairs = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), i -> "
+        "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) "
+        "ELSE array() END"
+    )
+    big = toks.select(
+        "doc_id", "lang", F.explode(bg_pairs).alias("bg")
+    ).select("doc_id", "lang", "bg.w1", "bg.w2")
+    c1 = uni.groupBy("lang", F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    c2 = big.groupBy("lang", "w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    vocab = uni.groupBy("lang").agg(F.countDistinct("tok").alias("v"))
+    scored = (
+        big.join(c2, ["lang", "w1", "w2"])
+        .join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(
+                -F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("v")))
+            ).alias("surprisal")
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            R(F.avg("surprisal"), 4).alias("avg_surprisal"),
+            R(F.max("surprisal"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang")
+    )

@@ -95,3 +95,65 @@ def test_asof_pandas_matches_jvm_implementation(spark):
     assert key(jvm.collect()) == key(pnd.collect())
     got = {(r["k"], r["t"]): r["px_right"] for r in pnd.collect()}
     assert got == {("a", 5.0): 40.0, ("a", 11.0): 100.0, ("b", 3.0): None, ("c", 9.0): None}
+
+
+def test_gopher_rules_discriminate(spark, sf_dir):
+    """Vacuous-pass guard (r1 lesson): the composite rules must reject SOME
+    documents and pass most on this corpus, and rule counts never exceed
+    n_docs."""
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["text_gopher_rules"].fn(spark, sf_dir).collect()
+    assert rows
+    tot = sum(r["n_docs"] for r in rows)
+    allp = sum(r["pass_all"] for r in rows)
+    assert 0 < allp < tot, (allp, tot)
+    for r in rows:
+        for c in ("pass_wordcount", "pass_meanwordlen", "pass_topword",
+                  "pass_stopword", "pass_all"):
+            assert 0 <= r[c] <= r["n_docs"]
+        assert r["pass_all"] <= min(
+            r["pass_wordcount"], r["pass_meanwordlen"],
+            r["pass_topword"], r["pass_stopword"],
+        )
+
+
+def test_token_budget_mix_sums_exactly(spark, sf_dir):
+    """Largest-remainder allocation: integer allocs sum EXACTLY to the
+    budget and order by proportional share within +/-1."""
+    from cassabon_spark.queries import load_registry
+    from cassabon_spark.queries.extensions import _MIX_BUDGET
+
+    rows = load_registry()["pipeline_token_budget_mix"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == _MIX_BUDGET
+    tt = sum(r["tokens"] for r in rows)
+    for r in rows:
+        exact = _MIX_BUDGET * r["tokens"] / tt
+        assert abs(r["alloc"] - exact) < 1.0, (r["source"], r["alloc"], exact)
+
+
+def test_centroid_confusion_beats_random(spark, sf_dir):
+    """The label column carries real cluster signal: nearest-centroid
+    accuracy must beat the 1/n_labels random floor by a wide margin."""
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["embedding_centroid_confusion"].fn(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    diag = sum(r["n"] for r in rows if r["label"] == r["pred"])
+    n_labels = len({r["label"] for r in rows})
+    assert n_labels >= 2
+    assert diag / total > 2.0 / n_labels, (diag, total)
+
+
+def test_bigram_surprisal_orders_against_unigram(spark, sf_dir):
+    """Bigram model sanity: per-lang aggregates exist for every lang and
+    surprisal is positive and finite; smoothing keeps max bounded by
+    ln(c1_max + V) ~ ln corpus size."""
+    import math
+
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["text_bigram_surprisal"].fn(spark, sf_dir).collect()
+    assert rows and all(r["avg_surprisal"] > 0 for r in rows)
+    assert all(r["max_surprisal"] < 25 for r in rows)  # ln of anything sane
+    assert all(not math.isnan(r["avg_surprisal"]) for r in rows)

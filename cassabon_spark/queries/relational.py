@@ -1482,3 +1482,152 @@ def agg_corr_covar(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------------- funnel / cohort (round 3)
+
+# Ordered conversion funnel view -> click -> purchase: each stage counts
+# users whose FIRST qualifying event happens strictly AFTER their previous
+# stage's first event (the standard product-analytics funnel, not a mere
+# per-type count). Every stage is a user-keyed aggregation — co-partitioned
+# shuffles on user_id, no window over the raw event stream.
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t0
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t1
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS stage_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS stage_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS stage_purchase,
+       ROUND(ROUND((SELECT COUNT(*) FROM p) * 1.0
+             / (SELECT COUNT(*) FROM v), 8), 4)  AS conv_rate,
+       ROUND(ROUND((SELECT AVG(EPOCH(p.t2) - EPOCH(v.t0))
+                    FROM p JOIN v ON v.user_id = p.user_id), 6), 2) AS avg_secs_to_convert
+"""
+
+
+@register(
+    "events_funnel_conversion",
+    _FUNNEL_SQL,
+    "ordered conversion funnel (view -> click -> purchase, strict event-time "
+    "ordering per user): stage survivor counts, conversion rate, mean "
+    "time-to-convert",
+)
+def events_funnel(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    secs = p.join(v, "user_id").agg(
+        F.avg(F.col("t2").cast("double") - F.col("t0").cast("double")).alias("s")
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("stage_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("stage_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("stage_purchase")))
+        .crossJoin(secs)
+        .select(
+            "stage_view",
+            "stage_click",
+            "stage_purchase",
+            R(F.col("stage_purchase") / F.col("stage_view"), 4).alias("conv_rate"),
+            F.round(F.round(F.col("s"), 6), 2).alias("avg_secs_to_convert"),
+        )
+    )
+
+
+# Weekly cohort retention: users cohorted by the Monday-truncated week of
+# their first event; retention = fraction of the cohort active at each
+# week offset. Timestamps are NTZ so week arithmetic is exact 604800-second
+# steps (no DST). The retention matrix is (weeks x weeks)-sized — tiny at
+# any scale; the heavy lifting is two user-keyed aggregations.
+_COHORT_SQL = """
+WITH first_seen AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+),
+ret AS (
+  SELECT f.cohort,
+         CAST((EPOCH(a.wk) - EPOCH(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS active_users
+  FROM activity a JOIN first_seen f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first_seen GROUP BY cohort)
+SELECT CAST(r.cohort AS DATE)                     AS cohort_week,
+       r.week_offset,
+       CAST(r.active_users AS BIGINT)             AS active_users,
+       ROUND(ROUND(r.active_users * 1.0 / s.cohort_size, 8), 4) AS retention
+FROM ret r JOIN sizes s USING (cohort)
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_cohort_retention",
+    _COHORT_SQL,
+    "weekly cohort retention matrix: first-seen-week cohorts, per-offset "
+    "active-user fractions; week arithmetic exact over NTZ timestamps",
+)
+def events_cohort_retention(spark, sf_dir):
+    prep(spark)
+    ev = T(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    ret = (
+        activity.join(first_seen, "user_id")
+        .withColumn(
+            "week_offset",
+            (
+                (F.col("wk").cast("double") - F.col("cohort").cast("double"))
+                / F.lit(604800)
+            ).cast("bigint"),
+        )
+        .groupBy("cohort", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+    sizes = first_seen.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(sizes, "cohort")
+        .select(
+            F.to_date("cohort").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+            R(F.col("active_users") / F.col("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

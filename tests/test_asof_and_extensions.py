@@ -157,3 +157,28 @@ def test_bigram_surprisal_orders_against_unigram(spark, sf_dir):
     assert rows and all(r["avg_surprisal"] > 0 for r in rows)
     assert all(r["max_surprisal"] < 25 for r in rows)  # ln of anything sane
     assert all(not math.isnan(r["avg_surprisal"]) for r in rows)
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    """Ordered funnel: each later stage is a subset of the previous."""
+    from cassabon_spark.queries import load_registry
+
+    r = load_registry()["events_funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert r["stage_view"] >= r["stage_click"] >= r["stage_purchase"] >= 0
+    assert 0.0 <= r["conv_rate"] <= 1.0
+
+
+def test_cohort_retention_week0_full(spark, sf_dir):
+    """Every cohort is fully active in its own first week (offset 0), and
+    retention never exceeds 1."""
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["events_cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["week_offset"]] = r["retention"]
+    for cohort, offsets in by_cohort.items():
+        assert offsets.get(0) == 1.0, (cohort, offsets)

@@ -27,7 +27,7 @@ import re
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassabon_spark.functions import series as sfn
@@ -319,6 +319,24 @@ _SPECS: dict[str, Callable] = {
     # data semantics here — accept-and-pass-through so real dashboard
     # targets evaluate (graphite applies them at draw time)
     "removeEmptySeries": lambda g: sfn.remove_empty_series(g),
+    # ------------------------------------------------------------ batch 3
+    "add": lambda g, c: sfn.offset(g, float(c)),
+    "movingWindow": lambda g, n, how="avg": sfn.moving_window(
+        g, int(n), _how(how, "avg")
+    ),
+    "aggregateWithWildcards": lambda g, how, *pos: sfn.combine_with_wildcards(
+        g, _how(how, "sum"), *[int(p) for p in pos]
+    ),
+    "groupByTags": lambda g, how, *tags: sfn.group_by_tags(
+        g, _how(how, "sum"), *[str(t) for t in tags]
+    ),
+    "holtWintersConfidenceArea": lambda g, season=24, delta=3: (
+        # area fill is a draw-time attribute; the DATA is the bands pair
+        sfn.holt_winters_bands_series(g, int(season), float(delta))
+    ),
+    "alpha": lambda g, a=1: g,
+    "areaBetween": lambda g: g,
+    "setXFilesFactor": lambda g, x=0: g,
     "secondYAxis": lambda g: g,
     "lineWidth": lambda g, w=1: g,
     "dashed": lambda g, n=5: g,
@@ -334,11 +352,14 @@ _SPECS: dict[str, Callable] = {
 #: ('10min'); the evaluator converts to slots with the context step.
 _INTERVAL_WINDOW_FNS = {
     "movingAverage", "movingMax", "movingMin", "movingSum", "movingMedian",
-    "stdev",
+    "stdev", "movingWindow",
 }
 
 #: series-free generators — evaluated from the render context, no fetch.
-_GENERATOR_FNS = {"constantLine", "threshold", "timeFunction", "identity", "sinFunction"}
+_GENERATOR_FNS = {
+    "constantLine", "threshold", "timeFunction", "identity", "sinFunction",
+    "time", "randomWalk",
+}
 
 # diffSeries is special-cased: base path must be concrete (first arg).
 
@@ -447,7 +468,29 @@ def evaluate_target(
                 "slot_s",
                 (F.sin(F.col("slot_s").cast("double")) * amplitude).alias("stat"),
             )
-        # timeFunction("name") / identity("name"): value == slot timestamp
+        if nd.name == "randomWalk":
+            # graphite's debug generator uses random(); this one derives
+            # steps in [-0.5, 0.5) from md5(slot) so replays/checkpoints see
+            # identical data (the engine-wide determinism rule), then
+            # cumulative-sums them into the walk. Window is the render grid
+            # — slot-bounded by construction.
+            label = str(nd.args[0]) if nd.args else "randomWalk"
+            step_v = (
+                F.conv(F.substring(F.md5(F.col("slot_s").cast("string")), 1, 8), 16, 10)
+                .cast("double")
+                / F.lit(float(1 << 32))
+                - 0.5
+            )
+            walk = F.sum(step_v).over(
+                Window.orderBy("slot_s").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            return base.select(
+                F.lit(label).alias("path"), "slot_s", walk.alias("stat")
+            )
+        # timeFunction("name") / time("name") / identity("name"):
+        # value == slot timestamp
         label = str(nd.args[0]) if nd.args else nd.name
         return base.select(
             F.lit(label).alias("path"),
@@ -519,6 +562,34 @@ def evaluate_target(
             if not copies:
                 raise TargetSyntaxError("timeStack range is empty")
             return union_all(copies)
+        if nd.name == "cumulative":
+            # graphite: alias for consolidateBy(seriesList, 'sum') — ride
+            # the same scope stack
+            if len(nd.args) != 1:
+                raise TargetSyntaxError("cumulative needs (seriesList)")
+            cons_stack.append("sum")
+            try:
+                return ev(nd.args[0], offset)
+            finally:
+                cons_stack.pop()
+        if nd.name == "aggregateSeriesLists":
+            series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
+            scalars = [a for a in nd.args if not isinstance(a, (Call, PathGlob))]
+            if len(series_args) != 2 or not scalars:
+                raise TargetSyntaxError(
+                    "aggregateSeriesLists needs (seriesListFirstPos, "
+                    "seriesListSecondPos, func)"
+                )
+            try:
+                return sfn.aggregate_series_lists(
+                    ev(series_args[0], offset),
+                    ev(series_args[1], offset),
+                    _how(scalars[0], "sum"),
+                )
+            except TargetSyntaxError:
+                raise
+            except ValueError as e:
+                raise TargetSyntaxError(f"aggregateSeriesLists: {e}") from e
         if nd.name == "consolidateBy":
             series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
             if len(series_args) != 1:

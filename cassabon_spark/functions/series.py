@@ -1223,3 +1223,81 @@ def remove_empty_series(grid: DataFrame) -> DataFrame:
         .select("path")
     )
     return grid.join(F.broadcast(keep), "path", "left_semi")
+
+
+# ---------------------------------------------- round-3 additions, batch 3
+
+
+def moving_window(grid: DataFrame, n: int, how: str = "avg") -> DataFrame:
+    """movingWindow(n, func): the generic form of movingAverage/Max/Min/
+    Sum/Median — one trailing rows-frame window, aggregate chosen by name."""
+    aggs = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "max": F.max,
+        "min": F.min,
+        "median": lambda c: F.expr(f"percentile({c}, 0.5)"),
+        "stddev": F.stddev_pop,
+        "count": F.count,
+    }
+    if how not in aggs:
+        raise ValueError(f"movingWindow func {how!r}: one of {sorted(aggs)}")
+    w = _w().rowsBetween(-(n - 1), 0)
+    return grid.withColumn("stat", aggs[how]("stat").over(w))
+
+
+def aggregate_series_lists(a: DataFrame, b: DataFrame, how: str = "sum") -> DataFrame:
+    """aggregateSeriesLists(listA, listB, func): pair the two lists
+    positionally IN PATH ORDER (the divideSeriesLists pairing, generalized)
+    and combine slot-wise. Mismatched lengths raise like graphite-web."""
+    n1 = a.select("path").distinct().count()
+    n2 = b.select("path").distinct().count()
+    if n1 != n2:
+        raise ValueError(
+            f"aggregateSeriesLists: first list has {n1} series but second "
+            f"has {n2}; the lists must be the same length"
+        )
+    combos = {
+        "sum": F.col("stat") + F.col("__o"),
+        "diff": F.col("stat") - F.col("__o"),
+        "multiply": F.col("stat") * F.col("__o"),
+        "divide": F.when(F.col("__o") != 0, F.col("stat") / F.col("__o")),
+        "max": F.greatest("stat", "__o"),
+        "min": F.least("stat", "__o"),
+        "avg": (F.col("stat") + F.col("__o")) / 2.0,
+    }
+    if how not in combos:
+        raise ValueError(
+            f"aggregateSeriesLists func {how!r}: one of {sorted(combos)}"
+        )
+    rank = Window.orderBy("path")
+    d1 = a.select("path", "slot_s", "stat").withColumn(
+        "__i", F.dense_rank().over(rank)
+    )
+    d2 = b.select(
+        F.col("path").alias("__bp"), "slot_s", F.col("stat").alias("__o")
+    ).withColumn("__i", F.dense_rank().over(Window.orderBy("__bp")))
+    return (
+        d1.join(d2, ["__i", "slot_s"], "left")
+        .select("path", "slot_s", combos[how].alias("stat"))
+    )
+
+
+def group_by_tags(grid: DataFrame, how: str, *tags: str) -> DataFrame:
+    """groupByTags(seriesList, func, *tags): combine series sharing the
+    listed tag values (read off the serialized `;tag=value` path); the
+    result series is named by the joined tag values, aliasByTags-style."""
+    from cassabon_spark.operators.tags import tags_map_expr
+
+    if not tags:
+        raise ValueError("groupByTags needs at least one tag")
+    agg = _COMBINE[how]
+    m = tags_map_expr("path")
+    key = F.concat_ws(
+        ".", *[F.coalesce(F.element_at(m, t), F.lit("")) for t in tags]
+    )
+    return (
+        grid.withColumn("path", key)
+        .groupBy("path", "slot_s")
+        .agg(agg("stat").cast("double").alias("stat"))
+    )

@@ -554,3 +554,74 @@ def test_engine_render_sort_order(spark, tmp_path):
         "sortByTotal(evt.*)", BASE - 10, BASE + 20, now_s=BASE + 30
     )
     assert list(out["series"]) == ["evt.big", "evt.mid", "evt.small"]
+
+
+# ------------------------------------------------- round-3 function batch
+
+
+def test_batch3_moving_window_and_add(spark):
+    rows = [("m", 10, 1.0), ("m", 20, 3.0), ("m", 30, 5.0)]
+    g = evaluate_target(
+        parse_target("movingWindow(m, 2, 'sum')"), _resolver(spark, rows)
+    )
+    assert {r["slot_s"]: r["stat"] for r in g.collect()} == {10: 1.0, 20: 4.0, 30: 8.0}
+    g2 = evaluate_target(parse_target("add(m, 10)"), _resolver(spark, rows))
+    assert {r["slot_s"]: r["stat"] for r in g2.collect()} == {10: 11.0, 20: 13.0, 30: 15.0}
+
+
+def test_batch3_aggregate_series_lists(spark):
+    rows = [
+        ("num.a", 10, 10.0), ("num.b", 10, 20.0),
+        ("den.a", 10, 2.0), ("den.b", 10, 4.0),
+    ]
+    g = evaluate_target(
+        parse_target("aggregateSeriesLists(num.*, den.*, 'diff')"),
+        _resolver(spark, rows),
+    )
+    assert {r["path"]: r["stat"] for r in g.collect()} == {"num.a": 8.0, "num.b": 16.0}
+    with pytest.raises(TargetSyntaxError, match="same length"):
+        evaluate_target(
+            parse_target("aggregateSeriesLists(num.*, den.a, 'sum')"),
+            _resolver(spark, rows),
+        )
+
+
+def test_batch3_group_by_tags(spark):
+    rows = [
+        ("disk.used;dc=east;host=w1", 10, 1.0),
+        ("disk.used;dc=east;host=w2", 10, 2.0),
+        ("disk.used;dc=west;host=w3", 10, 5.0),
+    ]
+    g = evaluate_target(
+        parse_target("groupByTags(disk.*, 'sum', 'dc')"),
+        _resolver(spark, [(p, s, v) for p, s, v in rows]),
+    )
+    assert {r["path"]: r["stat"] for r in g.collect()} == {"east": 3.0, "west": 5.0}
+
+
+def test_batch3_cumulative_scopes_sum(spark, tmp_path):
+    eng = _mk_engine(spark, tmp_path)
+    lines = [f"evt.a {i} {BASE + i * 10}" for i in range(12)]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    capped = eng.render_target(
+        "cumulative(evt.a)", BASE - 10, BASE + 120, now_s=BASE + 130, max_datapoints=5
+    )
+    # coarse bucket (BASE+10, BASE+40] holds 1,2,3 -> sum 6 (avg would be 2)
+    assert capped["series"]["evt.a"][1] == 6.0
+
+
+def test_batch3_generators_time_and_random_walk(spark):
+    ctx = {"spark": spark, "from_s": 10, "to_s": 40, "step": 10}
+    g = evaluate_target(parse_target("time('t')"), lambda gl: None, ctx)
+    assert [(r["slot_s"], r["stat"]) for r in g.orderBy("slot_s").collect()] == [
+        (10, 10.0), (20, 20.0), (30, 30.0), (40, 40.0)
+    ]
+    rw = evaluate_target(parse_target("randomWalk('w')"), lambda gl: None, ctx)
+    vals = [r["stat"] for r in rw.orderBy("slot_s").collect()]
+    assert len(vals) == 4 and all(v is not None for v in vals)
+    # deterministic: same context -> same walk
+    rw2 = evaluate_target(parse_target("randomWalk('w')"), lambda gl: None, ctx)
+    assert [r["stat"] for r in rw2.orderBy("slot_s").collect()] == vals
+    # it is a walk: steps bounded by 0.5
+    steps = [b - a for a, b in zip(vals, vals[1:])]
+    assert all(abs(s) <= 0.5 for s in steps)

@@ -2652,3 +2652,84 @@ def text_bigram_surprisal(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------- streaming exact dedup (r3)
+
+# Microbatch-invariance argument: dropDuplicatesWithinWatermark emits the
+# FIRST occurrence of each (path, ts) key immediately (no window closure to
+# wait for), and a watermark wider than the dataset's whole span means no
+# key ever expires from state — so the emitted set is exactly the global
+# distinct regardless of how the doubled input was sliced into microbatches.
+# The duplicates are byte-identical rows, so "which copy wins" is moot.
+_SDD_SQL = """
+WITH e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS path, value FROM events
+)
+SELECT path,
+       CAST(COUNT(*) AS BIGINT)            AS n_rows,
+       ROUND(ROUND(SUM(value), 8), 4)      AS value_sum
+FROM e
+GROUP BY path
+ORDER BY path
+"""
+
+
+@register(
+    "streaming_dedup_distinct",
+    _SDD_SQL,
+    "streaming exact dedup end-to-end: every event line fed TWICE through a "
+    "file stream, dropDuplicatesWithinWatermark(path, ts) with a watermark "
+    "wider than the data span; the surviving set equals the batch distinct "
+    "(per-path counts + value sums) — the at-least-once ingest guard",
+)
+def streaming_dedup_q(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    prep(spark)
+    from cassabon_spark.streaming.windows import dedup_stream
+
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s,%s,%s",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.col("value").cast("string"),
+            F.col("ts").cast("double").cast("string"),
+        ).alias("line")
+    )
+    doubled = lines.unionAll(lines)
+    tmp = tempfile.mkdtemp(prefix="cassabon_sdd_")
+    drop = os.path.join(tmp, "drop")
+    doubled.coalesce(4).write.mode("overwrite").text(drop)
+    parts = F.split("value", ",")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "2")
+        .text(drop)
+        .select(
+            parts[0].alias("path"),
+            parts[1].cast("double").alias("value"),
+            parts[2].cast("double").alias("ts"),
+        )
+    )
+    deduped = dedup_stream(stream, watermark_s=40 * 86400)
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            R(F.sum("value"), 4).alias("value_sum"),
+        )
+        .orderBy("path")
+    )

@@ -84,6 +84,27 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
             self.end_headers()
             self.wfile.write(body)
 
+        def _render(self, q: dict) -> None:
+            # graphite-web accepts repeated target= params; the merged
+            # series dict is kept for compat and per-target entries ride
+            # under "targets" (steps may differ). from/until accept
+            # graphite relative forms (-1h, now). Shared by GET and POST.
+            from cassabon_spark.functions.graphite import parse_at_time
+
+            now = int(time.time())
+            targets = q.get("target", [])
+            frm = parse_at_time(q.get("from", ["0"])[0], now)
+            to = parse_at_time(q.get("until", q.get("to", ["0"]))[0], now)
+            md_q = q.get("maxDataPoints", [])
+            self._json(
+                engine.render_targets(
+                    targets,
+                    frm,
+                    to,
+                    max_datapoints=int(md_q[0]) if md_q else None,
+                )
+            )
+
         # --------------------------------------------------------- routes
         def do_GET(self):  # noqa: N802
             u = urlparse(self.path)
@@ -146,27 +167,7 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     to = parse_at_time(q.get("to", ["0"])[0], now)
                     self._json(engine.get_metrics(paths, frm, to))
                 elif u.path == "/render":
-                    # graphite-web accepts repeated target= params; the
-                    # merged series dict is kept for compat and per-target
-                    # entries ride under "targets" (steps may differ).
-                    # from/until accept graphite relative forms (-1h, now)
-                    from cassabon_spark.functions.graphite import parse_at_time
-
-                    now = int(time.time())
-                    targets = q.get("target", [])
-                    frm = parse_at_time(q.get("from", ["0"])[0], now)
-                    to = parse_at_time(
-                        q.get("until", q.get("to", ["0"]))[0], now
-                    )
-                    md_q = q.get("maxDataPoints", [])
-                    self._json(
-                        engine.render_targets(
-                            targets,
-                            frm,
-                            to,
-                            max_datapoints=int(md_q[0]) if md_q else None,
-                        )
-                    )
+                    self._render(q)
                 elif u.path == "/stats":
                     with _STATS_LOCK:
                         snap = {k: dict(v) for k, v in stats.items()}
@@ -199,6 +200,11 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     paths = q.get("path", [])
                     n = engine.delete_tag_series(paths)
                     self._json({"deleted": n})
+                elif u.path == "/render":
+                    # graphite-web dashboards POST /render with form bodies
+                    # (long target lists overflow the query string) — same
+                    # semantics as the GET route
+                    self._render(q)
                 else:
                     self._error(404, "not found", self.path)
             except ValueError as e:

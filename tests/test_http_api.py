@@ -220,3 +220,38 @@ def test_tags_autocomplete_routes(spark, tmp_path):
         assert status == 200 and vals == ["web1", "web2"]
         status, none = _get(srv.url + "/tags/nosuch")
         assert status == 200 and none == []
+
+
+def test_render_post_form_body(spark, tmp_path):
+    """graphite-web dashboards POST /render with form-encoded bodies; the
+    POST route must match GET semantics."""
+    import json
+    from urllib.parse import urlencode
+    from urllib.request import Request, urlopen
+
+    from cassabon_spark.api import CassabonAPI
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+
+    base = 1_700_000_000 - (1_700_000_000 % 10)
+    cfg = RollupConfig.from_dict({"default": {"method": "sum", "windows": ["10s:1h"]}})
+    eng = Engine(spark, cfg, str(tmp_path / "store"), str(tmp_path / "index"))
+    lines = [f"evt.a {i} {base + i * 10}" for i in range(3)]
+    eng.ingest_lines(spark.createDataFrame([(l,) for l in lines], "line string"))
+    with CassabonAPI(eng) as api:
+        body = urlencode(
+            [("target", "scale(evt.a, 2)"), ("from", str(base - 10)),
+             ("until", str(base + 30))],
+        ).encode()
+        req = Request(f"{api.url}/render", data=body, method="POST")
+        post_out = json.loads(urlopen(req).read())
+        get_out = json.loads(
+            urlopen(
+                f"{api.url}/render?target=scale(evt.a,%202)&from={base - 10}"
+                f"&until={base + 30}"
+            ).read()
+        )
+    assert post_out["series"] == get_out["series"]
+    assert post_out["series"], post_out
+    vals = [v for s in post_out["series"].values() for v in s if v is not None]
+    assert vals  # the scaled data actually came through

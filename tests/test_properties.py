@@ -169,3 +169,134 @@ def test_routing_when_chain_matches_driver_routing(spark, paths):
     }
     for p in set(paths):
         assert got[p] == cfg.route(p).expression, p
+
+
+# ------------------------------------------------- round-3 closed forms
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_ema_sma_seed_closed_form_matches_reference_loop(spark, vals, n):
+    """The window-aggregate EMA (SMA seed, null-skip decay) must equal the
+    graphite-web reference loop for ARBITRARY null patterns — the closed
+    form's non-null decay counting is the subtle part."""
+    from cassabon_spark.functions.series import exponential_moving_average
+
+    rows = [("m", (i + 1) * 10, v) for i, v in enumerate(vals)]
+    grid = spark.createDataFrame(rows, "path string, slot_s bigint, stat double")
+    got = {
+        r["slot_s"]: r["stat"]
+        for r in exponential_moving_average(grid, n).collect()
+    }
+    alpha = 2.0 / (n + 1.0)
+    head = [v for v in vals[:n] if v is not None]
+    ema = sum(head) / len(head) if head else 0.0
+    want = [None] * (n - 1) + [ema]
+    for v in vals[n:]:
+        if v is None:
+            want.append(None)
+        else:
+            ema = alpha * v + (1 - alpha) * ema
+            want.append(ema)
+    want = want[: len(vals)]
+    for i, w in enumerate(want):
+        g = got[(i + 1) * 10]
+        if w is None:
+            assert g is None, (i, g)
+        else:
+            assert g is not None and abs(g - w) < 1e-6, (i, g, w)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="abz019", min_size=1, max_size=8),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_natural_sort_matches_python_key(spark, names):
+    """sortByName(natural=1) must order exactly like the canonical Python
+    digit-run tokenization for arbitrary alphanumeric names."""
+    import re
+
+    from cassabon_spark.functions.series import sort_by_name
+
+    rows = [(p, 10, 1.0) for p in names]
+    grid = spark.createDataFrame(rows, "path string, slot_s bigint, stat double")
+    out = sort_by_name(grid, natural=True)
+    got = [
+        r["path"]
+        for r in out.select("path", "__ord").distinct().orderBy("__ord").collect()
+    ]
+
+    def pykey(s):
+        return [
+            int(run) if run.isdigit() else run
+            for run in re.split(r"(\d+)", s)
+            if run != ""
+        ]
+
+    # Python can't compare int vs str; emulate the padded-string compare
+    def strkey(s):
+        return "".join(
+            run.zfill(24) if run.isdigit() else run
+            for run in re.split(r"(\d+)", s)
+            if run != ""
+        )
+
+    assert got == sorted(names, key=strkey)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=8),
+    st.integers(min_value=1, max_value=10**5),
+)
+def test_largest_remainder_allocation_properties(spark, tokens, budget):
+    """pipeline_token_budget_mix's allocation law: integer allocs sum to the
+    budget exactly and each is within 1 of the proportional share."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    if sum(tokens) == 0:
+        return
+    rows = [(f"s{i}", t) for i, t in enumerate(tokens)]
+    src = spark.createDataFrame(rows, "source string, tokens bigint")
+    tot = src.agg(F.sum("tokens").alias("tt"))
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        (F.lit(budget) * F.col("tokens") % F.col("tt")).alias("remainder"),
+        F.expr(f"({budget} * tokens) div tt").alias("floor_alloc"),
+    )
+    w_rank = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = base.withColumn("rr", F.row_number().over(w_rank)).withColumn(
+        "leftover", F.lit(budget) - F.sum("floor_alloc").over(w_all)
+    )
+    out = {
+        r["source"]: r["alloc"]
+        for r in ranked.select(
+            "source",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("alloc"),
+        ).collect()
+    }
+    assert sum(out.values()) == budget
+    tt = sum(tokens)
+    for i, t in enumerate(tokens):
+        assert abs(out[f"s{i}"] - budget * t / tt) < 1.0 + 1e-9

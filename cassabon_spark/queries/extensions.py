@@ -2733,3 +2733,441 @@ def streaming_dedup_q(spark, sf_dir):
         )
         .orderBy("path")
     )
+
+
+# ---------------------------------------------- SemDeDup semantic dedup (r3)
+
+# SemDeDup (Abbas et al. 2023): cluster the embedding space, then drop all
+# but one member of every within-cluster group whose pairwise cosine exceeds
+# a threshold. Clustering here is the deterministic md5-pivot coarse
+# quantizer (same construction as similarity_ivf_topk) so the WHOLE
+# operator — cluster assignment, candidate pairs, drop decisions — is
+# exact-oracle-checked. k is small at test scale; at 100 TB k scales
+# ~n/cluster_size so cells stay bounded and the within-cell pair join stays
+# quadratic only in the (constant) cell size, never in the corpus.
+_SEM_K = 8
+_SEM_TAU = 0.40
+
+_SEM_SQL = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe
+  FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_SEM_K}
+),
+cells AS (
+  SELECT vec_id, embedding, pivot_id FROM (
+    SELECT e.vec_id, e.embedding, p.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+  ) WHERE prnk = 1
+),
+hits AS (
+  SELECT a.pivot_id, a.vec_id AS keeper, b.vec_id AS dropped,
+         {_IVF_DOT.format(a="a.embedding", b="b.embedding")}
+           / ({_IVF_NORM.format(a="a.embedding")} * {_IVF_NORM.format(a="b.embedding")}) AS cos
+  FROM cells a JOIN cells b
+    ON a.pivot_id = b.pivot_id AND a.vec_id < b.vec_id
+  WHERE {_IVF_DOT.format(a="a.embedding", b="b.embedding")}
+          / ({_IVF_NORM.format(a="a.embedding")} * {_IVF_NORM.format(a="b.embedding")})
+        >= {_SEM_TAU}
+),
+best AS (
+  SELECT pivot_id, dropped, keeper, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY dropped ORDER BY ROUND(cos, 8) DESC, keeper
+         ) AS r
+  FROM hits
+)
+SELECT CAST(pivot_id AS BIGINT) AS pivot_id, dropped, keeper,
+       ROUND(ROUND(cos, 8), 4) AS cosine
+FROM best WHERE r = 1
+ORDER BY dropped
+"""
+
+
+@register(
+    "dedup_semdedup",
+    _SEM_SQL,
+    "SemDeDup semantic dedup: md5-pivot cluster blocking, within-cell "
+    "cosine >= 0.40 drops the higher id (keeper = its most-similar lower "
+    "id); pair work is quadratic only in cell size, never corpus size",
+)
+def dedup_semdedup(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_SEM_K)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+    )
+    sim_p = cosine_sim_expr("embedding", "pe")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    cells = (
+        emb.crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_assign))
+        .filter(F.col("prnk") == 1)
+        .select("vec_id", "embedding", "pivot_id")
+    )
+    a = cells.select("pivot_id", F.col("vec_id").alias("keeper"), F.col("embedding").alias("ea"))
+    b = cells.select(
+        F.col("pivot_id").alias("pb"), F.col("vec_id").alias("dropped"), F.col("embedding").alias("eb")
+    )
+    sim = cosine_sim_expr("ea", "eb")
+    hits = (
+        a.join(b, (F.col("pivot_id") == F.col("pb")) & (F.col("keeper") < F.col("dropped")))
+        .filter(sim >= _SEM_TAU)
+        # rank on the 8-decimal re-quantized cosine so the argmax decision is
+        # made on engine-identical keys (same trick as similarity_pq_adc)
+        .select("pivot_id", "keeper", "dropped", F.round(sim, 8).alias("cos8"), R(sim, 4).alias("cosine"))
+    )
+    w = Window.partitionBy("dropped").orderBy(F.desc("cos8"), F.asc("keeper"))
+    return (
+        hits.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(F.col("pivot_id").cast("bigint").alias("pivot_id"), "dropped", "keeper", "cosine")
+        .orderBy("dropped")
+    )
+
+
+# ---------------------------------------------- stratified rebalancing sample (r3)
+
+# Deterministic hash-based stratified downsampling: every (lang, source)
+# stratum is thinned to the size of the SMALLEST stratum via a keep-rate
+# filter on md5(doc_id) — the "balance the training mix" op. Map-only over
+# the corpus (the strata-size table is tiny and broadcast); no global sort,
+# no shuffle of document rows, and the decision is a pure function of
+# doc_id so re-runs and retries keep identical samples at any partitioning.
+_STRAT_SQL = f"""
+WITH sizes AS (
+  SELECT lang, source, COUNT(*) AS n_in FROM documents GROUP BY lang, source
+),
+target AS (SELECT MIN(n_in) AS floor_n FROM sizes),
+keep AS (
+  SELECT d.lang, d.source,
+         CASE WHEN {_sql_h48("CAST(d.doc_id AS VARCHAR)", "'strat:'")} % 1000000
+                   < CAST(FLOOR(1000000.0 * t.floor_n / s.n_in) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d
+  JOIN sizes s ON s.lang = d.lang AND s.source = d.source
+  CROSS JOIN target t
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_in,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM keep
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register(
+    "pipeline_stratified_sample",
+    _STRAT_SQL,
+    "stratified rebalancing sample: every (lang, source) stratum thinned "
+    "to the smallest stratum's size by a deterministic md5(doc_id) "
+    "keep-rate — map-only, partition-invariant, retry-stable",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_in"))
+    floor_n = sizes.agg(F.min("n_in").alias("floor_n"))
+    rate = F.floor(1000000.0 * F.col("floor_n") / F.col("n_in")).cast("bigint")
+    h = md5_bucket_expr(F.col("doc_id").cast("string"), prefix="strat:") % 1000000
+    kept = (
+        docs.join(F.broadcast(sizes), ["lang", "source"])
+        .crossJoin(F.broadcast(floor_n))
+        .select("lang", "source", F.when(h < rate, 1).otherwise(0).alias("kept"))
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_in"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------- embedding dimension stats (r3)
+
+# Per-dimension distribution audit over the embedding column — the sanity
+# sweep run before training on a new embedding dump (dead dims, scale
+# drift, outliers). posexplode is map-side (x dim fan-out, no shuffle);
+# the aggregate shuffles only `dim` keys with full partial aggregation, so
+# the reduce side is O(dims), independent of corpus size.
+_DIMSTATS_SQL = """
+WITH vals AS (
+  SELECT CAST(i AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS g(i)
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT)            AS n,
+       ROUND(ROUND(AVG(v), 8), 4)          AS mean_v,
+       ROUND(ROUND(STDDEV_SAMP(v), 8), 4)  AS std_v,
+       ROUND(ROUND(MIN(v), 8), 4)          AS min_v,
+       ROUND(ROUND(MAX(v), 8), 4)          AS max_v
+FROM vals
+GROUP BY dim
+ORDER BY dim
+"""
+
+
+@register(
+    "embedding_dim_stats",
+    _DIMSTATS_SQL,
+    "per-dimension mean/std/min/max over the embedding column: map-side "
+    "posexplode fan-out, O(dims) reduce — the pre-training distribution "
+    "audit for a new embedding dump",
+)
+def embedding_dim_stats(spark, sf_dir):
+    prep(spark)
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    vals = emb.select(F.posexplode("embedding").alias("pos", "v0")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"), F.col("v0").cast("double").alias("v")
+    )
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            R(F.avg("v"), 4).alias("mean_v"),
+            R(F.stddev_samp("v"), 4).alias("std_v"),
+            R(F.min("v"), 4).alias("min_v"),
+            R(F.max("v"), 4).alias("max_v"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------- streaming sliding window (r3)
+
+# Microbatch-invariance argument: the query runs in UPDATE mode, so the
+# memory sink accumulates every re-emission of a (path, window) key; `cnt`
+# strictly increases with each re-emission (a key is only re-emitted when
+# new rows folded in), so "the row with max cnt per key" IS the final state
+# regardless of how the files were sliced into microbatches. The watermark
+# is wider than the data span, so nothing is ever dropped as late. The final
+# per-key snapshot therefore equals the batch sliding-window aggregate, and
+# the oracle computes exactly that (each event lands in window_s/slide_s = 2
+# epoch-aligned windows).
+_SSW_SQL = """
+WITH e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS path, value,
+         CAST(EPOCH(ts) AS DOUBLE) AS ts_s
+  FROM events
+),
+wins AS (
+  SELECT path, value,
+         (CAST(FLOOR(ts_s / 1800) AS BIGINT) - k) * 1800 AS win_start
+  FROM e, UNNEST([0, 1]) AS g(k)
+)
+SELECT win_start,
+       win_start + 3600                         AS win_end,
+       CAST(COUNT(DISTINCT path) AS BIGINT)     AS n_paths,
+       CAST(COUNT(*) AS BIGINT)                 AS n_events,
+       ROUND(ROUND(SUM(value), 8), 4)           AS value_sum
+FROM wins
+GROUP BY win_start
+ORDER BY win_start
+"""
+
+
+@register(
+    "streaming_sliding_window",
+    _SSW_SQL,
+    "streaming sliding-window aggregation end-to-end (1h window / 30min "
+    "slide, update mode): per-key final state recovered as the max-cnt "
+    "re-emission — microbatch-invariant, equals the batch sliding agg",
+)
+def streaming_sliding_window_q(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    prep(spark)
+    from cassabon_spark.streaming.windows import windowed_rollup_stream
+
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s,%s,%s",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.col("value").cast("string"),
+            F.col("ts").cast("double").cast("string"),
+        ).alias("line")
+    )
+    tmp = tempfile.mkdtemp(prefix="cassabon_ssw_")
+    drop = os.path.join(tmp, "drop")
+    lines.coalesce(4).write.mode("overwrite").text(drop)
+    parts = F.split("value", ",")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "2")
+        .text(drop)
+        .select(
+            parts[0].alias("path"),
+            parts[1].cast("double").alias("value"),
+            parts[2].cast("double").alias("ts"),
+        )
+    )
+    agg = windowed_rollup_stream(stream, window_s=3600, slide_s=1800, watermark_s=40 * 86400)
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snap = (
+        spark.table(name)
+        .groupBy("path", "win_start")
+        .agg(F.max_by(F.struct("cnt", "vsum"), "cnt").alias("s"))
+    )
+    return (
+        snap.select(
+            F.col("win_start").cast("bigint").alias("win_start"),
+            F.col("s.cnt").alias("cnt"),
+            F.col("s.vsum").alias("vsum"),
+        )
+        .groupBy("win_start")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paths"),
+            F.sum("cnt").cast("bigint").alias("n_events"),
+            R(F.sum("vsum"), 4).alias("value_sum"),
+        )
+        .select(
+            "win_start",
+            (F.col("win_start") + 3600).alias("win_end"),
+            "n_paths",
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("win_start")
+    )
+
+
+# ---------------------------------------------- streaming session windows (r3)
+
+# Microbatch-invariance argument: append-mode session windows emit exactly
+# once, when the watermark passes session_end; the watermark delay (40 d)
+# exceeds the data span so no event is ever late-dropped, and a trailing
+# sentinel row (ts = max_ts + delay + gap + margin, later file mtime => later
+# microbatch) pushes the final watermark past every real session's end. The
+# no-data microbatch Spark runs after the last file (on by default) flushes
+# the final emissions. The emitted set is therefore the complete batch
+# sessionization independent of file slicing. All window arithmetic is
+# surfaced as integer MICROSECONDS (unix_micros / EPOCH_US) — session
+# boundaries are exact integers on both engines, no float-boundary risk.
+# Session merge rule parity: Spark merges when next_ts < prev_ts + gap
+# (strict), so the oracle starts a new session at diff >= gap.
+_SSESS_SQL = """
+WITH e AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS path, value,
+         CAST(EPOCH_US(ts) AS BIGINT) AS ts_us
+  FROM events
+),
+m AS (
+  SELECT path, value, ts_us,
+         CASE WHEN LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY path ORDER BY ts_us)
+),
+s AS (
+  SELECT path, value, ts_us,
+         SUM(ns) OVER (PARTITION BY path ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m
+)
+SELECT path,
+       MIN(ts_us)                               AS sess_start_us,
+       MAX(ts_us) + 1800000000                  AS sess_end_us,
+       CAST(COUNT(*) AS BIGINT)                 AS n_events,
+       ROUND(ROUND(SUM(value), 8), 4)           AS value_sum
+FROM s
+GROUP BY path, sid
+ORDER BY path, sess_start_us
+"""
+
+
+@register(
+    "streaming_session_window",
+    _SSESS_SQL,
+    "streaming session windows end-to-end (30min gap, append mode): "
+    "sentinel-advanced watermark finalizes every session; emitted set "
+    "equals batch gaps-and-islands sessionization, boundaries exact in "
+    "integer microseconds",
+)
+def streaming_session_window_q(spark, sf_dir):
+    import os
+    import tempfile
+    import time as _time
+    import uuid
+
+    prep(spark)
+    from cassabon_spark.streaming.windows import windowed_rollup_stream
+
+    _GAP_S = 1800
+    _WM_S = 40 * 86400
+
+    ev = EV(spark, sf_dir)
+    lines = ev.select(
+        F.format_string(
+            "%s,%s,%s",
+            F.concat(F.lit("u"), F.col("user_id").cast("string")),
+            F.col("value").cast("string"),
+            F.col("ts").cast("double").cast("string"),
+        ).alias("line")
+    )
+    tmp = tempfile.mkdtemp(prefix="cassabon_ssess_")
+    drop = os.path.join(tmp, "drop")
+    lines.coalesce(4).write.mode("overwrite").text(drop)
+    # single-row driver agg: the sentinel timestamp for the flush file
+    max_ts = ev.agg(F.max(F.col("ts").cast("double"))).first()[0]
+    sentinel_ts = max_ts + _WM_S + _GAP_S + 60
+    flush = os.path.join(drop, "zz_flush.txt")
+    with open(flush, "w") as f:
+        f.write(f"_flush,0.0,{sentinel_ts}\n")
+    os.utime(flush, (_time.time() + 100, _time.time() + 100))  # strictly last batch
+
+    parts = F.split("value", ",")
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "2")
+        .text(drop)
+        .select(
+            parts[0].alias("path"),
+            parts[1].cast("double").alias("value"),
+            parts[2].cast("double").alias("ts"),
+        )
+    )
+    agg = windowed_rollup_stream(stream, window_s=0, session_gap_s=_GAP_S, watermark_s=_WM_S)
+    name = f"ssess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .filter(F.col("path") != "_flush")
+        .select(
+            "path",
+            F.unix_micros("win_start").alias("sess_start_us"),
+            F.unix_micros("time").alias("sess_end_us"),
+            F.col("cnt").cast("bigint").alias("n_events"),
+            R(F.col("vsum"), 4).alias("value_sum"),
+        )
+        .orderBy("path", "sess_start_us")
+    )

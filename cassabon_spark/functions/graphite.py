@@ -346,6 +346,25 @@ _SPECS: dict[str, Callable] = {
     "legendValue": lambda g, *a: g,
     "verticalLine": lambda g, *a: g,
     "cactiStyle": lambda g, *a: g,
+    # ------------------------------------------------------------ batch 4
+    "powSeries": lambda g: sfn.pow_series(g),
+    "mapSeries": lambda g, *nodes: sfn.map_series(g, *[int(n) for n in nodes]),
+    "map": lambda g, *nodes: sfn.map_series(g, *[int(n) for n in nodes]),
+    "reduceSeries": lambda g, fn, node, *matchers: sfn.reduce_series(
+        g,
+        str(fn).strip("\"'"),
+        int(node),
+        *[str(m).strip("\"'") for m in matchers],
+    ),
+    "reduce": lambda g, fn, node, *matchers: sfn.reduce_series(
+        g,
+        str(fn).strip("\"'"),
+        int(node),
+        *[str(m).strip("\"'") for m in matchers],
+    ),
+    "pieAverage": lambda g: sfn.pie_value(g, "avg"),
+    "pieMaximum": lambda g: sfn.pie_value(g, "max"),
+    "pieMinimum": lambda g: sfn.pie_value(g, "min"),
 }
 
 #: moving-window functions whose window may be a graphite interval STRING
@@ -660,6 +679,55 @@ def evaluate_target(
             return alias_by_tags(ev(series_args[0], offset), *tag_args)
         if nd.name == "applyByNode":
             return apply_by_node(nd, offset)
+        if nd.name == "aliasQuery":
+            # aliasQuery(seriesList, search, replace, newName): per series,
+            # regex-sub the name into a NEW target, evaluate it, and format
+            # its last value into newName (graphite-web evaluates one
+            # sub-query per series; the series list is render-sized and the
+            # same 200-group bound as applyByNode applies).
+            import re as _re
+
+            if len(nd.args) < 4 or not isinstance(nd.args[0], (Call, PathGlob)):
+                raise TargetSyntaxError(
+                    "aliasQuery needs (seriesList, search, replace, newName)"
+                )
+            search = str(nd.args[1]).strip("\"'")
+            replace = _re.sub(r"\\(\d)", r"\\\1", str(nd.args[2]).strip("\"'"))
+            new_name = str(nd.args[3]).strip("\"'")
+            seed = ev(nd.args[0], offset)
+            names = [
+                r["path"]
+                for r in seed.select("path").distinct().orderBy("path").limit(201).collect()
+            ]
+            if len(names) > 200:
+                raise TargetSyntaxError(
+                    "aliasQuery expanded to >200 series; narrow the seriesList"
+                )
+            out = seed
+            for name in names:
+                q = _re.sub(search, replace, name)
+                sub = ev(parse_target(q), offset)
+                row = (
+                    sub.filter(F.col("stat").isNotNull())
+                    .orderBy(F.asc("path"), F.desc("slot_s"))
+                    .select("stat")
+                    .first()
+                )
+                if row is None:
+                    raise TargetSyntaxError(
+                        f"aliasQuery: no value found for query {q!r}"
+                    )
+                try:
+                    label = new_name % row["stat"]
+                except TypeError as e:
+                    raise TargetSyntaxError(f"aliasQuery: bad newName format: {e}") from e
+                out = out.withColumn(
+                    "path",
+                    F.when(F.col("path") == name, F.lit(label)).otherwise(
+                        F.col("path")
+                    ),
+                )
+            return out
         if nd.name == "weightedAverage":
             series_args = [a for a in nd.args if isinstance(a, (Call, PathGlob))]
             node_args = [a for a in nd.args if isinstance(a, (int, float))]

@@ -1301,3 +1301,112 @@ def group_by_tags(grid: DataFrame, how: str, *tags: str) -> DataFrame:
         .groupBy("path", "slot_s")
         .agg(agg("stat").cast("double").alias("stat"))
     )
+
+
+# ------------------------------------------------------- batch 4 (round 3)
+
+
+def pow_series(grid: DataFrame) -> DataFrame:
+    """powSeries(): per-slot left fold v1 ^ v2 ^ ... across series.
+    Exponentiation is NOT commutative, so the fold order must be defined:
+    graphite uses fetch order, which for a glob is the index's path-asc
+    order (A17) — replicated here by sorting the per-slot (path, stat)
+    structs before folding. Any null input nulls the slot (safePow)."""
+    structs = F.array_sort(F.collect_list(F.struct("path", "stat")))
+    any_null = F.max(F.col("stat").isNull().cast("int"))
+    folded = F.aggregate(
+        structs,
+        F.lit(None).cast("double"),
+        lambda acc, s: F.when(acc.isNull(), s["stat"]).otherwise(
+            F.pow(acc, s["stat"])
+        ),
+    )
+    return (
+        grid.groupBy("slot_s")
+        .agg(F.when(any_null == 0, folded).alias("stat"))
+        .select(F.lit("powSeries").alias("path"), "slot_s", "stat")
+    )
+
+
+# reduceSeries combiner: matcher-ordered values m[0], m[1], ... -> stat
+_REDUCE_FNS = {
+    "sumSeries": lambda m: _null_safe_fold(m, lambda a, b: a + b),
+    "sum": lambda m: _null_safe_fold(m, lambda a, b: a + b),
+    "averageSeries": lambda m: _null_safe_fold(m, lambda a, b: a + b)
+    / F.size(F.filter(m, lambda x: x.isNotNull())),
+    "diffSeries": lambda m: _null_safe_fold(
+        m, lambda a, b: a - F.coalesce(b, F.lit(0.0))
+    ),
+    "divideSeries": lambda m: F.when(
+        F.element_at(m, 2) != 0.0, F.element_at(m, 1) / F.element_at(m, 2)
+    ),
+    "asPercent": lambda m: F.when(
+        F.element_at(m, 2) != 0.0,
+        F.lit(100.0) * F.element_at(m, 1) / F.element_at(m, 2),
+    ),
+}
+
+
+def _null_safe_fold(arr, op):
+    return F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.when(x.isNull(), acc).otherwise(op(acc, x))
+        ),
+    )
+
+
+def map_series(grid: DataFrame, *nodes: int) -> DataFrame:
+    """mapSeries(): graphite returns a list-of-lists keyed by the map-node
+    values, whose only consumer is reduceSeries — which re-derives the
+    grouping from series NAMES. In the grid model the union already carries
+    every name, so mapSeries is the identity; reduce_series does the
+    regrouping (graphite-web functions.py reduceSeries builds metaSeries
+    from names, ignoring the map structure beyond membership)."""
+    return grid
+
+
+def reduce_series(
+    grid: DataFrame, reduce_fn: str, reduce_node: int, *matchers: str
+) -> DataFrame:
+    """reduceSeries(mapSeries(...), fn, node, *matchers): per name-prefix
+    group, pick the series whose `node`-th dot-segment equals each matcher
+    (matcher order = argument order of fn), combine with `fn`, and name the
+    result '<prefix>.reduce.<fn>' exactly like graphite-web. One shuffle on
+    (prefix, slot): the matcher pivot is a conditional-aggregate pass, no
+    self-join."""
+    if reduce_fn not in _REDUCE_FNS:
+        raise ValueError(f"reduceSeries: unsupported function {reduce_fn!r}")
+    parts = F.split("path", r"\.")
+    seg = F.element_at(parts, reduce_node + 1)
+    prefix = F.array_join(F.slice(parts, 1, reduce_node), ".")
+    # derive __seg and the rewritten name from the ORIGINAL path in one
+    # select (withColumn("path", ...) first would make seg split the new name)
+    tagged = grid.select(
+        F.concat_ws(".", prefix, F.lit("reduce"), F.lit(reduce_fn)).alias("path"),
+        "slot_s",
+        "stat",
+        seg.alias("__seg"),
+    )
+    picks = [
+        F.max(F.when(F.col("__seg") == m, F.col("stat"))).alias(f"__m{i}")
+        for i, m in enumerate(matchers)
+    ]
+    pivoted = tagged.filter(F.col("__seg").isin(*matchers)).groupBy(
+        "path", "slot_s"
+    ).agg(*picks)
+    marr = F.array(*[F.col(f"__m{i}") for i in range(len(matchers))])
+    return pivoted.select(
+        "path", "slot_s", _REDUCE_FNS[reduce_fn](marr).cast("double").alias("stat")
+    )
+
+
+def pie_value(grid: DataFrame, how: str) -> DataFrame:
+    """pieAverage/pieMaximum/pieMinimum: collapse each series to a single
+    value (graphite pie-mode reduction) — one row per series at the
+    series' first slot."""
+    agg = _COMBINE[how]
+    return grid.groupBy("path").agg(
+        F.min("slot_s").alias("slot_s"), agg("stat").cast("double").alias("stat")
+    )

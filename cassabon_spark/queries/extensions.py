@@ -3171,3 +3171,156 @@ def streaming_session_window_q(spark, sf_dir):
         )
         .orderBy("path", "sess_start_us")
     )
+
+
+# ---------------------------------------------- streaming near-dup LSH (r3)
+
+
+def _lsh_row_frame(df):
+    """Row-LOCAL MinHash + LSH banding: shingle set, 8-component signature
+    and the 4 band keys, all computed per row (no explode/groupBy). The
+    same expressions run identically on a batch frame and a streaming
+    frame, which is what makes the stream-static near-dup join below
+    stateless and therefore microbatch-invariant.
+
+    Plan-shape notes (this shape is 20x the naive one):
+      * The signature is ONE pass over the shingle array — per shingle all
+        8 chunk hashes at once, folded to the elementwise min with
+        aggregate+zip_with — instead of 8 array_min(transform(...)) passes.
+      * explode(array(struct(...))) barriers sit after the shingle build
+        and after the min-fold: higher-order functions run interpreted
+        (no codegen CSE), and CollapseProject would otherwise inline the
+        whole shingle pipeline into every one of the 8 downstream
+        references, re-evaluating it 8x per row.
+    """
+    shs = F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))
+    base = (
+        df.select("doc_id", "lang", F.explode(F.array(shs)).alias("shs"))
+        .filter(F.size("shs") > 0)
+    )
+    per_shingle = F.transform(
+        F.col("shs"),
+        lambda s: F.array(*[md5_chunk_hash_expr(s, i) for i in range(_N_HASHES)]),
+    )
+    minh = F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(1 << 62).cast("bigint"), _N_HASHES),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+    )
+    sig = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(F.struct(F.col("shs").alias("shs"), minh.alias("minh")))
+        ).alias("p"),
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.element_at(F.col("p.minh"), 2 * b + 1).cast("string"),
+                    F.element_at(F.col("p.minh"), 2 * b + 2).cast("string"),
+                )
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    return sig.select(
+        "doc_id", "lang", F.col("p.shs").alias("shs"), band_keys.alias("bks")
+    )
+
+
+@register(
+    "streaming_neardup_lsh",
+    _MINHASH_SQL,  # identical pair set to the batch LSH dedup, by design
+    "incremental near-dup detection: documents ARRIVE as a stream and probe "
+    "a static LSH band index of the corpus (stream-static join, stateless "
+    "=> microbatch-invariant); signatures are row-local (array_min over "
+    "transform, no streaming aggregation), Jaccard verified row-locally "
+    "via array_intersect — emitted pairs equal the batch dedup_minhash_lsh",
+)
+def streaming_neardup_q(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+
+    # static side: the indexed corpus, banded once and cached (at 100 TB
+    # this is the precomputed band index the arrivals shuffle against;
+    # per-microbatch only the arrivals are hashed)
+    static_bands = (
+        _lsh_row_frame(docs)
+        .select("doc_id", "lang", "shs", "bks", F.posexplode("bks").alias("band", "bkey"))
+        .cache()
+    )
+
+    # stream side: the same documents arriving as tab-separated lines
+    lines = docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        ).alias("line")
+    )
+    tmp = tempfile.mkdtemp(prefix="cassabon_snd_")
+    drop = os.path.join(tmp, "drop")
+    lines.coalesce(4).write.mode("overwrite").text(drop)
+    parts = F.split("value", "\t", 3)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", "2")
+        .text(drop)
+        .select(
+            parts[0].cast("bigint").alias("doc_id"),
+            parts[1].alias("lang"),
+            parts[2].alias("text"),
+        )
+    )
+    arr = (
+        _lsh_row_frame(stream)
+        .select("doc_id", "lang", "shs", "bks", F.posexplode("bks").alias("band", "bkey"))
+        .alias("a")
+    )
+    b = static_bands.alias("b")
+    # pair once: only the FIRST shared band emits (row-local predicate —
+    # no distinct over the pair stream, same dedup as the batch entry)
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1) != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    joined = arr.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        # arrivals pair only against STRICTLY older corpus ids: each pair
+        # reported exactly once, when its newer member arrives
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    ).filter(first_match)
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
+    jac = inter / union_n
+    pairs = (
+        joined.filter(jac >= 0.7)  # raw-ratio threshold, like the oracle
+        .select(
+            F.col("b.doc_id").alias("d1"),
+            F.col("a.doc_id").alias("d2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+    name = f"snd_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    static_bands.unpersist()
+    return spark.table(name).orderBy("d1", "d2")

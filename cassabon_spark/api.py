@@ -168,6 +168,25 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     self._json(engine.get_metrics(paths, frm, to))
                 elif u.path == "/render":
                     self._render(q)
+                elif u.path == "/events/get_data":
+                    # graphite-web events API: ?from=&until=&tags=a,b (all
+                    # listed tags must be on the event); times accept the
+                    # same relative forms as /render
+                    from cassabon_spark.functions.graphite import parse_at_time
+
+                    now = int(time.time())
+                    frm = (
+                        parse_at_time(q["from"][0], now) if "from" in q else None
+                    )
+                    until = (
+                        parse_at_time(q["until"][0], now) if "until" in q else None
+                    )
+                    tags = [
+                        t
+                        for chunk in q.get("tags", [])
+                        for t in chunk.replace(",", " ").split()
+                    ]
+                    self._json(engine.get_events(frm, until, tags or None))
                 elif u.path == "/stats":
                     with _STATS_LOCK:
                         snap = {k: dict(v) for k, v in stats.items()}
@@ -187,11 +206,35 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
             t0 = time.time()
             self._last_status = 200
             try:
+                ln = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(ln).decode("utf-8") if ln else ""
+                if u.path == "/events/":
+                    # graphite-web events API posts a JSON body
+                    # {what, tags?, when?, data?} — not form-encoded
+                    try:
+                        ev = json.loads(raw or "{}")
+                    except json.JSONDecodeError as e:
+                        raise ValueError(f"bad JSON body: {e}") from e
+                    stored = engine.add_event(
+                        what=ev.get("what") or "",
+                        tags=ev.get("tags"),
+                        when_s=ev.get("when"),
+                        data=ev.get("data") or "",
+                    )
+                    self._json(
+                        {
+                            "id": stored["id"],
+                            "when": stored["when_s"],
+                            "what": stored["what"],
+                            "tags": stored["tags"],
+                            "data": stored["data"],
+                        }
+                    )
+                    return
                 # graphite-web posts form-encoded bodies; merge body params
                 # with query-string ones (either position works)
-                ln = int(self.headers.get("Content-Length") or 0)
-                if ln:
-                    body = parse_qs(self.rfile.read(ln).decode("utf-8"))
+                if raw:
+                    body = parse_qs(raw)
                     for k, v in body.items():
                         q.setdefault(k, []).extend(v)
                 if u.path == "/tags/delSeries":

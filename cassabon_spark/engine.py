@@ -69,6 +69,9 @@ class Engine:
         # reference predates tags; operators/tags.py) — tagged paths stay
         # OUT of the dot-tree index, exactly like graphite-web
         self.tag_index_dir = f"{self.index_dir}_tags"
+        # graphite-web events store (annotations: deploys/incidents) — the
+        # reference has no events concept; operators/events.py
+        self.events_dir = f"{store_dir}_events"
         if table_format not in ("dirs", "snapshot"):
             raise ValueError(f"unknown table_format {table_format!r}")
         self.table_format = table_format
@@ -203,6 +206,51 @@ class Engine:
             .orderBy("series")
             .collect()
         ]
+
+    # ------------------------------------------------------------ events API
+
+    def add_event(
+        self,
+        what: str,
+        tags: list[str] | str | None = None,
+        when_s: int | None = None,
+        data: str = "",
+    ) -> dict:
+        """graphite-web POST /events/: store an annotation (deploy,
+        incident). Returns the stored record (with its id)."""
+        from cassabon_spark.operators.events import append_events
+
+        return append_events(
+            self.spark,
+            self.events_dir,
+            [{"what": what, "tags": tags, "when_s": when_s, "data": data}],
+        )[0]
+
+    def get_events(
+        self,
+        from_s: int | None = None,
+        to_s: int | None = None,
+        tags: list[str] | None = None,
+    ) -> list[dict]:
+        """graphite-web GET /events/get_data: events in the window carrying
+        ALL requested tags, oldest first."""
+        from cassabon_spark.operators.events import find_events
+
+        df = find_events(self.spark, self.events_dir, from_s, to_s, tags)
+        return [
+            {
+                "id": r["id"],
+                "when": r["when_s"],
+                "what": r["what"],
+                "tags": list(r["tags"]),
+                "data": r["data"],
+            }
+            for r in df.orderBy("when_s", "id").collect()
+        ]
+
+    def _has_events(self) -> bool:
+        p = Path(self.events_dir)
+        return p.exists() and any(p.iterdir())
 
     def delete_tag_series(self, series: list[str]) -> int:
         """graphite-web `/tags/delSeries`: drop every tag-index row of the
@@ -563,8 +611,25 @@ class Engine:
             )
 
         has_tags = "seriesByTag" in target and self._has_tag_index()
-        if (not globs and not has_tags) or not self._has_store():
+        has_events = "events" in target and self._has_events()
+        needs_store = bool(globs) or has_tags
+        if (not needs_store and not has_events) or (
+            needs_store and not self._has_store()
+        ):
             return {"from": from_s, "to": to_s, "step": 0, "series": {}}
+
+        def events_grid(tags: list[str], offset_s: int = 0):
+            from cassabon_spark.operators.events import events_count_grid
+
+            return events_count_grid(
+                self.spark,
+                self.events_dir,
+                from_s + offset_s,
+                to_s + offset_s,
+                ctx.get("step") or 60,
+                tags,
+            )
+
         ctx = {
             "spark": self.spark,
             "from_s": from_s,
@@ -572,6 +637,7 @@ class Engine:
             "now_s": now,
             "series_by_tag": self.get_tagged_series,
             "grid_for_series": grid_for_series,
+            "events_grid": events_grid,
         }
         # seed the context step from the first glob's tier so interval-string
         # windows and generators see the render resolution
@@ -582,6 +648,12 @@ class Engine:
         )
         if first_paths:
             d0 = self.config.route(first_paths[0])
+            ctx["step"] = self.config.select_tier(d0.expression, from_s, now).window_s
+        elif has_events:
+            # events-only target: no glob to seed the step — use the
+            # catchall route's tier for this window so event buckets match
+            # what a metric series alongside them would use
+            d0 = self.config.route("")
             ctx["step"] = self.config.select_tier(d0.expression, from_s, now).window_s
         grid = evaluate_target(node, grid_for_glob, context=ctx)
         order = (

@@ -677,6 +677,17 @@ def evaluate_target(
             if len(series_args) != 1:
                 raise TargetSyntaxError("aliasByTags needs (seriesList, *tags)")
             return alias_by_tags(ev(series_args[0], offset), *tag_args)
+        if nd.name == "events":
+            # graphite-web events(*tags): per-bucket count of matching
+            # annotations from the engine's events store; offset-aware so
+            # timeShift(events(...)) fetches the shifted window
+            eg = ctx.get("events_grid")
+            if eg is None:
+                raise TargetSyntaxError(
+                    "events() needs an engine context with an events store"
+                )
+            tags = [str(a).strip("\"'") for a in nd.args]
+            return eg(tags, offset)
         if nd.name == "applyByNode":
             return apply_by_node(nd, offset)
         if nd.name == "aliasQuery":

@@ -96,14 +96,76 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
             frm = parse_at_time(q.get("from", ["0"])[0], now)
             to = parse_at_time(q.get("until", q.get("to", ["0"]))[0], now)
             md_q = q.get("maxDataPoints", [])
-            self._json(
-                engine.render_targets(
-                    targets,
-                    frm,
-                    to,
-                    max_datapoints=int(md_q[0]) if md_q else None,
-                )
+            resp = engine.render_targets(
+                targets,
+                frm,
+                to,
+                max_datapoints=int(md_q[0]) if md_q else None,
             )
+            fmt = q.get("format", ["json"])[0].lower()
+            if fmt in ("", "json"):
+                self._json(resp)
+                return
+            # non-JSON render formats flatten to per-series records with
+            # their OWN start/step (re-bucketing functions differ per
+            # series) — the same shape graphite-web's formats serialize
+            flat = []
+            for tr in resp.get("targets", []) or (
+                [resp] if resp.get("series") else []
+            ):
+                for name, vals in tr["series"].items():
+                    step = tr.get("steps", {}).get(name, tr["step"])
+                    start = tr.get("starts", {}).get(name, tr["from"])
+                    end = start + step * len(vals) if step else tr["to"]
+                    flat.append(
+                        {
+                            "name": name,
+                            "start": start,
+                            "end": end,
+                            "step": step,
+                            "values": vals,
+                        }
+                    )
+            if fmt == "pickle":
+                # graphite-web remote-fetch protocol: pickled list of
+                # {name, start, end, step, values}
+                import pickle
+
+                body = pickle.dumps(flat, protocol=2)
+                self._last_status = 200
+                self.send_response(200)
+                self.send_header("Content-Type", "application/pickle")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif fmt == "raw":
+                # 'name,start,end,step|v1,v2,...' — graphite raw format
+                lines = [
+                    f"{s['name']},{s['start']},{s['end']},{s['step']}|"
+                    + ",".join(
+                        "None" if v is None else repr(float(v))
+                        for v in s["values"]
+                    )
+                    for s in flat
+                ]
+                self._text("\n".join(lines) + ("\n" if lines else ""))
+            elif fmt == "csv":
+                # 'name,YYYY-MM-DD HH:MM:SS,value' per point (UTC)
+                from datetime import datetime, timezone
+
+                rows = []
+                for s in flat:
+                    for i, v in enumerate(s["values"]):
+                        ts = datetime.fromtimestamp(
+                            s["start"] + i * s["step"], tz=timezone.utc
+                        ).strftime("%Y-%m-%d %H:%M:%S")
+                        rows.append(
+                            f"{s['name']},{ts},"
+                            + ("" if v is None else repr(float(v)))
+                        )
+                self._text("\n".join(rows) + ("\n" if rows else ""))
+            else:
+                raise ValueError(f"unknown render format {fmt!r}")
 
         # --------------------------------------------------------- routes
         def do_GET(self):  # noqa: N802

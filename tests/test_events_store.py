@@ -5,6 +5,7 @@ graphite-web parity surface the reference never had."""
 from __future__ import annotations
 
 import json
+import urllib.error
 import urllib.request
 
 import pytest
@@ -93,3 +94,35 @@ def test_events_http_api(eng):
             evs = json.loads(r.read())
         assert [e["what"] for e in evs] == ["deploy v1", "deploy v2", "rollout"]
         assert all("deploy" in e["tags"] for e in evs)
+
+
+def test_render_formats(eng):
+    # graphite-web render formats: raw / csv / pickle (remote-fetch protocol)
+    import pickle as _pickle
+
+    with CassabonAPI(eng) as srv:
+        url = srv.url + f"/render?target=svc.api.latency&from={BASE}&to={BASE + 30}"
+        with urllib.request.urlopen(url + "&format=raw", timeout=60) as r:
+            raw = r.read().decode()
+        assert raw.startswith("svc.api.latency,")
+        header, values = raw.strip().split("|")
+        assert header.split(",")[3] == "10"  # step
+        assert values.split(",")[0] == "1.0"
+
+        with urllib.request.urlopen(url + "&format=csv", timeout=60) as r:
+            csv_rows = r.read().decode().strip().split("\n")
+        assert csv_rows[0].startswith("svc.api.latency,2023-")
+        assert csv_rows[0].endswith(",1.0")
+
+        with urllib.request.urlopen(url + "&format=pickle", timeout=60) as r:
+            series = _pickle.loads(r.read())
+        assert series[0]["name"] == "svc.api.latency"
+        assert series[0]["step"] == 10
+        assert series[0]["values"][0] == 1.0
+
+        # unknown format is a 400, not a crash
+        try:
+            urllib.request.urlopen(url + "&format=bogus", timeout=60)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

@@ -202,6 +202,29 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                     self._json(engine.get_tagged_series(*exprs))
                 elif u.path == "/tags":
                     self._json(engine.list_tags())
+                elif u.path == "/tags/autoComplete/tags":
+                    # graphite-web tag autocomplete: ?tagPrefix=&limit=
+                    prefix = q.get("tagPrefix", [""])[0]
+                    limit = int(q.get("limit", ["100"])[0])
+                    self._json(
+                        [t for t in engine.list_tags() if t.startswith(prefix)][
+                            :limit
+                        ]
+                    )
+                elif u.path == "/tags/autoComplete/values":
+                    # graphite-web value autocomplete: ?tag=&valuePrefix=&limit=
+                    tag = q.get("tag", [""])[0]
+                    if not tag:
+                        raise ValueError("autoComplete/values needs a tag")
+                    prefix = q.get("valuePrefix", [""])[0]
+                    limit = int(q.get("limit", ["100"])[0])
+                    self._json(
+                        [
+                            v
+                            for v in engine.list_tag_values(tag)
+                            if v.startswith(prefix)
+                        ][:limit]
+                    )
                 elif u.path.startswith("/tags/"):
                     self._json(engine.list_tag_values(u.path[len("/tags/"):]))
                 elif u.path == "/metrics/find":

@@ -239,3 +239,39 @@ def test_retention_sweep_gcs_tag_index(spark, tmp_path):
     dropped = eng.sweep_retention(BASE + 90 * 24 * 3600)
     assert dropped
     assert eng.get_tagged_series("name=disk.used") == []
+
+
+def test_tags_autocomplete_routes(spark, tmp_path):
+    """graphite-web tag autocomplete: /tags/autoComplete/tags (tagPrefix,
+    limit) and /tags/autoComplete/values (tag, valuePrefix, limit)."""
+    import json
+    from urllib.request import urlopen
+
+    from cassabon_spark.api import CassabonAPI
+
+    eng = _tagged_engine(spark, tmp_path)
+    with CassabonAPI(eng, port=0) as api:
+        tags = json.loads(urlopen(f"{api.url}/tags/autoComplete/tags").read())
+        assert "dc" in tags and "host" in tags and "name" in tags
+        pref = json.loads(
+            urlopen(f"{api.url}/tags/autoComplete/tags?tagPrefix=h").read()
+        )
+        assert pref == ["host"]
+        lim = json.loads(
+            urlopen(f"{api.url}/tags/autoComplete/tags?limit=1").read()
+        )
+        assert len(lim) == 1
+        vals = json.loads(
+            urlopen(
+                f"{api.url}/tags/autoComplete/values?tag=host&valuePrefix=web"
+            ).read()
+        )
+        assert vals == ["web1", "web2"]
+        # missing tag param is a 400
+        import urllib.error
+
+        try:
+            urlopen(f"{api.url}/tags/autoComplete/values")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

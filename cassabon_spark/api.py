@@ -243,6 +243,20 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                             for p in engine.get_paths(glob)
                         ]
                     )
+                elif u.path == "/metrics/expand":
+                    # graphite-web expander: globs -> {"results": [paths]};
+                    # leavesOnly=1 restricts to leaf nodes
+                    globs = q.get("query", [])
+                    leaves_only = q.get("leavesOnly", ["0"])[0] in ("1", "true")
+                    results = sorted(
+                        {
+                            p["path"]
+                            for g in globs
+                            for p in engine.get_paths(g)
+                            if p["leaf"] or not leaves_only
+                        }
+                    )
+                    self._json({"results": results})
                 elif u.path == "/metrics":
                     from cassabon_spark.functions.graphite import parse_at_time
 

@@ -255,3 +255,17 @@ def test_render_post_form_body(spark, tmp_path):
     assert post_out["series"], post_out
     vals = [v for s in post_out["series"].values() for v in s if v is not None]
     assert vals  # the scaled data actually came through
+
+
+def test_metrics_expand(api):
+    srv, _ = api
+    # module fixture ordering: test_delete_paths_and_404 already removed
+    # svc.api.errors from the index, so only latency expands here
+    status, body = _get(srv.url + "/metrics/expand?query=svc.api.*")
+    assert status == 200
+    assert body == {"results": ["svc.api.latency"]}
+    # non-leaf nodes included by default, excluded with leavesOnly=1
+    status, body = _get(srv.url + "/metrics/expand?query=svc.*")
+    assert body == {"results": ["svc.api"]}
+    status, body = _get(srv.url + "/metrics/expand?query=svc.*&leavesOnly=1")
+    assert body == {"results": []}

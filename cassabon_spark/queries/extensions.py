@@ -188,6 +188,11 @@ def dedup_jaccard(spark, sf_dir):
 
 # 8 portable md5-minhash components, banded 2-wide -> 4 LSH band keys.
 # Candidates = pairs sharing any band; verified with true Jaccard >= 0.7.
+# files per streaming microbatch in the streaming oracle entries —
+# module-level so the microbatch-INVARIANCE tests can re-run the same
+# entry under different slicings and assert identical results
+_STREAM_FILES_PER_TRIGGER = [2]
+
 _N_HASHES = 8
 _BAND_W = 2
 
@@ -1054,7 +1059,7 @@ def streaming_interval_join_q(spark, sf_dir):
     def _stream(d):
         parts = F.split("value", ",")
         return (
-            spark.readStream.option("maxFilesPerTrigger", "2").text(d)
+            spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0])).text(d)
             .select(
                 parts[0].alias("path"),
                 parts[1].cast("double").alias("value"),
@@ -2706,7 +2711,7 @@ def streaming_dedup_q(spark, sf_dir):
     doubled.coalesce(4).write.mode("overwrite").text(drop)
     parts = F.split("value", ",")
     stream = (
-        spark.readStream.option("maxFilesPerTrigger", "2")
+        spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
         .text(drop)
         .select(
             parts[0].alias("path"),
@@ -3009,7 +3014,7 @@ def streaming_sliding_window_q(spark, sf_dir):
     lines.coalesce(4).write.mode("overwrite").text(drop)
     parts = F.split("value", ",")
     stream = (
-        spark.readStream.option("maxFilesPerTrigger", "2")
+        spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
         .text(drop)
         .select(
             parts[0].alias("path"),
@@ -3141,7 +3146,7 @@ def streaming_session_window_q(spark, sf_dir):
 
     parts = F.split("value", ",")
     stream = (
-        spark.readStream.option("maxFilesPerTrigger", "2")
+        spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
         .text(drop)
         .select(
             parts[0].alias("path"),
@@ -3268,7 +3273,7 @@ def streaming_neardup_q(spark, sf_dir):
     lines.coalesce(4).write.mode("overwrite").text(drop)
     parts = F.split("value", "\t", 3)
     stream = (
-        spark.readStream.option("maxFilesPerTrigger", "2")
+        spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
         .text(drop)
         .select(
             parts[0].cast("bigint").alias("doc_id"),

@@ -250,6 +250,106 @@ class SnapshotTable:
         v = self._commit(head, payload)  # conflict -> caller retries the delete
         return {"deleted": n_deleted, "rewritten_files": len(hit_files), "version": v}
 
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        partition_cols: tuple[str, ...] = (),
+    ) -> dict:
+        """MERGE (upsert) by key — Delta-style `WHEN MATCHED UPDATE SET *
+        WHEN NOT MATCHED INSERT *`, copy-on-write:
+
+          1. locate ONLY the data files holding matched keys (one semi-join
+             scan over the table, grouped by input_file_name);
+          2. rewrite those files minus the matched rows, stage the full
+             source alongside;
+          3. one manifest commit swaps old files for the rewrites — readers
+             on the previous snapshot keep a consistent table.
+
+        Untouched files are never read or written, so merge cost scales
+        with the files the keys land in, not the table (at 100 TB with
+        time/partition-clustered keys that's the difference between a
+        surgical rewrite and a full-table pass). The source must be
+        key-unique (duplicate keys would make 'update' ambiguous) — raises
+        ValueError otherwise. Returns {updated, inserted, replaced_rows,
+        rewritten_files, version}."""
+        from pyspark.sql import functions as F
+
+        if not keys:
+            raise ValueError("merge needs at least one key column")
+        src = source.cache()
+        try:
+            n_src = src.count()
+            if src.select(*keys).distinct().count() != n_src:
+                raise ValueError("merge source has duplicate keys")
+            head = self.version()
+            snap = self.snapshot(head)
+            if not snap["files"]:
+                v = self.append(src, partition_cols)
+                return {
+                    "updated": 0,
+                    "inserted": n_src,
+                    "replaced_rows": 0,
+                    "rewritten_files": 0,
+                    "version": v,
+                }
+            full = self.read_files(snap["files"], schema=snap.get("schema"))
+            src_keys = src.select(*keys).distinct()
+            hits = (
+                full.join(src_keys, keys, "left_semi")
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            n_replaced = sum(r["n"] for r in hits)
+            hit_uris = {r["f"] for r in hits}
+            hit_files = [
+                f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)
+            ]
+            keep = [f for f in snap["files"] if f not in hit_files]
+            # a source key can match several table rows (pre-existing dup
+            # keys): 'updated' counts source keys that matched, computed
+            # against the HIT FILES only (never a second full-table scan)
+            n_updated = (
+                src.join(
+                    self.read_files(hit_files, schema=snap.get("schema"))
+                    .select(*keys)
+                    .distinct(),
+                    keys,
+                    "left_semi",
+                ).count()
+                if hit_files
+                else 0
+            )
+            survivors = (
+                self.read_files(hit_files, schema=snap.get("schema")).join(
+                    src_keys, keys, "left_anti"
+                )
+                if hit_files
+                else None
+            )
+            rewritten = (
+                survivors.unionByName(src.select(*full.columns))
+                if survivors is not None
+                else src
+            )
+            new = self._stage(rewritten, partition_cols)
+            payload = {
+                "op": "merge",
+                "files": keep + new,
+                "schema": snap.get("schema"),
+            }
+            v = self._commit(head, payload)  # conflict -> caller retries
+            return {
+                "updated": n_updated,
+                "inserted": n_src - n_updated,
+                "replaced_rows": n_replaced,
+                "rewritten_files": len(hit_files),
+                "version": v,
+            }
+        finally:
+            src.unpersist()
+
     def rewrite_partition(
         self,
         partition: dict,

@@ -276,3 +276,88 @@ def test_streaming_ingest_auto_compacts(spark, tmp_path):
     # every ingested point survives compaction: 20 windows, sum 1 each
     assert df.count() == 20
     assert df.agg(F.sum("stat")).first()[0] == 20.0
+
+
+# ------------------------------------------------------------ MERGE (upsert)
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)  # keys a,b across versions
+    src = spark.createDataFrame(
+        [
+            ("a", 100, 10, "2020-01-01"),  # matched -> update
+            ("z", 9, 10, "2020-01-01"),    # new -> insert
+        ],
+        "k string, v bigint, res bigint, day string",
+    )
+    rep = t.merge(src, keys=["k"], partition_cols=("res", "day"))
+    assert rep["updated"] == 1 and rep["inserted"] == 1
+    assert rep["replaced_rows"] == 2  # key 'a' had two table rows
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    # both 'a' rows replaced by the single source row; 'b' untouched
+    assert got == {("a", 100), ("b", 3), ("b", 4), ("z", 9)}
+    # time travel: the pre-merge snapshot is intact
+    old = {(r["k"], r["v"]) for r in t.read(version=rep["version"] - 1).collect()}
+    assert old == {("a", 1), ("a", 2), ("b", 3), ("b", 4)}
+
+
+def test_merge_into_empty_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    src = spark.createDataFrame(
+        [("x", 1, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"
+    )
+    rep = t.merge(src, keys=["k"], partition_cols=("res", "day"))
+    assert rep == {
+        "updated": 0,
+        "inserted": 1,
+        "replaced_rows": 0,
+        "rewritten_files": 0,
+        "version": 0,
+    }
+    assert t.read().count() == 1
+
+
+def test_merge_rewrites_only_hit_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df1 = spark.createDataFrame(
+        [("a", 1, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"
+    )
+    df2 = spark.createDataFrame(
+        [("b", 2, 10, "2020-01-02")], "k string, v bigint, res bigint, day string"
+    )
+    t.append(df1.coalesce(1), partition_cols=("res", "day"))
+    t.append(df2.coalesce(1), partition_cols=("res", "day"))
+    before = {f["path"] for f in t.snapshot()["files"]}
+    src = spark.createDataFrame(
+        [("a", 99, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"
+    )
+    rep = t.merge(src, keys=["k"], partition_cols=("res", "day"))
+    assert rep["rewritten_files"] == 1
+    after = {f["path"] for f in t.snapshot()["files"]}
+    # df2's file survives the merge byte-identical (same manifest entry)
+    surviving = before & after
+    assert len(surviving) == 1
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {("a", 99), ("b", 2)}
+
+
+def test_merge_duplicate_source_keys_rejected(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    src = spark.createDataFrame(
+        [("a", 1, 10, "2020-01-01"), ("a", 2, 10, "2020-01-01")],
+        "k string, v bigint, res bigint, day string",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        t.merge(src, keys=["k"], partition_cols=("res", "day"))
+
+
+def test_merge_composite_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    # composite (k, res): only the res=10 'b' row updates; res=60 survives
+    src = spark.createDataFrame(
+        [("b", 77, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"
+    )
+    rep = t.merge(src, keys=["k", "res"], partition_cols=("res", "day"))
+    assert rep["updated"] == 1 and rep["inserted"] == 0
+    got = {(r["k"], r["v"], r["res"]) for r in t.read().collect()}
+    assert got == {("a", 1, 10), ("a", 2, 10), ("b", 77, 10), ("b", 4, 60)}

@@ -3329,3 +3329,85 @@ def streaming_neardup_q(spark, sf_dir):
     q.awaitTermination(300)
     static_bands.unpersist()
     return spark.table(name).orderBy("d1", "d2")
+
+
+# ---------------------------------------------- snapshot MERGE oracle (r3)
+
+# MERGE (upsert) through the REAL SnapshotTable machinery, under the
+# correctness gate: build a snapshot table from the documents corpus,
+# upsert a mutated subset (every 10th doc re-cased + flagged) plus brand
+# new rows, read the committed snapshot back, aggregate. The oracle states
+# MERGE's relational definition — table rows whose key has no source match,
+# UNION ALL the source — so the copy-on-write file surgery (hit-file
+# location, anti-join rewrite, manifest swap) is verified value-exact.
+_MERGE_SQL = """
+WITH src AS (
+  SELECT doc_id, UPPER(text) AS text, lang, 'merged' AS source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new doc', 'xx', 'merged', 7
+  FROM documents WHERE doc_id % 100 = 0
+),
+merged AS (
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d LEFT JOIN (SELECT DISTINCT doc_id FROM src) k USING (doc_id)
+  WHERE k.doc_id IS NULL
+  UNION ALL
+  SELECT * FROM src
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                            AS n_docs,
+       CAST(SUM(CASE WHEN text = UPPER(text) THEN 1 ELSE 0 END) AS BIGINT)
+                                                           AS n_uppercased,
+       CAST(SUM(n_chars) AS BIGINT)                        AS chars_total
+FROM merged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "snapshot_merge_upsert",
+    _MERGE_SQL,
+    "Delta-style MERGE through the real snapshot-table format: documents "
+    "loaded as a committed table, every 10th doc upserted (re-cased, "
+    "source='merged') plus new rows, the post-merge SNAPSHOT read back — "
+    "copy-on-write hit-file rewrite verified against MERGE's relational "
+    "definition (anti-join survivors UNION source)",
+)
+def snapshot_merge_q(spark, sf_dir):
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    docs = T(spark, sf_dir, "documents")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cassabon_merge_"))
+    t.append(docs)
+    upd = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.upper("text").alias("text"),
+        "lang",
+        F.lit("merged").alias("source"),
+        "n_chars",
+    )
+    new = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("new doc").alias("text"),
+        F.lit("xx").alias("lang"),
+        F.lit("merged").alias("source"),
+        F.lit(7).cast("bigint").alias("n_chars"),
+    )
+    t.merge(upd.unionByName(new), keys=["doc_id"])
+    return (
+        t.read()
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("text") == F.upper("text")).cast("int"))
+            .cast("bigint")
+            .alias("n_uppercased"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("source")
+    )

@@ -295,9 +295,13 @@ class SnapshotTable:
                 }
             full = self.read_files(snap["files"], schema=snap.get("schema"))
             src_keys = src.select(*keys).distinct()
+            # bind input_file_name BEFORE the join: when the merge source is
+            # itself file-backed the joined plan has two file sources and a
+            # post-join input_file_name() is ambiguous (MULTI_SOURCES error)
             hits = (
-                full.join(src_keys, keys, "left_semi")
-                .groupBy(F.input_file_name().alias("f"))
+                full.withColumn("__f", F.input_file_name())
+                .join(src_keys, keys, "left_semi")
+                .groupBy(F.col("__f").alias("f"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )

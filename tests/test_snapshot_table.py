@@ -361,3 +361,23 @@ def test_merge_composite_keys(spark, tmp_path):
     assert rep["updated"] == 1 and rep["inserted"] == 0
     got = {(r["k"], r["v"], r["res"]) for r in t.read().collect()}
     assert got == {("a", 1, 10), ("a", 2, 10), ("b", 77, 10), ("b", 4, 60)}
+
+
+def test_merge_commit_race_surfaces_conflict(spark, tmp_path):
+    """Two writers merging from the same head: the loser's link-if-absent
+    commit raises CommitConflict (copy-on-write rewrites can't silently
+    retry — the caller must re-run against the new head)."""
+    t = _mk(spark, tmp_path, ROWS)
+    racer = SnapshotTable(spark, t.root)
+    src = spark.createDataFrame(
+        [("a", 100, 10, "2020-01-01")], "k string, v bigint, res bigint, day string"
+    )
+    # winner commits first
+    rep = t.merge(src, keys=["k"], partition_cols=("res", "day"))
+    # simulate the loser having planned from the OLD head: replay a commit
+    # with the stale parent — the publish must fail, not clobber
+    with pytest.raises(CommitConflict):
+        racer._commit(rep["version"] - 1, {"op": "merge", "files": [], "schema": None})
+    # the winner's snapshot is intact
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert ("a", 100) in got

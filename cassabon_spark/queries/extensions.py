@@ -3411,3 +3411,60 @@ def snapshot_merge_q(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- bucketed co-located join (r3)
+
+_BKT_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                 AS n_items,
+       ROUND(ROUND(SUM(l.l_extendedprice), 8), 2) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "join_bucketed_colocated",
+    _BKT_SQL,
+    "bucketed co-located join through REAL bucketed tables: both sides "
+    "written bucketBy(8, orderkey), joined with zero pre-join exchanges "
+    "(asserted on the physical plan — the entry FAILS if a shuffle "
+    "appears); the Spark analog of Cassandra's PRIMARY KEY locality "
+    "applied to repeated large-table joins",
+)
+def join_bucketed_q(spark, sf_dir):
+    import tempfile
+    import uuid
+
+    prep(spark)
+    db = f"bk_{uuid.uuid4().hex[:8]}"
+    wh = tempfile.mkdtemp(prefix="cassabon_bkt_")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{wh}'")
+    T(spark, sf_dir, "orders").write.bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).mode("overwrite").saveAsTable(f"{db}.orders_b")
+    T(spark, sf_dir, "lineitem").write.bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).mode("overwrite").saveAsTable(f"{db}.lineitem_b")
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    # the merge hint forces sort-merge (at sf-test scale orders would
+    # broadcast, bypassing the bucketed path this entry exists to prove);
+    # bucketing then elides BOTH pre-join exchanges
+    joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+    plan = joined._jdf.queryExecution().sparkPlan().toString()
+    join_part = plan.split("SortMergeJoin", 1)[-1]
+    if "SortMergeJoin" not in plan or "Exchange hashpartitioning" in join_part:
+        raise AssertionError(
+            f"bucketed join planned a pre-join shuffle:\n{plan[:2000]}"
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.round(F.round(F.sum("l_extendedprice"), 8), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

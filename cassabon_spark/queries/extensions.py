@@ -3468,3 +3468,161 @@ def join_bucketed_q(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------- vocab coverage / OOV (r3)
+
+# Tokenizer-vocabulary induction + coverage audit: take the corpus-global
+# top-K tokens as the vocabulary (deterministic ties: count desc, token
+# asc), then measure per-language OOV rate — the "is K big enough for
+# this mix" check run before committing to a tokenizer. Two shuffles
+# (token counts; per-lang coverage), vocab is broadcast.
+_VOCAB_K = 40
+
+_VOCAB_SQL = f"""
+WITH t AS ({_TOKS}),
+tok AS (SELECT lang, UNNEST(t) AS tok FROM t),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K}
+  )
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END) / COUNT(*), 8), 4)
+         AS oov_rate
+FROM tok LEFT JOIN vocab v USING (tok)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_vocab_coverage",
+    _VOCAB_SQL,
+    f"top-{_VOCAB_K} corpus vocabulary induction + per-language OOV rate: "
+    "distributed top-k vocab (TakeOrderedAndProject), broadcast coverage "
+    "join — the tokenizer-sizing audit",
+)
+def text_vocab_coverage(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    tok = docs.select("lang", F.explode(tokens_expr("text")).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("__v"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__v").isNull().cast("int")).cast("bigint").alias("n_oov"),
+            R(
+                F.sum(F.col("__v").isNull().cast("double")) / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------- token-length histogram (r3)
+
+# Power-of-two doc-length histogram per language — the length-distribution
+# profile sequence-packing and truncation policies are tuned against.
+# Map-side bucket expr, O(langs x buckets) reduce.
+_LENHIST_SQL = f"""
+WITH t AS ({_TOKS}),
+b AS (
+  SELECT lang,
+         CAST(FLOOR(LOG2(GREATEST(LEN(t), 1))) AS BIGINT) AS bucket,
+         LEN(t) AS n
+  FROM t
+)
+SELECT lang, bucket,
+       CAST(POWER(2, bucket) AS BIGINT)      AS bucket_min_len,
+       CAST(COUNT(*) AS BIGINT)              AS n_docs,
+       CAST(SUM(n) AS BIGINT)                AS tokens_total
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register(
+    "text_length_histogram",
+    _LENHIST_SQL,
+    "power-of-two token-length histogram per language: map-side bucketing, "
+    "O(langs x buckets) reduce — the profile packing/truncation policies "
+    "are tuned against",
+)
+def text_length_histogram(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n = F.size(tokens_expr("text"))
+    b = docs.select(
+        "lang",
+        F.floor(F.log2(F.greatest(n, F.lit(1)))).cast("bigint").alias("bucket"),
+        n.alias("n"),
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_min_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("tokens_total"),
+        )
+        .select("lang", "bucket", "bucket_min_len", "n_docs", "tokens_total")
+        .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------- temperature source mix (r3)
+
+# Temperature-scaled multinomial mixing weights over sources (the
+# multilingual-sampling formula, alpha=0.7): w_s = n_s^alpha / sum(n^alpha),
+# plus the expected draw count per 10k samples. Closed-form over the
+# per-source counts — one tiny aggregate, zero data movement beyond it.
+_TEMP_SQL = """
+WITH sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT SUM(POWER(n, 0.7)) AS z FROM sizes)
+SELECT source,
+       CAST(n AS BIGINT)                                   AS n_docs,
+       ROUND(ROUND(POWER(n, 0.7) / z, 8), 4)               AS mix_weight,
+       CAST(FLOOR(ROUND(10000 * POWER(n, 0.7) / z, 6)) AS BIGINT) AS draws_per_10k
+FROM sizes CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register(
+    "pipeline_temperature_mix",
+    _TEMP_SQL,
+    "temperature-scaled source mixing weights (alpha=0.7 multinomial "
+    "formula): per-source w = n^a / sum(n^a) and expected draws per 10k — "
+    "closed-form over per-source counts",
+)
+def pipeline_temperature_mix(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    z = sizes.agg(F.sum(F.pow("n", F.lit(0.7))).alias("z"))
+    w = F.pow("n", F.lit(0.7)) / F.col("z")
+    return (
+        sizes.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            R(w, 4).alias("mix_weight"),
+            # ROUND before FLOOR: with equal-sized sources w is exactly 1/k
+            # in real arithmetic but an ulp above/below per engine — floor
+            # at the boundary flips without the re-quantization
+            F.floor(F.round(10000 * w, 6)).cast("bigint").alias("draws_per_10k"),
+        )
+        .orderBy("source")
+    )

@@ -381,3 +381,49 @@ def test_merge_commit_race_surfaces_conflict(spark, tmp_path):
     # the winner's snapshot is intact
     got = {(r["k"], r["v"]) for r in t.read().collect()}
     assert ("a", 100) in got
+
+
+# ------------------------------------------- merge property test (model-based)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_op = st.one_of(
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(st.integers(0, 12), st.integers(0, 1000)),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
+    st.tuples(st.just("delete_ge"), st.integers(0, 1000)),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_op, min_size=1, max_size=4))
+def test_merge_matches_dict_model(spark, tmp_path_factory, ops):
+    """Model-based: a random interleaving of merges and deletes must leave
+    the snapshot table equal to a plain dict {key: value} applying the
+    same operations — upsert-last-wins, delete-by-predicate."""
+    t = SnapshotTable(spark, str(tmp_path_factory.mktemp("mprop") / "tbl"))
+    model: dict[int, int] = {}
+    for op in ops:
+        if op[0] == "merge":
+            rows = [(k, v) for k, v in op[1]]
+            src = spark.createDataFrame(rows, "k bigint, v bigint")
+            t.merge(src, keys=["k"])
+            model.update(dict(rows))
+        else:
+            thresh = op[1]
+            if t.version() is not None:
+                t.delete_where(F.col("v") >= thresh)
+            model = {k: v for k, v in model.items() if v < thresh}
+    got = (
+        {(r["k"], r["v"]) for r in t.read().collect()}
+        if t.version() is not None
+        else set()
+    )
+    assert got == set(model.items())

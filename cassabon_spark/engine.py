@@ -207,6 +207,31 @@ class Engine:
             .collect()
         ]
 
+    def upsert_rollups(self, df: DataFrame) -> dict:
+        """Point corrections (late fixes, backfill-with-replace): atomically
+        replace ALL stored partial rows for each (path, time, resolution_s)
+        key with the given finalized rows — one MERGE manifest commit, so a
+        correction swaps in consistently (readers never see old+new partials
+        double-merge at read). Snapshot format only: the dirs store would
+        need non-atomic partition rewrites for the same semantics.
+
+        df needs the store schema (path, time, cnt, vsum, vmin, vmax,
+        vlast, last_ts, resolution_s); date_bucket derives from time."""
+        if self.table is None:
+            raise NotImplementedError(
+                "upsert_rollups requires table_format='snapshot'"
+            )
+        src = df
+        if "date_bucket" not in src.columns:
+            src = src.withColumn(
+                "date_bucket", F.date_format("time", "yyyy-MM-dd")
+            )
+        return self.table.merge(
+            src,
+            keys=["path", "time", "resolution_s"],
+            partition_cols=("resolution_s", "date_bucket"),
+        )
+
     # ------------------------------------------------------------ events API
 
     def add_event(

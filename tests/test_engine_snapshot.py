@@ -142,3 +142,39 @@ def test_snapshot_result_cache_hits_and_version_invalidation(spark, tmp_path, mo
     # wall-clock queries (now_s=None) bypass the cache entirely
     eng.get_metrics(["c.x"], 995, 1015)
     assert eng.cache_stats["hits"] == 1
+
+
+def test_upsert_rollups_point_correction(spark, tmp_path):
+    """A correction replaces ALL partials for its key atomically: after two
+    ingests land partial rows for the same window, one upsert_rollups swaps
+    in a finalized row and the read path sees only it (no stale partials
+    double-merging)."""
+    eng = _engine(spark, str(tmp_path))
+    # two ingests -> two partial rows for the same (path, window) key
+    eng.ingest_lines(_lines(spark, ["svc.api.latency 10.0 1001"]))
+    eng.ingest_lines(_lines(spark, ["svc.api.latency 30.0 1002"]))
+    resp = eng.get_metrics(["svc.api.latency"], 995, 1015, now_s=2000)
+    assert resp["series"]["svc.api.latency"] == [None, 20.0]  # avg(10, 30)
+    # correct the window to a single finalized row: avg = 5.0
+    store = eng.table.read()
+    key = store.filter(F.col("resolution_s") == 10).limit(1)
+    corrected = (
+        key.withColumn("cnt", F.lit(1).cast("bigint"))
+        .withColumn("vsum", F.lit(5.0))
+        .withColumn("vmin", F.lit(5.0))
+        .withColumn("vmax", F.lit(5.0))
+        .withColumn("vlast", F.lit(5.0))
+        .withColumn("stat", F.lit(5.0))
+    )
+    rep = eng.upsert_rollups(corrected)
+    assert rep["updated"] == 1 and rep["replaced_rows"] == 2
+    resp = eng.get_metrics(["svc.api.latency"], 995, 1015, now_s=2000)
+    assert resp["series"]["svc.api.latency"] == [None, 5.0]
+    # dirs-format engines refuse (non-atomic there)
+    import pytest as _pytest
+
+    from cassabon_spark.engine import Engine as _E
+
+    dirs_eng = _E(spark, CFG, str(tmp_path / "dirs_store"))
+    with _pytest.raises(NotImplementedError):
+        dirs_eng.upsert_rollups(corrected)

@@ -3626,3 +3626,58 @@ def pipeline_temperature_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- salted skew-safe agg (r3)
+
+# The salted two-phase aggregation under the correctness gate: events
+# aggregated per event_type through operators.skew.salted_agg (partial agg
+# on (key, salt), final merge on key) — at 100 TB a single mega-hot key
+# (one event_type = 40% of traffic) pre-reduces across 32 salt cells
+# instead of funneling into one reducer. The oracle states the plain
+# GROUP BY it must equal.
+_SALTED_SQL = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT)         AS n_events,
+       ROUND(ROUND(SUM(value), 8), 4)       AS value_sum,
+       ROUND(ROUND(AVG(value), 8), 4)       AS value_avg,
+       ROUND(ROUND(MIN(value), 8), 4)       AS value_min,
+       ROUND(ROUND(MAX(value), 8), 4)       AS value_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "agg_salted_two_phase",
+    _SALTED_SQL,
+    "skew-safe salted two-phase aggregation (partial on (key, salt), "
+    "final merge on key) equals the plain GROUP BY — the hot-key guard "
+    "for mega-cardinality keys, value-exact under the gate",
+)
+def agg_salted_q(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.skew import salted_agg
+
+    ev = EV(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("value", "count"),
+            "value_sum": ("value", "sum"),
+            "value_avg": ("value", "avg"),
+            "value_min": ("value", "min"),
+            "value_max": ("value", "max"),
+        },
+        n_salt=32,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        R(F.col("value_sum"), 4).alias("value_sum"),
+        R(F.col("value_avg"), 4).alias("value_avg"),
+        R(F.col("value_min"), 4).alias("value_min"),
+        R(F.col("value_max"), 4).alias("value_max"),
+    ).orderBy("event_type")

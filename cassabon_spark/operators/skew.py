@@ -72,6 +72,7 @@ def salted_self_pairs(
     n_cells: int = 16,
     pair_cond=None,
     unique_pairs: bool = False,
+    extra=None,
 ) -> DataFrame:
     """All intra-bucket id pairs (id1 < id2) of a self-join on `keys`,
     skew-safe: buckets larger than `cap` are grid-split so no single task
@@ -105,8 +106,15 @@ def salted_self_pairs(
     all input columns plus `__cell`) — and set `unique_pairs=True` to skip
     the distinct-shuffle entirely.
 
-    Output: (id1, id2) pairs. Deterministic (hash salt, no rand).
+    Output: (id1, id2) pairs, plus any `extra` columns — aliased Column
+    expressions over the `a`/`b` sides (e.g. the joined payloads a pairwise
+    verifier needs, saving a re-join by id downstream). Deterministic
+    (hash salt, no rand). `extra` with unique_pairs=False is rejected: the
+    pair-stream distinct dedups on (id1, id2) only and would pick an
+    arbitrary bucket's payload.
     """
+    if extra and not unique_pairs:
+        raise ValueError("extra columns require unique_pairs=True")
     sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
     big = (
         sizes.filter(F.col("__n") > cap)
@@ -131,6 +139,8 @@ def salted_self_pairs(
     if pair_cond is not None:
         cond = cond & pair_cond
     out = a.join(b, cond).select(
-        F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
+        F.col(f"a.{id_col}").alias("id1"),
+        F.col(f"b.{id_col}").alias("id2"),
+        *(extra or []),
     )
     return out if unique_pairs else out.distinct()

@@ -2821,14 +2821,29 @@ def dedup_semdedup(spark, sf_dir):
         .filter(F.col("prnk") == 1)
         .select("vec_id", "embedding", "pivot_id")
     )
-    a = cells.select("pivot_id", F.col("vec_id").alias("keeper"), F.col("embedding").alias("ea"))
-    b = cells.select(
-        F.col("pivot_id").alias("pb"), F.col("vec_id").alias("dropped"), F.col("embedding").alias("eb")
+    # skew-safe cell self-join: a degenerate cell (every vector nearest the
+    # same pivot — the k-too-small regime) grid-splits across tasks instead
+    # of computing its quadratic pair tail in one straggler; each pair
+    # appears exactly once (one pivot per vector), so no distinct needed
+    # and the embedding payloads ride the join via `extra`
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    pairs = salted_self_pairs(
+        cells,
+        ["pivot_id"],
+        "vec_id",
+        unique_pairs=True,
+        extra=[
+            F.col("a.pivot_id").alias("pivot_id"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        ],
+    ).select(
+        F.col("id1").alias("keeper"), F.col("id2").alias("dropped"), "pivot_id", "ea", "eb"
     )
     sim = cosine_sim_expr("ea", "eb")
     hits = (
-        a.join(b, (F.col("pivot_id") == F.col("pb")) & (F.col("keeper") < F.col("dropped")))
-        .filter(sim >= _SEM_TAU)
+        pairs.filter(sim >= _SEM_TAU)
         # rank on the 8-decimal re-quantized cosine so the argmax decision is
         # made on engine-identical keys (same trick as similarity_pq_adc)
         .select("pivot_id", "keeper", "dropped", F.round(sim, 8).alias("cos8"), R(sim, 4).alias("cosine"))

@@ -337,6 +337,7 @@ _SPECS: dict[str, Callable] = {
     "alpha": lambda g, a=1: g,
     "areaBetween": lambda g: g,
     "setXFilesFactor": lambda g, x=0: g,
+    "xFilesFactor": lambda g, x=0: g,
     "secondYAxis": lambda g: g,
     "lineWidth": lambda g, w=1: g,
     "dashed": lambda g, n=5: g,
@@ -377,7 +378,7 @@ _INTERVAL_WINDOW_FNS = {
 #: series-free generators — evaluated from the render context, no fetch.
 _GENERATOR_FNS = {
     "constantLine", "threshold", "timeFunction", "identity", "sinFunction",
-    "time", "randomWalk",
+    "time", "randomWalk", "sin", "randomWalkFunction",
 }
 
 # diffSeries is special-cased: base path must be concrete (first arg).
@@ -479,7 +480,7 @@ def evaluate_target(
             return base.select(
                 F.lit(label).alias("path"), "slot_s", F.lit(value).alias("stat")
             )
-        if nd.name == "sinFunction":
+        if nd.name in ("sinFunction", "sin"):
             label = str(nd.args[0]) if nd.args else "sinFunction"
             amplitude = float(nd.args[1]) if len(nd.args) > 1 else 1.0
             return base.select(
@@ -487,7 +488,7 @@ def evaluate_target(
                 "slot_s",
                 (F.sin(F.col("slot_s").cast("double")) * amplitude).alias("stat"),
             )
-        if nd.name == "randomWalk":
+        if nd.name in ("randomWalk", "randomWalkFunction"):
             # graphite's debug generator uses random(); this one derives
             # steps in [-0.5, 0.5) from md5(slot) so replays/checkpoints see
             # identical data (the engine-wide determinism rule), then

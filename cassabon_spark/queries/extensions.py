@@ -3696,3 +3696,120 @@ def agg_salted_q(spark, sf_dir):
         R(F.col("value_min"), 4).alias("value_min"),
         R(F.col("value_max"), 4).alias("value_max"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------- end-to-end curation funnel (r3)
+
+# The whole curation pipeline as ONE exact-checked funnel: exact dedup
+# (keep lowest doc_id per content hash) -> quality gate (token-count
+# bounds) -> benchmark decontamination (drop the eval split and any doc
+# sharing a 5-gram with it) -> temperature mixing weights over the
+# survivors. Per-source counts at every stage so the oracle pins each
+# stage's semantics, not just the final set. Composition shape at 100 TB:
+# dedup is one content-hash shuffle, quality is map-only, decontamination
+# is a broadcast anti-join against the (small) eval shingle set, the mix
+# is a k-row aggregate.
+_E2E_SQL = f"""
+WITH t AS ({_TOKS}),
+raw AS (
+  SELECT d.doc_id, d.source, d.lang, d.text, LEN(t.t) AS n_tok
+  FROM documents d JOIN t ON t.doc_id = d.doc_id
+),
+d1 AS (  -- exact dedup: lowest doc_id per md5(text) survives
+  SELECT r.* FROM raw r
+  JOIN (SELECT MD5(text) AS h, MIN(doc_id) AS keep FROM raw GROUP BY MD5(text)) k
+    ON MD5(r.text) = k.h AND r.doc_id = k.keep
+),
+d2 AS (SELECT * FROM d1 WHERE n_tok BETWEEN 10 AND 1000),
+eval_sh AS (
+  SELECT DISTINCT ARRAY_TO_STRING(tt.t[i:i+4], ' ') AS s
+  FROM t tt, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tt.t) - 4, 0))) AS g(i)
+  WHERE tt.doc_id % 97 = 0
+),
+d2_sh AS (
+  SELECT d2.doc_id, ARRAY_TO_STRING(tt.t[i:i+4], ' ') AS s
+  FROM d2 JOIN t tt ON tt.doc_id = d2.doc_id,
+       UNNEST(GENERATE_SERIES(1, GREATEST(LEN(tt.t) - 4, 0))) AS g(i)
+),
+dirty AS (SELECT DISTINCT d2_sh.doc_id FROM d2_sh JOIN eval_sh USING (s)),
+d3 AS (
+  SELECT d2.* FROM d2 LEFT JOIN dirty ON dirty.doc_id = d2.doc_id
+  WHERE d2.doc_id % 97 <> 0 AND dirty.doc_id IS NULL
+),
+z AS (SELECT SUM(POWER(n, 0.7)) AS z FROM (SELECT COUNT(*) AS n FROM d3 GROUP BY source))
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT)                            AS n_raw,
+       CAST(COUNT(*) FILTER (WHERE d1.doc_id IS NOT NULL) AS BIGINT) AS n_dedup,
+       CAST(COUNT(*) FILTER (WHERE d2.doc_id IS NOT NULL) AS BIGINT) AS n_quality,
+       CAST(COUNT(*) FILTER (WHERE d3.doc_id IS NOT NULL) AS BIGINT) AS n_clean,
+       ROUND(ROUND(
+         POWER(COUNT(*) FILTER (WHERE d3.doc_id IS NOT NULL), 0.7) / MAX(z.z), 8), 4)
+         AS mix_weight
+FROM raw r
+LEFT JOIN d1 ON d1.doc_id = r.doc_id
+LEFT JOIN d2 ON d2.doc_id = r.doc_id
+LEFT JOIN d3 ON d3.doc_id = r.doc_id
+CROSS JOIN z
+GROUP BY r.source
+ORDER BY r.source
+"""
+
+
+@register(
+    "pipeline_end_to_end",
+    _E2E_SQL,
+    "the full curation pipeline as one funnel: exact dedup -> token-count "
+    "quality gate -> 5-gram benchmark decontamination -> temperature mix "
+    "weights, with per-source counts at every stage exact-checked",
+)
+def pipeline_end_to_end(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select(
+        "doc_id", "source", "lang", "text", tokens_expr("text").alias("t")
+    )
+    raw = toks.select("doc_id", "source", "text", F.size("t").alias("n_tok"), "t")
+
+    keep = (
+        raw.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = raw.join(keep, "doc_id", "left_semi")
+    d2 = d1.filter(F.col("n_tok").between(10, 1000))
+    ev_sh = (
+        toks.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 5))).alias("s"))
+        .distinct()
+    )
+    d2_sh = d2.select(
+        "doc_id", F.explode(word_shingles_expr(F.col("t"), 5)).alias("s")
+    )
+    dirty = d2_sh.join(F.broadcast(ev_sh), "s", "left_semi").select("doc_id").distinct()
+    d3 = d2.filter(F.col("doc_id") % 97 != 0).join(dirty, "doc_id", "left_anti")
+
+    stage = (
+        raw.select("doc_id", "source")
+        .join(d1.select("doc_id", F.lit(1).alias("s1")), "doc_id", "left")
+        .join(d2.select("doc_id", F.lit(1).alias("s2")), "doc_id", "left")
+        .join(d3.select("doc_id", F.lit(1).alias("s3")), "doc_id", "left")
+    )
+    per_src = stage.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(F.coalesce("s1", F.lit(0))).cast("bigint").alias("n_dedup"),
+        F.sum(F.coalesce("s2", F.lit(0))).cast("bigint").alias("n_quality"),
+        F.sum(F.coalesce("s3", F.lit(0))).cast("bigint").alias("n_clean"),
+    )
+    z = per_src.agg(F.sum(F.pow("n_clean", F.lit(0.7))).alias("z"))
+    return (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_raw",
+            "n_dedup",
+            "n_quality",
+            "n_clean",
+            R(F.pow("n_clean", F.lit(0.7)) / F.col("z"), 4).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )

@@ -3813,3 +3813,110 @@ def pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- LATERAL top-n join (r3)
+
+# Correlated LATERAL subquery (SQL:2016 / Spark 4 LATERAL): per customer,
+# the top-2 orders by price — the "top-n per entity without a global
+# window" shape. Catalyst decorrelates this into a ranked join; at scale
+# the per-key LIMIT prunes inside each group rather than ranking the
+# whole orders table, and no driver-side loop exists anywhere.
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, ROUND(ROUND(o_totalprice, 8), 2) AS o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 50
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@register(
+    "join_lateral_topn",
+    _LATERAL_SQL,
+    "correlated LATERAL subquery: top-2 orders per customer — Catalyst "
+    "decorrelates to a ranked join, per-key LIMIT pruning, no global sort",
+)
+def join_lateral_topn(spark, sf_dir):
+    prep(spark)
+    T(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c,
+        LATERAL (
+          SELECT o_orderkey, ROUND(ROUND(o_totalprice, 8), 2) AS o_totalprice
+          FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------- higher-order functions (r3)
+
+# The lambda-expression surface (SQL:2016 higher-order functions) over the
+# embeddings array column: transform / filter / exists / forall / reduce /
+# zip_with — all JVM-side lambda evaluation, zero Python.
+_HOF_SQL = """
+SELECT vec_id,
+       CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS BIGINT)      AS n_pos,
+       CASE WHEN LEN(LIST_FILTER(embedding, x -> ABS(x) > 0.2)) > 0
+            THEN TRUE ELSE FALSE END                                 AS any_big,
+       CASE WHEN LEN(LIST_FILTER(embedding, x -> ABS(x) <= 1.0)) = LEN(embedding)
+            THEN TRUE ELSE FALSE END                                 AS all_unit,
+       ROUND(ROUND(LIST_REDUCE(LIST_TRANSFORM(embedding, x -> CAST(ABS(x) AS DOUBLE)),
+                               (a, b) -> a + b), 8), 4)              AS l1_norm,
+       ROUND(ROUND(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[LEN(embedding) - i + 1] AS DOUBLE))), 8), 4)
+                                                                     AS dot_reversed
+FROM embeddings
+WHERE vec_id < 25
+ORDER BY vec_id
+"""
+
+
+@register(
+    "scalar_higher_order_funcs",
+    _HOF_SQL,
+    "higher-order lambda functions over array columns: filter / exists / "
+    "forall / transform+aggregate (L1 norm) / zip_with (dot with own "
+    "reverse) — the JVM-side lambda surface, zero Python",
+)
+def scalar_hof(spark, sf_dir):
+    prep(spark)
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 25)
+    e = F.col("embedding")
+    l1 = F.aggregate(
+        F.transform(e, lambda x: F.abs(x).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(e, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            F.exists(e, lambda x: F.abs(x) > 0.2).alias("any_big"),
+            F.forall(e, lambda x: F.abs(x) <= 1.0).alias("all_unit"),
+            R(l1, 4).alias("l1_norm"),
+            R(dot_rev, 4).alias("dot_reversed"),
+        )
+        .orderBy("vec_id")
+    )

@@ -196,3 +196,27 @@ def extract_audio_features(
             yield out
 
     return df.mapInPandas(_features, AUDIO_FEATURES_SCHEMA)
+
+
+def audio_chunk_plan(
+    df: DataFrame, chunk_s: int = 30, stride_s: int = 25
+) -> DataFrame:
+    """Audio chunking plumbing (the ASR/feature-extraction windowing): one
+    row per overlapping chunk window [start_s, end_s) per payload,
+    co-partitioned by key — the schema/partitioning contract for a stubbed
+    audio decoder, exactly like frame_sample_plan for video. df needs
+    (key, duration_s INT); windows start every stride_s while start <
+    duration, ends clipped to the duration."""
+    start = F.explode(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("duration_s") - 1, F.lit(0)),
+            F.lit(stride_s),
+        )
+    ).alias("start_s")
+    return (
+        df.select("key", "duration_s", start)
+        .withColumn("end_s", F.least(F.col("start_s") + chunk_s, F.col("duration_s")))
+        .select("key", "start_s", "end_s")
+        .repartition("key")
+    )

@@ -3920,3 +3920,60 @@ def scalar_hof(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------- audio chunk plan (r3)
+
+_AUDIO_SQL = """
+WITH a AS (
+  SELECT doc_id::VARCHAR AS key, source,
+         CAST(FLOOR(n_chars / 100) + 1 AS BIGINT) AS duration_s
+  FROM documents
+),
+chunks AS (
+  SELECT key, source, duration_s,
+         UNNEST(GENERATE_SERIES(0, GREATEST(duration_s - 1, 0), 25)) AS start_s
+  FROM a
+)
+SELECT source,
+       CAST(COUNT(DISTINCT key) AS BIGINT)  AS n_audio,
+       CAST(COUNT(*) AS BIGINT)             AS n_chunks,
+       CAST(SUM(LEAST(start_s + 30, duration_s) - start_s) AS BIGINT)
+                                            AS chunk_seconds,
+       CAST(MAX(duration_s) AS BIGINT)      AS max_duration_s
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_audio_chunks",
+    _AUDIO_SQL,
+    "audio chunking plan (operators.multimodal.audio_chunk_plan): "
+    "overlapping 30s windows every 25s per payload, co-partitioned by key "
+    "— the windowing contract ASR/feature extraction plugs into, with "
+    "durations derived deterministically from payload size",
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.multimodal import audio_chunk_plan
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    audio = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        "source",
+        (F.floor(F.col("n_chars") / 100) + 1).cast("bigint").alias("duration_s"),
+    )
+    chunks = audio_chunk_plan(audio, chunk_s=30, stride_s=25)
+    keyed = chunks.join(audio.select("key", "source", "duration_s"), "key")
+    return (
+        keyed.groupBy("source")
+        .agg(
+            F.countDistinct("key").alias("n_audio"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.col("end_s") - F.col("start_s")).cast("bigint").alias("chunk_seconds"),
+            F.max("duration_s").cast("bigint").alias("max_duration_s"),
+        )
+        .orderBy("source")
+    )

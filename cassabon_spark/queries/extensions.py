@@ -3977,3 +3977,113 @@ def multimodal_audio_chunks(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------- Count-Min sketch (r3)
+
+# Mergeable Count-Min sketch over the token stream: 4 hash rows x 256
+# cells (the four 32-bit chunks of one md5 per token — same portable hash
+# family as MinHash), point estimates = min over a token's 4 cells. Cells
+# merge by ADDITION across shards/partitions/time — the heavy-hitter
+# structure a 100 TB token-frequency sweep emits per shard and merges at
+# the coordinator (like the percentile sketch, carbon_percentile_sketch_
+# rollup). Deterministic by construction, so the WHOLE sketch — cells,
+# estimates, overestimate error — is exact-checked against DuckDB. The
+# CMS guarantee (est >= true) is asserted in the output columns.
+_CMS_ROWS = 4
+_CMS_COLS = 256
+
+_cms_cells_sql = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_sql_chunk('tok', r)} % {_CMS_COLS} AS cell, tok FROM tok"
+    for r in range(_CMS_ROWS)
+)
+
+_cms_qcells_sql = " UNION ALL ".join(
+    f"SELECT tok, true_count, {r} AS r, {_sql_chunk('tok', r)} % {_CMS_COLS} AS cell FROM truth"
+    for r in range(_CMS_ROWS)
+)
+
+_CMS_SQL = f"""
+WITH t AS ({_TOKS}),
+tok AS (SELECT UNNEST(t) AS tok FROM t),
+placed AS ({_cms_cells_sql}),
+sketch AS (
+  SELECT r, cell, COUNT(*) AS c FROM placed GROUP BY r, cell
+),
+truth AS (
+  SELECT tok, COUNT(*) AS true_count FROM tok GROUP BY tok
+  ORDER BY true_count DESC, tok ASC LIMIT 10
+),
+qcells AS ({_cms_qcells_sql}),
+est AS (
+  SELECT q.tok, q.true_count, MIN(s.c) AS cms_est
+  FROM qcells q JOIN sketch s ON s.r = q.r AND s.cell = q.cell
+  GROUP BY q.tok, q.true_count
+)
+SELECT tok, CAST(true_count AS BIGINT) AS true_count,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY true_count DESC, tok
+"""
+
+
+@register(
+    "sketch_count_min",
+    _CMS_SQL,
+    f"mergeable Count-Min sketch ({_CMS_ROWS}x{_CMS_COLS}, md5-chunk hash "
+    "family): cells merge by addition across shards, point estimate = min "
+    "over rows; top-10 heavy hitters' estimates and overestimate error "
+    "exact-checked (CMS guarantee est >= true visible in the output)",
+)
+def sketch_count_min(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    tok = docs.select(F.explode(tokens_expr("text")).alias("tok"))
+    placed = tok.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_chunk_hash_expr(F.col("tok"), r) % _CMS_COLS).alias("cell"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("p"),
+    ).select(F.col("p.r").alias("r"), F.col("p.cell").alias("cell"))
+    sketch = placed.groupBy("r", "cell").agg(F.count(F.lit(1)).alias("c"))
+    truth = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("tok"))
+        .limit(10)
+    )
+    qcells = truth.select(
+        "tok",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_chunk_hash_expr(F.col("tok"), r) % _CMS_COLS).alias("cell"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "true_count", F.col("p.r").alias("r"), F.col("p.cell").alias("cell"))
+    est = (
+        qcells.join(F.broadcast(sketch), ["r", "cell"])
+        .groupBy("tok", "true_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("true_count")).cast("bigint").alias("overestimate"),
+    ).orderBy(F.desc("true_count"), "tok")

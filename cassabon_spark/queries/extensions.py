@@ -4087,3 +4087,339 @@ def sketch_count_min(spark, sf_dir):
         F.col("cms_est").cast("bigint").alias("cms_est"),
         (F.col("cms_est") - F.col("true_count")).cast("bigint").alias("overestimate"),
     ).orderBy(F.desc("true_count"), "tok")
+
+
+# ------------------------------------------- Bloom-filter pruned join (r3)
+
+# Explicit Bloom-filter join pruning: build a deterministic Bloom filter
+# (m=16384 cells, k=2 md5-chunk hashes) over a selective dimension-side key
+# set, prefilter the fact side MAP-SIDE against the broadcast cell set, and
+# only then run the real semi join. This is the technique Spark's own
+# runtime bloom-filter join injection applies (spark.sql.optimizer.runtime.
+# bloomFilter.*) — made explicit, portable, and exact-checked: because the
+# hash family is md5-based, the CANDIDATE set (true matches + Bloom false
+# positives) is engine-reproducible, so the false-positive behavior itself
+# sits under the oracle gate. At 100 TB the payoff is shuffle avoidance:
+# non-candidate fact rows are dropped before any exchange, at the cost of
+# two broadcast hash probes per row.
+_BLOOM_M = 16384
+_BLOOM_K = 2
+
+_bloom_build_sql = (
+    "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'"
+)
+_bloom_cells_sql = " UNION ALL ".join(
+    f"SELECT {_sql_chunk('CAST(o_orderkey AS VARCHAR)', r)} % {_BLOOM_M} AS cell FROM build"
+    for r in range(_BLOOM_K)
+)
+
+_BLOOM_SQL = f"""
+WITH build AS ({_bloom_build_sql}),
+cells AS (SELECT DISTINCT cell FROM ({_bloom_cells_sql})),
+keyed AS (
+  SELECT l_orderkey, l_returnflag, l_quantity,
+         {_sql_chunk('CAST(l_orderkey AS VARCHAR)', 0)} % {_BLOOM_M} AS c0,
+         {_sql_chunk('CAST(l_orderkey AS VARCHAR)', 1)} % {_BLOOM_M} AS c1
+  FROM lineitem
+),
+cand AS (
+  SELECT * FROM keyed
+  WHERE c0 IN (SELECT cell FROM cells) AND c1 IN (SELECT cell FROM cells)
+),
+nc AS (SELECT l_returnflag, COUNT(*) AS n_cand FROM cand GROUP BY 1),
+m AS (SELECT * FROM cand WHERE l_orderkey IN (SELECT o_orderkey FROM build)),
+nm AS (
+  SELECT l_returnflag, COUNT(*) AS n_matched, SUM(l_quantity) AS sum_qty
+  FROM m GROUP BY 1
+)
+SELECT nc.l_returnflag,
+       CAST(nc.n_cand AS BIGINT)                            AS n_bloom_candidates,
+       CAST(COALESCE(nm.n_matched, 0) AS BIGINT)            AS n_matched,
+       CAST(nc.n_cand - COALESCE(nm.n_matched, 0) AS BIGINT) AS n_false_positives,
+       CAST(COALESCE(nm.sum_qty, 0) AS BIGINT)              AS sum_qty
+FROM nc LEFT JOIN nm ON nm.l_returnflag = nc.l_returnflag
+ORDER BY nc.l_returnflag
+"""
+
+
+@register(
+    "join_bloom_prune",
+    _BLOOM_SQL,
+    "Bloom-filter pruned semi join (m=16384, k=2 md5 hashes): fact rows are "
+    "dropped map-side against the broadcast cell set BEFORE the real join; "
+    "the deterministic hash family puts the false-positive set itself under "
+    "the oracle gate",
+)
+def join_bloom_prune(spark, sf_dir):
+    prep(spark)
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    build = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_orderkey")
+    cells = build.select(
+        F.explode(
+            F.array(
+                *[
+                    md5_chunk_hash_expr(F.col("o_orderkey").cast("string"), r)
+                    % _BLOOM_M
+                    for r in range(_BLOOM_K)
+                ]
+            )
+        ).alias("cell")
+    ).distinct()
+    keyed = li.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        *[
+            (md5_chunk_hash_expr(F.col("l_orderkey").cast("string"), r) % _BLOOM_M).alias(
+                f"c{r}"
+            )
+            for r in range(_BLOOM_K)
+        ],
+    )
+    # two broadcast semi-probes = the Bloom membership test (ALL k cells set)
+    cand = keyed
+    for r in range(_BLOOM_K):
+        cand = cand.join(
+            F.broadcast(cells.withColumnRenamed("cell", f"c{r}")), f"c{r}", "left_semi"
+        )
+    cand = cand.cache()  # feeds both the candidate count and the real join
+    nc = cand.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_cand"))
+    matched = cand.join(F.broadcast(build), cand.l_orderkey == build.o_orderkey, "left_semi")
+    nm = matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+    return (
+        nc.join(nm, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.col("n_cand").cast("bigint").alias("n_bloom_candidates"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("bigint").alias("n_matched"),
+            (F.col("n_cand") - F.coalesce(F.col("n_matched"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_false_positives"),
+            F.coalesce(F.col("sum_qty"), F.lit(0)).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ------------------------------------------- KMV bottom-k distinct sketch (r3)
+
+# KMV (k-minimum-values) cardinality sketch over the distinct 3-gram
+# shingle space: keep the k smallest 48-bit md5 hashes per shard; estimate
+# distinct = (k-1) * 2^48 / h_(k). Unlike HLL (engine-specific register
+# layouts — agg_approx_count_distinct is rows-only for that reason), KMV is
+# fully deterministic given the hash family, so the sketch CONTENT, the
+# per-shard estimates, AND the merged estimate are all exact-checked.
+# Mergeability is the point: sketches merge by union + re-truncate to the
+# k smallest — the 'ALL' row is computed FROM the per-lang sketches, never
+# from the raw data, exactly as a 100 TB per-shard sweep would merge at the
+# coordinator. Bottom-k is computed in two phases (partial bottom-k per
+# hash-salt cell, then merge) — no global sort, no unpartitioned window.
+_KMV_K = 128
+_KMV_SALTS = 16
+_KMV_SPACE = 2**48
+
+_KMV_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+dh AS (SELECT DISTINCT lang, {_sql_h48('s')} AS h FROM sh),
+bk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM dh
+  ) WHERE r <= {_KMV_K}
+),
+perlang AS (
+  SELECT lang, COUNT(*) AS n_sketch, MAX(h) AS kth FROM bk GROUP BY lang
+),
+truel AS (
+  SELECT lang, COUNT(DISTINCT s) AS true_distinct FROM sh GROUP BY lang
+),
+mbk AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+    FROM (SELECT DISTINCT h FROM bk)
+  ) WHERE r <= {_KMV_K}
+),
+mall AS (
+  SELECT 'ALL' AS shard, COUNT(*) AS n_sketch, MAX(h) AS kth,
+         (SELECT COUNT(DISTINCT s) FROM sh) AS true_distinct
+  FROM mbk
+),
+unioned AS (
+  SELECT p.lang AS shard, p.n_sketch, p.kth, t.true_distinct
+  FROM perlang p JOIN truel t ON t.lang = p.lang
+  UNION ALL
+  SELECT shard, n_sketch, kth, true_distinct FROM mall
+)
+SELECT shard,
+       CAST(n_sketch AS BIGINT) AS n_sketch,
+       CAST(kth AS BIGINT)      AS kth_hash,
+       ROUND(ROUND(CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                        ELSE ({_KMV_K} - 1) * {float(_KMV_SPACE)} / kth END, 8), 4)
+                                AS est_distinct,
+       CAST(true_distinct AS BIGINT) AS true_distinct
+FROM unioned
+ORDER BY shard
+"""
+
+
+def _kmv_bottom_k(df, shard_cols, hcol="h"):
+    """Two-phase distributed bottom-k: partial bottom-k per (shard, salt)
+    cell via sorted collect_set slices (state bounded at k per cell), then
+    merge cells by flatten + re-sort + re-truncate. No global sort; the
+    merge input is at most n_salts * k hashes per shard."""
+    partial = (
+        df.withColumn("salt", F.pmod(F.col(hcol), F.lit(_KMV_SALTS)))
+        .groupBy(*shard_cols, "salt")
+        .agg(F.slice(F.array_sort(F.collect_set(hcol)), 1, _KMV_K).alias("bk"))
+    )
+    return (
+        partial.groupBy(*shard_cols)
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("bk")))),
+                1,
+                _KMV_K,
+            ).alias("bk")
+        )
+    )
+
+
+@register(
+    "sketch_kmv_distinct",
+    _KMV_SQL,
+    "KMV bottom-k distinct sketch (k=128, 48-bit md5 space) over the "
+    "shingle space: per-lang sketches + their merged union, estimates "
+    "(k-1)*2^48/h_k exact-checked next to the true distinct counts — the "
+    "deterministic alternative to HLL, merge = union + re-truncate",
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    ).cache()
+    dh = sh.select("lang", md5_bucket_expr(F.col("s")).alias("h")).distinct()
+    bk = _kmv_bottom_k(dh, ["lang"])  # one k-array per lang
+    truel = sh.groupBy("lang").agg(F.countDistinct("s").alias("true_distinct"))
+    perlang = (
+        bk.join(truel, "lang")
+        .select(
+            F.col("lang").alias("shard"),
+            F.size("bk").alias("n_sketch"),
+            F.element_at("bk", F.size("bk")).alias("kth"),
+            "true_distinct",
+        )
+    )
+    # merged sketch: built from the per-lang sketches ONLY (mergeability)
+    merged_bk = _kmv_bottom_k(
+        bk.select(F.explode("bk").alias("h")).distinct(), []
+    )
+    true_all = sh.agg(F.countDistinct("s").alias("true_distinct"))
+    mall = merged_bk.crossJoin(true_all).select(
+        F.lit("ALL").alias("shard"),
+        F.size("bk").alias("n_sketch"),
+        F.element_at("bk", F.size("bk")).alias("kth"),
+        "true_distinct",
+    )
+    est = F.when(
+        F.col("n_sketch") < _KMV_K, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.col("kth"))
+    return (
+        perlang.unionByName(mall)
+        .select(
+            "shard",
+            F.col("n_sketch").cast("bigint").alias("n_sketch"),
+            F.col("kth").cast("bigint").alias("kth_hash"),
+            R(est, 4).alias("est_distinct"),
+            F.col("true_distinct").cast("bigint").alias("true_distinct"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ------------------------------------------- RAG chunking + passage dedup (r3)
+
+# Overlapping token-window chunking (the RAG / context-window preprocessing
+# step): 64-token chunks every 48 tokens (16-token overlap), last chunk
+# ragged. Chunk construction is pure Catalyst (sequence + slice +
+# array_join) — one output row per chunk, fanned out map-side with no
+# shuffle until the final per-source aggregate. n_unique_chunks (distinct
+# md5 of chunk text) vs n_chunks is PASSAGE-level dedup — the
+# finer-grained analog of document dedup that catches boilerplate shared
+# across distinct documents.
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48
+
+_CHUNKS_SQL = f"""
+WITH t AS ({_TOKS}),
+tok AS (SELECT doc_id, source, t, LEN(t) AS n FROM t WHERE LEN(t) > 0),
+ch AS (
+  SELECT doc_id, source, n, i AS st,
+         ARRAY_TO_STRING(t[i+1 : i+{_CHUNK_W}], ' ') AS chunk_text,
+         LEAST({_CHUNK_W}, n - i) AS chunk_len
+  FROM tok, UNNEST(GENERATE_SERIES(0, n - 1, {_CHUNK_STRIDE})) AS g(i)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT)          AS n_docs,
+       CAST(COUNT(*) AS BIGINT)                        AS n_chunks,
+       CAST(COUNT(DISTINCT MD5(chunk_text)) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(chunk_len) AS BIGINT)                  AS sum_chunk_tokens,
+       ROUND(ROUND(AVG(CAST(chunk_len AS DOUBLE)), 8), 4) AS avg_chunk_tokens
+FROM ch
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_chunk_windows",
+    _CHUNKS_SQL,
+    f"RAG chunking: overlapping {_CHUNK_W}-token windows every "
+    f"{_CHUNK_STRIDE} tokens per document (pure Catalyst sequence+slice), "
+    "plus passage-level dedup (distinct chunk hashes vs total chunks)",
+)
+def text_chunk_windows(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = (
+        docs.select("doc_id", "source", tokens_expr("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    ch = toks.select(
+        "doc_id",
+        "source",
+        "n",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        "source",
+        F.array_join(F.slice("t", F.col("st") + 1, _CHUNK_W), " ").alias("chunk_text"),
+        F.least(F.lit(_CHUNK_W), F.col("n") - F.col("st")).alias("chunk_len"),
+    )
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct(F.md5("chunk_text")).alias("n_unique_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("sum_chunk_tokens"),
+            R(F.avg(F.col("chunk_len").cast("double")), 4).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -4423,3 +4423,451 @@ def text_chunk_windows(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- cross-corpus dedup (r3)
+
+# Incremental-ingest dedup: a NEW batch of documents (doc_id % 5 == 0,
+# ~20%) is checked against the EXISTING corpus (the other 80%) — the shape
+# every production training-data pipeline runs on each crawl drop, where
+# re-deduplicating the whole corpus from scratch is off the table. Both
+# sides band their MinHash signatures; candidates come from a band-key
+# equi-join (new side small relative to corpus; at 100 TB the existing
+# band index is the durable artifact and each batch joins against it).
+# Pair dedup across shared bands is the same row-local first-matching-band
+# predicate as the self-join entries — no distinct over the pair stream.
+_XCORPUS_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS exist_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.new_id, c.exist_id, COUNT(*) AS i
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.new_id
+  JOIN sh s2 ON s2.doc_id = c.exist_id AND s1.s = s2.s
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT new_id, exist_id, i * 1.0 / (x.n + y.n - i) AS jac
+  FROM inter JOIN sz x ON x.doc_id = new_id JOIN sz y ON y.doc_id = exist_id
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+best AS (
+  SELECT new_id, exist_id, jac,
+         ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY jac DESC, exist_id) AS r
+  FROM verified
+)
+SELECT new_id, exist_id AS match_id, ROUND(jac, 4) AS jaccard
+FROM best WHERE r = 1
+ORDER BY new_id
+"""
+
+
+@register(
+    "dedup_cross_corpus",
+    _XCORPUS_SQL,
+    "incremental cross-corpus dedup: a new 20% batch probes the existing "
+    "80% corpus through the MinHash-LSH band index (the per-crawl-drop "
+    "shape — no full re-dedup); Jaccard-verified >= 0.7, best existing "
+    "match per new doc",
+)
+def dedup_cross_corpus(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    ).cache()
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2*b}").cast("string"),
+                    F.col(f"h{2*b+1}").cast("string"),
+                )
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    bands = mh.select(
+        "doc_id", "lang", band_keys.alias("bks")
+    ).select("doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")).cache()
+    new_side = bands.filter(F.col("doc_id") % 5 == 0).alias("a")
+    exist_side = bands.filter(F.col("doc_id") % 5 != 0).alias("b")
+    # row-local first-matching-band pair dedup (both rows carry the full
+    # band-key array) — same codegen-only trick as the self-join entries
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1) != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    cand = (
+        new_side.join(
+            exist_side,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.lang") == F.col("b.lang")),
+        )
+        .filter(first_match)
+        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("exist_id"))
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
+    inter = (
+        cand.join(s1, F.col("new_id") == F.col("sd1"))
+        .join(s2, (F.col("exist_id") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("new_id", "exist_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    verified = (
+        inter.join(x, F.col("new_id") == F.col("x.doc_id"))
+        .join(y, F.col("exist_id") == F.col("y.doc_id"))
+        .filter(jac >= 0.7)
+        .select("new_id", "exist_id", jac.alias("jac"))
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("exist_id"))
+    return (
+        verified.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "new_id",
+            F.col("exist_id").alias("match_id"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+        .orderBy("new_id")
+    )
+
+
+# ------------------------------------------- ANN: int8 scalar quantization (r3)
+
+# SQ8 scalar-quantized similarity: every dimension is affinely mapped to an
+# 8-bit code against the corpus-wide per-dim [min, max] envelope (4x
+# compression vs float32; the entry-level compression tier below PQ's 32x).
+# Scoring is asymmetric (float query x dequantized-center codes), decomposed
+# so the corpus pass touches ONLY the int codes:
+#   dot(q, deq(c)) = SUM_i q_i*mn_i + 0.5*SUM_i qs_i + SUM_i qs_i*code_i,
+#   qs_i = q_i*(mx_i-mn_i)/256  (per-query constant arrays, broadcast).
+# Deterministic end-to-end (envelope, codes, scores), so unlike real
+# trained quantizers the whole index sits under the exact-oracle gate;
+# ROUND(score, 8) rank keys absorb fold-order ulps as in the PQ entries.
+_SQ8_DIM = 64
+_SQ8_LEVELS = 256
+
+_SQ8_SQL = f"""
+WITH dimstats AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, {_SQ8_DIM})) AS g(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT LIST(mn ORDER BY i) AS mns, LIST(mx ORDER BY i) AS mxs FROM dimstats
+),
+codes AS (
+  SELECT vec_id AS cid,
+         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE LEAST({_SQ8_LEVELS - 1}, GREATEST(0, CAST(FLOOR(
+                  (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * {_SQ8_LEVELS}
+                ) AS INT))) END) AS code
+  FROM embeddings, stats
+),
+q AS (
+  SELECT vec_id AS qid,
+         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS}) AS qs,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * mns[i])) AS qmin,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS})) AS qssum
+  FROM embeddings, stats
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid, c.cid,
+         q.qmin + 0.5 * q.qssum +
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           q.qs[i] * c.code[i])) AS score
+  FROM q, codes c
+  WHERE c.cid <> q.qid
+),
+ranked AS (
+  SELECT qid, cid, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY ROUND(score, 8) DESC, cid
+         ) AS rnk
+  FROM scored
+)
+SELECT qid, cid, ROUND(ROUND(score, 8), 4) AS score, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_sq8",
+    _SQ8_SQL,
+    "SQ8 scalar-quantized ANN: per-dim [min,max] envelope -> 8-bit codes "
+    "(4x compression); asymmetric scoring decomposed so the corpus scan "
+    "touches only int codes, per-query constants broadcast — the whole "
+    "quantized index is exact-oracle-checked",
+)
+def similarity_sq8(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    # per-dim envelope: map-side partial agg over posexplode, 64-row result
+    # re-assembled into two broadcast arrays
+    dimstats = (
+        emb.select(F.posexplode("embedding").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    stats = dimstats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x["mx"]
+        ).alias("mxs"),
+    )
+    seq = F.sequence(F.lit(1), F.lit(_SQ8_DIM))
+
+    def _at(arr, i):
+        return F.element_at(F.col(arr) if isinstance(arr, str) else arr, i)
+
+    code_expr = F.transform(
+        seq,
+        lambda i: F.when(_at("mxs", i) == _at("mns", i), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SQ8_LEVELS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (_at("embedding", i).cast("double") - _at("mns", i))
+                        / (_at("mxs", i) - _at("mns", i))
+                        * _SQ8_LEVELS
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    codes = emb.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("cid"), code_expr.alias("code")
+    )
+    qs_expr = F.transform(
+        seq,
+        lambda i: _at("embedding", i).cast("double")
+        * (_at("mxs", i) - _at("mns", i))
+        / F.lit(float(_SQ8_LEVELS)),
+    )
+    qmin_expr = F.aggregate(
+        F.zip_with(
+            F.transform(seq, lambda i: _at("embedding", i).cast("double")),
+            F.col("mns"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("qid"),
+            qs_expr.alias("qs"),
+            qmin_expr.alias("qmin"),
+            F.aggregate(qs_expr, F.lit(0.0), lambda acc, x: acc + x).alias("qssum"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            (
+                F.col("qmin")
+                + F.lit(0.5) * F.col("qssum")
+                + F.aggregate(
+                    F.zip_with(
+                        F.col("qs"), F.col("code"), lambda a, c: a * c.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 8)), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "qid",
+            "cid",
+            R(F.round(F.col("score"), 8), 4).alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+# ------------------------------------------- PII detection / redaction (r3)
+
+# PII scrubbing — the mandatory pre-training compliance pass. The synthetic
+# corpus contains no PII, so deterministic spans are INJECTED first (emails
+# on doc_id%3, phone numbers on doc_id%4, IPv4 on doc_id%7 — both engines
+# build the identical augmented text), then detected and redacted with
+# RE2/Java-portable patterns. The per-source redaction counts AND a 48-bit
+# checksum over every redacted document sit under the oracle gate, so the
+# redacted TEXT itself is exact-checked, not just the counts. Pure
+# Catalyst regexp machinery — map-only until the final aggregate.
+_PII_EMAIL = r"[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_SQL = f"""
+WITH pii AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com for details'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' or call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                      || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, source,
+         LEN(REGEXP_EXTRACT_ALL(t, '{_PII_EMAIL}')) AS n_email,
+         LEN(REGEXP_EXTRACT_ALL(t, '{_PII_PHONE}')) AS n_phone,
+         LEN(REGEXP_EXTRACT_ALL(t, '{_PII_IP}'))    AS n_ip,
+         REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+  FROM pii
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_docs,
+       CAST(SUM(n_email) AS BIGINT)                               AS n_emails,
+       CAST(SUM(n_phone) AS BIGINT)                               AS n_phones,
+       CAST(SUM(n_ip) AS BIGINT)                                  AS n_ips,
+       CAST(SUM(CASE WHEN n_email + n_phone + n_ip = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                  AS n_clean,
+       CAST(SUM({_sql_h48('redacted')}) AS BIGINT)                AS redacted_checksum
+FROM red
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_pii_redact",
+    _PII_SQL,
+    "PII detection + redaction (email/phone/IPv4, RE2/Java-portable "
+    "patterns) over deterministically-injected spans; redacted text "
+    "exact-checked via a summed 48-bit checksum, not just the counts",
+)
+def text_pii_redact(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com for details"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" or call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = docs.select(
+        "doc_id",
+        "source",
+        pii_text.alias("t"),
+    ).select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IP), F.lit(0))).alias("n_ip"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ),
+            _PII_IP,
+            "<IP>",
+        ).alias("redacted"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum(
+                F.when(F.col("n_email") + F.col("n_phone") + F.col("n_ip") == 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clean"),
+            F.sum(md5_bucket_expr(F.col("redacted"))).cast("bigint").alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -4798,16 +4798,9 @@ ORDER BY source
 """
 
 
-@register(
-    "text_pii_redact",
-    _PII_SQL,
-    "PII detection + redaction (email/phone/IPv4, RE2/Java-portable "
-    "patterns) over deterministically-injected spans; redacted text "
-    "exact-checked via a summed 48-bit checksum, not just the counts",
-)
-def text_pii_redact(spark, sf_dir):
-    prep(spark)
-    docs = T(spark, sf_dir, "documents", wide=True)
+def _pii_redact_rows(docs):
+    """Per-document PII injection + detection + redaction (the entry
+    aggregates this; tests assert idempotence on the row level)."""
     did = F.col("doc_id")
     pii_text = F.concat(
         F.col("text"),
@@ -4836,11 +4829,12 @@ def text_pii_redact(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
-    red = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         pii_text.alias("t"),
     ).select(
+        "doc_id",
         "source",
         F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0))).alias("n_email"),
         F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0))).alias("n_phone"),
@@ -4855,6 +4849,19 @@ def text_pii_redact(spark, sf_dir):
             "<IP>",
         ).alias("redacted"),
     )
+
+
+@register(
+    "text_pii_redact",
+    _PII_SQL,
+    "PII detection + redaction (email/phone/IPv4, RE2/Java-portable "
+    "patterns) over deterministically-injected spans; redacted text "
+    "exact-checked via a summed 48-bit checksum, not just the counts",
+)
+def text_pii_redact(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    red = _pii_redact_rows(docs)
     return (
         red.groupBy("source")
         .agg(

@@ -220,3 +220,33 @@ def audio_chunk_plan(
         .select("key", "start_s", "end_s")
         .repartition("key")
     )
+
+
+def image_patch_plan(
+    df: DataFrame, patch: int = 32, stride: int = 32
+) -> DataFrame:
+    """ViT-style image patch-grid plumbing: one row per (x0, y0) patch per
+    image, right/bottom edge patches clipped — the schema/partitioning
+    contract a patch-embedding or tiled-decode UDF plugs into, exactly like
+    audio_chunk_plan for audio. df needs (key, width INT, height INT);
+    patches start every `stride` px while the origin is inside the image.
+    Pure Catalyst (two sequence explodes) — map-side fan-out, no shuffle
+    until the consumer asks for one."""
+    xs = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col("width") - 1, F.lit(0)), F.lit(stride))
+    ).alias("x0")
+    ys = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.col("height") - 1, F.lit(0)), F.lit(stride))
+    ).alias("y0")
+    return (
+        df.select("key", "width", "height", xs)
+        .select("key", "width", "height", "x0", ys)
+        .select(
+            "key",
+            "x0",
+            "y0",
+            F.least(F.lit(patch), F.col("width") - F.col("x0")).alias("pw"),
+            F.least(F.lit(patch), F.col("height") - F.col("y0")).alias("ph"),
+        )
+        .repartition("key")
+    )

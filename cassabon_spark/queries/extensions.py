@@ -4878,3 +4878,313 @@ def text_pii_redact(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- BM25 retrieval (r3)
+
+# BM25 ranked retrieval (Robertson/Okapi with Lucene's idf) — the lexical
+# search primitive next to the embedding ANN family. Corpus statistics
+# (N, avgdl, per-term df) are tiny aggregates broadcast to a map-side
+# scoring pass over the posting rows of the QUERY TERMS ONLY (the isin
+# filter prunes the token stream before its one shuffle); top-10 selection
+# is orderBy+limit -> TakeOrderedAndProject, no global window over the
+# corpus — the ordinal rank is computed on the 10-row limit output.
+_BM25_TERMS = ["spark", "join", "window"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_bm25_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_SQL = f"""
+WITH t AS ({_TOKS}),
+dl AS (SELECT doc_id, LEN(t) AS dl FROM t),
+stats AS (SELECT COUNT(*) AS n, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+tok AS (SELECT doc_id, UNNEST(t) AS tok FROM t),
+hits AS (SELECT doc_id, tok FROM tok WHERE tok IN ({_bm25_terms_sql})),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY 1, 2),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(LN((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ) AS score,
+         COUNT(*) AS n_terms_matched
+  FROM tf JOIN df ON df.tok = tf.tok JOIN dl ON dl.doc_id = tf.doc_id, stats s
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, score, n_terms_matched
+  FROM scored ORDER BY ROUND(score, 8) DESC, doc_id LIMIT 10
+)
+SELECT doc_id, ROUND(ROUND(score, 8), 4) AS score,
+       CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 8) DESC, doc_id) AS BIGINT) AS rnk
+FROM top
+ORDER BY rnk
+"""
+
+
+@register(
+    "text_bm25_search",
+    _BM25_SQL,
+    f"BM25 ranked retrieval (k1={_BM25_K1}, b={_BM25_B}, Lucene idf) for a "
+    "3-term query: broadcast corpus stats, posting rows pruned to the query "
+    "terms before any shuffle, top-10 via TakeOrderedAndProject",
+)
+def text_bm25_search(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl")).cache()
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    hits = toks.select(
+        "doc_id", F.explode("t").alias("tok")
+    ).filter(F.col("tok").isin(_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+    )
+    top = scored.orderBy(F.desc(F.round("score", 8)), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc(F.round("score", 8)), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        R(F.round("score", 8), 4).alias("score"),
+        F.col("n_terms_matched").cast("bigint").alias("n_terms_matched"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).orderBy("rnk")
+
+
+# ------------------------------------------- KMV sketch set operations (r3)
+
+# Set-operation estimates FROM SKETCHES ONLY: for each lang pair, the
+# union of the two bottom-k sketches re-truncated to k estimates |A∪B|,
+# and the fraction of that union sketch present in BOTH input sketches
+# estimates Jaccard — intersection = jaccard * union (the standard KMV
+# set-algebra; Beyer et al., SIGMOD'07). The raw data is touched once to
+# build per-lang sketches and once for the ground-truth columns; all
+# estimates derive from the k-sized sketches, exactly what a 100 TB
+# cross-shard overlap audit would ship to the coordinator.
+_KMV_OVERLAP_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+dh AS (SELECT DISTINCT lang, {_sql_h48('s')} AS h FROM sh),
+bk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM dh
+  ) WHERE r <= {_KMV_K}
+),
+bkl AS (SELECT lang, LIST(h ORDER BY h) AS bk FROM bk GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         LIST_SORT(LIST_DISTINCT(a.bk || b.bk))[1:{_KMV_K}] AS u,
+         a.bk AS abk, b.bk AS bbk
+  FROM bkl a JOIN bkl b ON a.lang < b.lang
+),
+est AS (
+  SELECT lang_a, lang_b,
+         LEN(u) AS n_u,
+         u[LEN(u)] AS tau,
+         LEN(LIST_FILTER(u, x -> LIST_CONTAINS(abk, x) AND LIST_CONTAINS(bbk, x))) AS k_ab
+  FROM pairs
+),
+truth AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS true_inter
+  FROM dh a JOIN dh b ON a.h = b.h AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+card AS (SELECT lang, COUNT(*) AS n FROM dh GROUP BY lang)
+SELECT e.lang_a, e.lang_b,
+       ROUND(ROUND(e.k_ab * 1.0 / e.n_u, 8), 4) AS est_jaccard,
+       ROUND(ROUND(COALESCE(t.true_inter, 0) * 1.0
+             / (ca.n + cb.n - COALESCE(t.true_inter, 0)), 8), 4) AS true_jaccard,
+       ROUND(ROUND(e.k_ab * 1.0 / e.n_u *
+             (CASE WHEN e.n_u < {_KMV_K} THEN CAST(e.n_u AS DOUBLE)
+                   ELSE ({_KMV_K} - 1) * {float(_KMV_SPACE)} / e.tau END), 8), 4)
+                                                    AS est_intersection,
+       CAST(COALESCE(t.true_inter, 0) AS BIGINT)    AS true_intersection
+FROM est e
+LEFT JOIN truth t ON t.lang_a = e.lang_a AND t.lang_b = e.lang_b
+JOIN card ca ON ca.lang = e.lang_a
+JOIN card cb ON cb.lang = e.lang_b
+ORDER BY e.lang_a, e.lang_b
+"""
+
+
+@register(
+    "sketch_kmv_overlap",
+    _KMV_OVERLAP_SQL,
+    "KMV sketch set algebra: per-lang-pair Jaccard and intersection "
+    "estimated from the k-sized sketches alone (union-sketch membership "
+    "fractions), exact-checked next to the true overlaps",
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    )
+    dh = sh.select("lang", md5_bucket_expr(F.col("s")).alias("h")).distinct().cache()
+    bkl = _kmv_bottom_k(dh, ["lang"])
+    a, b = bkl.alias("a"), bkl.alias("b")
+    u = F.slice(
+        F.array_sort(F.array_union(F.col("a.bk"), F.col("b.bk"))), 1, _KMV_K
+    )
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("lang_a"),
+        F.col("b.lang").alias("lang_b"),
+        u.alias("u"),
+        F.col("a.bk").alias("abk"),
+        F.col("b.bk").alias("bbk"),
+    )
+    est = pairs.select(
+        "lang_a",
+        "lang_b",
+        F.size("u").alias("n_u"),
+        F.element_at("u", F.size("u")).alias("tau"),
+        F.size(
+            F.filter(
+                "u",
+                lambda x: F.array_contains(F.col("abk"), x)
+                & F.array_contains(F.col("bbk"), x),
+            )
+        ).alias("k_ab"),
+    )
+    truth = (
+        dh.alias("x")
+        .join(
+            dh.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.lang") < F.col("y.lang")),
+        )
+        .groupBy(F.col("x.lang").alias("lang_a"), F.col("y.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("true_inter"))
+    )
+    card = dh.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    union_est = F.when(
+        F.col("n_u") < _KMV_K, F.col("n_u").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(float(_KMV_SPACE)) / F.col("tau"))
+    ti = F.coalesce(F.col("true_inter"), F.lit(0))
+    return (
+        est.join(truth, ["lang_a", "lang_b"], "left")
+        .join(card.withColumnRenamed("lang", "lang_a").withColumnRenamed("n", "na"), "lang_a")
+        .join(card.withColumnRenamed("lang", "lang_b").withColumnRenamed("n", "nb"), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            R(F.round(F.col("k_ab") / F.col("n_u"), 8), 4).alias("est_jaccard"),
+            R(F.round(ti / (F.col("na") + F.col("nb") - ti), 8), 4).alias("true_jaccard"),
+            R(F.round(F.col("k_ab") / F.col("n_u") * union_est, 8), 4).alias(
+                "est_intersection"
+            ),
+            ti.cast("bigint").alias("true_intersection"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# ------------------------------------------- image patch grid plan (r3)
+
+# ViT-style patch tokenization plumbing: image dimensions (derived
+# deterministically from doc metadata — the real decoder is pluggable,
+# like the audio/video plans) fan out to a clipped 32x32 patch grid via
+# two sequence explodes, co-partitioned by image key. The aggregate
+# proves full coverage: summed patch area == summed image area, with the
+# ragged-edge patch count surfaced.
+_IMG_PATCH = 32
+
+_IMG_SQL = f"""
+WITH img AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key, source,
+         64 + (doc_id % 8) * 32 AS width,
+         64 + (doc_id % 5) * 48 AS height
+  FROM documents
+),
+patches AS (
+  SELECT key, source, width, height, x0, y0,
+         LEAST({_IMG_PATCH}, width - x0)  AS pw,
+         LEAST({_IMG_PATCH}, height - y0) AS ph
+  FROM img,
+       UNNEST(GENERATE_SERIES(0, width - 1, {_IMG_PATCH})) AS gx(x0),
+       UNNEST(GENERATE_SERIES(0, height - 1, {_IMG_PATCH})) AS gy(y0)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT key) AS BIGINT)       AS n_images,
+       CAST(COUNT(*) AS BIGINT)                  AS n_patches,
+       CAST(SUM(pw * ph) AS BIGINT)              AS patch_px,
+       CAST((SELECT SUM(width * height) FROM img i2
+             WHERE i2.source = patches.source) AS BIGINT) AS image_px,
+       CAST(SUM(CASE WHEN pw < {_IMG_PATCH} OR ph < {_IMG_PATCH} THEN 1 ELSE 0 END) AS BIGINT)
+                                                 AS n_edge_patches
+FROM patches
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "multimodal_image_patches",
+    _IMG_SQL,
+    "image patch-grid plan (operators.multimodal.image_patch_plan): "
+    "clipped 32x32 ViT patch grid per image, coverage proven by patch_px "
+    "== image_px per source",
+)
+def multimodal_image_patches(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.multimodal import image_patch_plan
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    img = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        "source",
+        (64 + (F.col("doc_id") % 8) * 32).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 5) * 48).cast("int").alias("height"),
+    )
+    patches = image_patch_plan(img, patch=_IMG_PATCH, stride=_IMG_PATCH)
+    keyed = patches.join(img.select("key", "source"), "key")
+    per_src = keyed.groupBy("source").agg(
+        F.countDistinct("key").alias("n_images"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patches"),
+        F.sum(F.col("pw") * F.col("ph")).cast("bigint").alias("patch_px"),
+        F.sum(
+            F.when(
+                (F.col("pw") < _IMG_PATCH) | (F.col("ph") < _IMG_PATCH), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_edge_patches"),
+    )
+    areas = img.groupBy("source").agg(
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("image_px")
+    )
+    return (
+        per_src.join(areas, "source")
+        .select(
+            "source",
+            "n_images",
+            "n_patches",
+            "patch_px",
+            F.col("image_px").cast("bigint").alias("image_px"),
+            "n_edge_patches",
+        )
+        .orderBy("source")
+    )

@@ -5188,3 +5188,96 @@ def multimodal_image_patches(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- Z-order layout (r3)
+
+# Z-order (Morton) clustering — the multi-column file-skipping layout
+# (Delta/Iceberg OPTIMIZE ZORDER BY). l_partkey and l_shipdate are each
+# rank-bucketed to 8 bits against their global envelope (tiny broadcast
+# aggregate), bit-interleaved into one 16-bit z key, and rows are grouped
+# into 32 equal z-ranges standing in for files. The output surfaces each
+# "file's" min/max on BOTH dimensions — the per-file stats a predicate on
+# EITHER column would prune against; the companion test asserts both
+# per-bucket spans stay narrow while a 1-D sort bounds only its own
+# column. Entirely map-side until the per-bucket aggregate.
+_Z_BITS = 8
+_Z_BUCKETS = 32
+
+from cassabon_spark.operators.layout import (  # noqa: E402
+    linear_bucket_expr,
+    zorder_key_expr,
+    zorder_sql,
+)
+
+_Z_SQL = f"""
+WITH env AS (
+  SELECT MIN(l_partkey) AS pk_mn, MAX(l_partkey) AS pk_mx,
+         MIN(CAST(EPOCH(l_shipdate) AS BIGINT)) AS sd_mn,
+         MAX(CAST(EPOCH(l_shipdate) AS BIGINT)) AS sd_mx
+  FROM lineitem
+),
+bucketed AS (
+  SELECT l_partkey, CAST(EPOCH(l_shipdate) AS BIGINT) AS sd,
+         CASE WHEN pk_mx = pk_mn THEN 0 ELSE LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(l_partkey AS DOUBLE) - pk_mn) / (pk_mx - pk_mn) * {1 << _Z_BITS}) AS INT))) END AS pb,
+         CASE WHEN sd_mx = sd_mn THEN 0 ELSE LEAST({(1 << _Z_BITS) - 1}, GREATEST(0,
+           CAST(FLOOR((CAST(EPOCH(l_shipdate) AS DOUBLE) - sd_mn) / (sd_mx - sd_mn) * {1 << _Z_BITS}) AS INT))) END AS sb
+  FROM lineitem, env
+),
+zkeyed AS (
+  SELECT l_partkey, sd, ({zorder_sql(['pb', 'sb'], _Z_BITS)}) AS z
+  FROM bucketed
+)
+SELECT CAST(FLOOR(z / {float((1 << (2 * _Z_BITS)) // _Z_BUCKETS)}) AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT)      AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+       CAST(MAX(l_partkey) AS BIGINT) AS pk_max,
+       CAST(MIN(sd) AS BIGINT)        AS sd_min,
+       CAST(MAX(sd) AS BIGINT)        AS sd_max
+FROM zkeyed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "pipeline_zorder_layout",
+    _Z_SQL,
+    "Z-order clustering (8-bit Morton interleave of l_partkey x "
+    "l_shipdate): 32 z-range 'files' with per-file min/max on BOTH "
+    "dimensions — the multi-column data-skipping layout, pure Catalyst "
+    "bit arithmetic",
+)
+def pipeline_zorder_layout(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    env = li.agg(
+        F.min("l_partkey").cast("double").alias("pk_mn"),
+        F.max("l_partkey").cast("double").alias("pk_mx"),
+        F.min(F.col("l_shipdate").cast("long")).cast("double").alias("sd_mn"),
+        F.max(F.col("l_shipdate").cast("long")).cast("double").alias("sd_mx"),
+    )
+    b = li.select("l_partkey", F.col("l_shipdate").cast("long").alias("sd")).crossJoin(
+        F.broadcast(env)
+    )
+    pb = linear_bucket_expr(F.col("l_partkey"), F.col("pk_mn"), F.col("pk_mx"), _Z_BITS)
+    sb = linear_bucket_expr(F.col("sd"), F.col("sd_mn"), F.col("sd_mx"), _Z_BITS)
+    z = zorder_key_expr([pb, sb], _Z_BITS)
+    per_bucket = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    return (
+        b.select(
+            "l_partkey",
+            "sd",
+            F.floor(z / per_bucket).cast("bigint").alias("zbucket"),
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").cast("bigint").alias("pk_min"),
+            F.max("l_partkey").cast("bigint").alias("pk_max"),
+            F.min("sd").cast("bigint").alias("sd_min"),
+            F.max("sd").cast("bigint").alias("sd_max"),
+        )
+        .orderBy("zbucket")
+    )

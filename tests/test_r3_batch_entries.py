@@ -146,3 +146,45 @@ def test_sq8_recall_vs_exact_topk(spark):
     sq8 = {(r.qid, r.cid) for r in similarity_sq8(spark, SF).collect()}
     recall = len(exact & sq8) / len(exact)
     assert recall >= 0.6, f"SQ8 recall@5 degraded: {recall}"
+
+
+def test_zorder_bounds_both_dimensions(spark):
+    """The point of the z layout: per-bucket spans stay narrow on BOTH
+    dimensions, while a 1-D sort layout leaves the other dimension's span
+    at ~the global span (no skipping possible for predicates on it)."""
+    from cassabon_spark.operators.layout import linear_bucket_expr, zorder_key_expr
+    from cassabon_spark.queries.extensions import pipeline_zorder_layout
+
+    from cassabon_spark.queries import T
+
+    rows = pipeline_zorder_layout(spark, SF).collect()
+    li = T(spark, SF, "lineitem")
+    g = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min(F.col("l_shipdate").cast("long")), F.max(F.col("l_shipdate").cast("long")),
+    ).collect()[0]
+    pk_span, sd_span = g[1] - g[0], g[3] - g[2]
+    # weighted mean per-bucket span under z layout: narrow on both dims
+    n = sum(r.n_rows for r in rows)
+    z_pk = sum((r.pk_max - r.pk_min) * r.n_rows for r in rows) / n
+    z_sd = sum((r.sd_max - r.sd_min) * r.n_rows for r in rows) / n
+    assert z_pk < 0.5 * pk_span, (z_pk, pk_span)
+    assert z_sd < 0.5 * sd_span, (z_sd, sd_span)
+    # 1-D sort on shipdate: partkey span per bucket stays ~global
+    from pyspark.sql import Window
+
+    w = Window.orderBy("sd", "l_partkey")
+    sorted_1d = (
+        li.select("l_partkey", F.col("l_shipdate").cast("long").alias("sd"))
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("bucket", F.floor((F.col("r") - 1) * 32 / n))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_sp"),
+        )
+        .collect()
+    )
+    sort_pk = sum(r.pk_sp * r.n_rows for r in sorted_1d) / n
+    assert sort_pk > 0.9 * pk_span, (sort_pk, pk_span)
+    assert z_pk < 0.6 * sort_pk

@@ -100,6 +100,56 @@ class Engine:
             return self.table.read()
         return self.spark.read.parquet(self.store_dir)
 
+    def store_for(
+        self,
+        from_s: int | None = None,
+        to_s: int | None = None,
+        paths: list[str] | None = None,
+    ) -> DataFrame:
+        """Store scan for a time-bounded read. In snapshot mode the file
+        list is cut driver-side from the manifest BEFORE Spark plans: the
+        date_bucket partition range first, then per-file footer min/max on
+        `time` (narrow per file because ingest sortWithinPartitions by
+        (path, time) — the clustering that makes stats skipping bite).
+        The callers still apply the exact row filter; pruning only removes
+        files that provably hold no row in [from_s, to_s]. dirs mode falls
+        back to the plain scan (Spark partition-prunes on its own)."""
+        if self.table is None:
+            return self.spark.read.parquet(self.store_dir)
+        from datetime import datetime, timezone
+
+        def _iso(s: int) -> str:
+            return datetime.fromtimestamp(s, tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+
+        part = None
+        if from_s is not None or to_s is not None:
+            f_day = _iso(from_s)[:10] if from_s is not None else None
+            t_day = _iso(to_s)[:10] if to_s is not None else None
+
+            def part(p, _f=f_day, _t=t_day):
+                db = p.get("date_bucket")
+                if db is None:
+                    return True
+                return (_f is None or db >= _f) and (_t is None or db <= _t)
+
+        prune = []
+        if paths:
+            # lexicographic path bounds: ingest clusters files by (path,
+            # time), so concrete (glob-resolved) path lists cut files too
+            prune.append(("path", ">=", min(paths)))
+            prune.append(("path", "<=", max(paths)))
+        if from_s is not None:
+            prune.append(("time", ">=", _iso(from_s)))
+        if to_s is not None:
+            # +1s then string-compare: file stats carry fractional seconds
+            # ('...12.500000'), and the row filter is unix_timestamp() <= to
+            # which truncates — widen the prune bound so the boundary file
+            # with rows at to_s + fraction is kept, never wrongly skipped
+            prune.append(("time", "<=", _iso(to_s + 1)))
+        return self.table.read(partition_filter=part, prune=prune or None)
+
     @property
     def index(self) -> DataFrame:
         return self.spark.read.parquet(self.index_dir)
@@ -448,7 +498,7 @@ class Engine:
             self.cache_stats["misses"] += 1
         resp = qmod.query_metrics(
             self.spark,
-            self.store,
+            self.store_for(from_s, to_s, paths),
             self.config,
             paths,
             from_s,
@@ -513,7 +563,7 @@ class Engine:
             )
         grid = query_metrics_df(
             self.spark,
-            self.store,
+            self.store_for(from_s, to_s, paths),
             paths,
             from_s,
             to_s,
@@ -617,7 +667,7 @@ class Engine:
             method = method_map[consolidate] if consolidate in method_map else d.method
             return query_metrics_df(
                 self.spark,
-                self.store,
+                self.store_for(f, t, paths),
                 paths,
                 f,
                 t,

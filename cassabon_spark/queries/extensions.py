@@ -5281,3 +5281,117 @@ def pipeline_zorder_layout(spark, sf_dir):
         )
         .orderBy("zbucket")
     )
+
+
+# ------------------------------------------- weighted sampling (r3)
+
+# Efraimidis–Spirakis weighted reservoir sampling, determinized: each doc
+# draws u = h48(doc_id)/2^48 and ranks by u^(1/w) (w = n_chars), so
+# longer documents are proportionally likelier to be kept — the standard
+# distributed weighted sample (a plain top-k on the rank key, i.e. one
+# TakeOrderedAndProject pass; partial top-k per partition, no global
+# sort, and the sample is REPRODUCIBLE across retries/partitionings
+# because the randomness is a pure function of the row). POW's
+# correctly-rounded libm/StrictMath results agree across engines; the
+# ROUND(,8) rank key absorbs any residual ulp like the ANN entries.
+_WS_K = 32
+
+_WS_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         POW({_sql_h48("CAST(doc_id AS VARCHAR)", "'ws|'")} / {float(2**48)},
+             1.0 / n_chars) AS rk
+  FROM documents
+  WHERE n_chars > 0
+),
+top AS (
+  SELECT doc_id, source, n_chars, rk
+  FROM keyed ORDER BY ROUND(rk, 8) DESC, doc_id LIMIT {_WS_K}
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       ROUND(ROUND(rk, 8), 4) AS rank_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rk, 8) DESC, doc_id) AS BIGINT) AS rnk
+FROM top
+ORDER BY rnk
+"""
+
+
+@register(
+    "pipeline_weighted_sample",
+    _WS_SQL,
+    f"Efraimidis-Spirakis weighted sample (k={_WS_K}, weight=n_chars): "
+    "rank by u^(1/w) with md5-derived u — deterministic, retry-stable, "
+    "one TakeOrderedAndProject pass (partial top-k per partition)",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True).filter(F.col("n_chars") > 0)
+    u = md5_bucket_expr(F.col("doc_id").cast("string"), prefix="ws|") / F.lit(
+        float(2**48)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("rk"),
+    )
+    top = keyed.orderBy(F.desc(F.round("rk", 8)), F.asc("doc_id")).limit(_WS_K)
+    w = Window.orderBy(F.desc(F.round("rk", 8)), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        R(F.round("rk", 8), 4).alias("rank_key"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).orderBy("rnk")
+
+
+# ------------------------------------------- near-dup graph degrees (r3)
+
+# Degree distribution of the near-duplicate pair graph — the audit that
+# tells a dedup operator how pathological the corpus is (a power-law tail
+# means giant clusters and quadratic pair blowups; the skew guards in
+# operators/skew.py exist for exactly those). Reuses the exact-checked
+# MinHash pair stream; degrees aggregate per node, then a histogram over
+# degree values.
+_DEGREE_SQL = f"""
+WITH pairs AS ({_MINHASH_SQL.replace("ORDER BY d1, d2", "")}),
+nodes AS (
+  SELECT d1 AS node FROM pairs UNION ALL SELECT d2 AS node FROM pairs
+),
+deg AS (SELECT node, COUNT(*) AS degree FROM nodes GROUP BY node)
+SELECT degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node,
+       CAST(MAX(node) AS BIGINT) AS max_node
+FROM deg
+GROUP BY degree
+ORDER BY degree
+"""
+
+
+@register(
+    "dedup_graph_degree",
+    _DEGREE_SQL,
+    "near-dup pair-graph degree histogram: the skew audit for dedup (a "
+    "power-law tail predicts quadratic pair blowups the salted self-join "
+    "guards absorb); reuses the exact-checked MinHash pair stream",
+)
+def dedup_graph_degree(spark, sf_dir):
+    prep(spark)
+    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
+    nodes = pairs.select(F.col("d1").alias("node")).union(
+        pairs.select(F.col("d2").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("degree")
+    )

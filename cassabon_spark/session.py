@@ -25,6 +25,9 @@ def get_spark(app_name: str = "cassabon-spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the default) is deprecated AND carries no parquet min/max
+        # statistics, which would blind footer-stats file skipping on time
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()

@@ -31,8 +31,15 @@ This module upgrades the store to a versioned-manifest table:
     of JSON instead of a 10M-file listing. (Spark still partition-prunes
     and row-group-skips within the chosen files.)
 
-Single-table scope: no multi-table transactions, no schema evolution beyond
-add-only reads — the store schema is fixed (FIXTURES.md §1.4).
+  * Per-file column min/max stats ride every manifest entry, harvested from
+    the parquet footers at stage time (zero extra scan): read(prune=[(col,
+    op, val)]) skips files driver-side, conservative on missing stats.
+  * Schema evolution is ADD-ONLY (alter_add_columns): nullable fields join
+    the stored schema in a manifest-only commit; old files read as null.
+  * read_changes(since, to) is the append-only CDC feed (one append commit
+    per streaming microbatch); row rewrites (delete/merge) raise.
+
+Single-table scope: no multi-table transactions.
 """
 
 from __future__ import annotations
@@ -128,18 +135,44 @@ class SnapshotTable:
     def _abs(self, rel: str) -> str:
         return f"{self.root}/{rel}"
 
-    def read(
+    def files_for(
         self,
         version: int | None = None,
         partition_filter: Callable[[dict], bool] | None = None,
-    ) -> DataFrame:
-        """DataFrame over one snapshot. partition_filter prunes the FILE LIST
-        driver-side from the manifest's partition values (strings, as they
-        appear in the directory names) before Spark plans anything."""
+        prune: list[tuple] | None = None,
+    ) -> list[dict]:
+        """The manifest file list after driver-side pruning: partition
+        predicates first, then per-file min/max stats against `prune` —
+        a list of (column, op, value) with op in {'=','<','<=','>','>='}.
+        A file with no usable stats for a column is conservatively kept,
+        so pruning can only remove files that provably contain no hit."""
         snap = self.snapshot(version)
         files = snap["files"]
         if partition_filter is not None:
             files = [f for f in files if partition_filter(f["partition"])]
+        if prune:
+            files = [f for f in files if _file_may_match(f, prune)]
+        return files
+
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: Callable[[dict], bool] | None = None,
+        prune: list[tuple] | None = None,
+    ) -> DataFrame:
+        """DataFrame over one snapshot. partition_filter prunes the FILE LIST
+        driver-side from the manifest's partition values (strings, as they
+        appear in the directory names) before Spark plans anything; `prune`
+        additionally skips files whose footer-derived min/max stats prove
+        the predicate can't hit (see files_for). The caller still applies
+        the real row filter — stats pruning is a superset guarantee, and
+        together with a clustered layout (sortWithinPartitions on the
+        predicate columns, or a z-order key for several at once) it is the
+        manifest-level data-skipping path: at 100 TB the driver cuts the
+        file list from the few-KB manifest before touching storage."""
+        v = self.version() if version is None else version  # pin: one snapshot
+        snap = self.snapshot(v)
+        files = self.files_for(v, partition_filter, prune)
         if not files:
             schema = snap.get("schema")
             if schema is None:
@@ -153,8 +186,15 @@ class SnapshotTable:
         """Write df into a staging dir, then hard-link each data file into
         its final partition directory under root (same filesystem, so link
         is cheap and atomic per file; files are invisible to readers until
-        the manifest commits). Returns manifest file entries."""
+        the manifest commits). Returns manifest file entries, each carrying
+        per-file column min/max harvested from the parquet FOOTERS the
+        write already produced — data-skipping stats at zero extra scan
+        cost (the Delta/Iceberg stats model)."""
         stage = Path(self.root, STAGING_DIR, uuid.uuid4().hex)
+        # INT96 timestamps (Spark's default) carry no footer min/max; force
+        # the modern type so timestamp columns are skippable. Runtime conf —
+        # set defensively because the session may not be ours (the driver's).
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
@@ -168,7 +208,12 @@ class SnapshotTable:
             dest.parent.mkdir(parents=True, exist_ok=True)
             os.link(p, dest)
             entries.append(
-                {"path": dest_rel, "partition": partition, "bytes": p.stat().st_size}
+                {
+                    "path": dest_rel,
+                    "partition": partition,
+                    "bytes": p.stat().st_size,
+                    "stats": _footer_stats(p),
+                }
             )
         # staged copies are hard links' sources; removing the staging dir
         # leaves the linked data files intact
@@ -200,16 +245,91 @@ class SnapshotTable:
         for _ in range(max_retries):
             head = self.version()
             snap = self.snapshot(head)
+            stored = snap.get("schema")
+            if stored is not None:
+                known = {f["name"] for f in stored["fields"]}
+                extra = [c for c in df.columns if c not in known]
+                if extra:
+                    raise ValueError(
+                        f"append has columns {extra} not in the table schema; "
+                        "evolve it first with alter_add_columns()"
+                    )
             payload = {
                 "op": "append",
                 "files": snap["files"] + new,
-                "schema": snap.get("schema") or df.schema.jsonValue(),
+                "schema": stored or df.schema.jsonValue(),
             }
             try:
                 return self._commit(head, payload)
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} commit races")
+
+    def alter_add_columns(self, schema: str | StructType) -> int:
+        """Add-only schema evolution: widen the stored schema with new
+        NULLABLE fields in one manifest-only commit (no data IO). Existing
+        files simply lack the columns — the explicit read schema fills
+        them with nulls; subsequent appends may carry them. Names must be
+        new and fields nullable (a non-nullable add would be a lie about
+        every existing row)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        add = (
+            _parse_datatype_string(schema) if isinstance(schema, str) else schema
+        )
+        head = self.version()
+        snap = self.snapshot(head)
+        stored = snap.get("schema")
+        if stored is None:
+            raise ValueError("cannot alter an empty table: append first")
+        known = {f["name"] for f in stored["fields"]}
+        for f in add.fields:
+            if f.name in known:
+                raise ValueError(f"column {f.name!r} already exists")
+            if not f.nullable:
+                raise ValueError(
+                    f"column {f.name!r} must be nullable: existing rows have no value"
+                )
+        widened = {
+            **stored,
+            "fields": stored["fields"] + [f.jsonValue() for f in add.fields],
+        }
+        return self._commit(
+            head, {"op": "alter", "files": snap["files"], "schema": widened}
+        )
+
+    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental (CDC-lite) read: the rows APPENDED in
+        (since_version, to_version]. Walks the manifest chain; append
+        commits contribute their new files, compact/retention/alter
+        contribute nothing (no new rows), and delete/merge raise — a
+        rewrite changes history in a way a file-level diff can't
+        represent, so the consumer must fall back to a full snapshot
+        diff. This is the downstream-consumer contract for the streaming
+        ingest workload (one append commit per microbatch)."""
+        to_v = self.version() if to_version is None else to_version
+        if to_v is None or to_v <= since_version:
+            snap = self.snapshot(to_v if to_v is not None else since_version)
+            if snap.get("schema") is None:
+                raise ValueError("empty table has no changes")
+            return self.spark.createDataFrame([], StructType.fromJson(snap["schema"]))
+        prev_paths = {f["path"] for f in self.snapshot(since_version)["files"]}
+        added: list[dict] = []
+        for v in range(since_version + 1, to_v + 1):
+            man = self._load(v)
+            op = man.get("op", "append")
+            if op in ("delete", "merge"):
+                raise ValueError(
+                    f"version {v} is a {op} commit: incremental append-diff "
+                    "cannot represent row rewrites; re-read the snapshot"
+                )
+            if op == "append":
+                added += [f for f in man["files"] if f["path"] not in prev_paths]
+            prev_paths = {f["path"] for f in man["files"]}
+        schema = self.snapshot(to_v).get("schema")
+        if not added:
+            return self.spark.createDataFrame([], StructType.fromJson(schema))
+        return self.read_files(added, schema=schema)
 
     # ------------------------------------------------------------ mutations
 
@@ -497,3 +617,86 @@ class SnapshotTable:
 def _uri_match(abs_path: str, uris: set[str]) -> bool:
     """input_file_name() yields a URI (file:///...); match on the path part."""
     return any(u.endswith(abs_path) or abs_path.endswith(u.removeprefix("file:")) for u in uris)
+
+
+def _json_stat(v):
+    """Parquet footer statistic -> JSON-storable value, or None when the
+    type has no portable ordering story (then the file is never pruned on
+    that column). Timestamps become 'YYYY-MM-DD HH:MM:SS[.ffffff]' strings,
+    whose lexicographic order IS chronological order — predicates pass the
+    same format."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes nothing useful; skip
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # normalize to naive UTC: no '+00:00' suffix,
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")  # so lexicographic order == time order
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return None
+
+
+def _footer_stats(path) -> dict:
+    """Per-file column min/max + row count from the parquet FOOTER the
+    writer already produced — no data scan. Row-group stats merge by
+    min-of-mins / max-of-maxes; a column missing stats in ANY row group
+    (or holding only nulls) is dropped, so pruning stays conservative."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(str(path)).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    dead: set = set()
+    for rg in range(md.num_row_groups):
+        grp = md.row_group(rg)
+        for ci in range(grp.num_columns):
+            col = grp.column(ci)
+            name = col.path_in_schema
+            if name in dead or "." in name:  # nested leaves: skip
+                continue
+            st = col.statistics
+            jmin = _json_stat(st.min) if st is not None and st.has_min_max else None
+            jmax = _json_stat(st.max) if st is not None and st.has_min_max else None
+            if jmin is None or jmax is None:
+                dead.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                continue
+            mins[name] = jmin if name not in mins else min(mins[name], jmin)
+            maxs[name] = jmax if name not in maxs else max(maxs[name], jmax)
+    return {"rows": md.num_rows, "min": mins, "max": maxs}
+
+
+def _file_may_match(entry: dict, prune: list[tuple]) -> bool:
+    """True unless the file's stats PROVE no row satisfies every predicate.
+    Mixed/missing types or absent stats keep the file (conservative)."""
+    stats = entry.get("stats") or {}
+    mins, maxs = stats.get("min") or {}, stats.get("max") or {}
+    for col, op, val in prune:
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue  # no stats -> cannot prune on this column
+        # only compare like types (numbers with numbers, strings with strings)
+        num = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if num != isinstance(lo, (int, float)) or isinstance(lo, bool):
+            continue
+        if op == "=" and not (lo <= val <= hi):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+    return True

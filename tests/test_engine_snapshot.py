@@ -178,3 +178,26 @@ def test_upsert_rollups_point_correction(spark, tmp_path):
     dirs_eng = _E(spark, CFG, str(tmp_path / "dirs_store"))
     with _pytest.raises(NotImplementedError):
         dirs_eng.upsert_rollups(corrected)
+
+
+def test_store_for_prunes_files_and_stays_exact(spark, tmp_path):
+    """Manifest stats pruning on the read path: three days of data land in
+    three date buckets; a one-day window query must plan from a strict
+    subset of the file list and return exactly the same series as the
+    unpruned scan."""
+    eng = _engine(spark, str(tmp_path))
+    day = 86400
+    lines = []
+    for d in range(3):
+        lines += [f"svc.web.hits {d * 100 + i}.0 {d * day + i * 10}" for i in range(6)]
+    eng.ingest_lines(_lines(spark, lines))
+    n_all = len(eng.table.files_for())
+    # files_for with the same predicates store_for builds for day 1 only
+    pruned = eng.table.files_for(
+        prune=[("time", ">=", "1970-01-02 00:00:00"), ("time", "<=", "1970-01-02 00:01:00")]
+    )
+    assert 0 < len(pruned) < n_all, (len(pruned), n_all)
+    resp = eng.get_metrics(["svc.web.hits"], day, day + 50, now_s=day + 100)
+    # values 100..105 land in 10s windows ending 86410..86460; the [day,
+    # day+50] grid holds the five slots 86410..86450
+    assert resp["series"]["svc.web.hits"] == [100.0, 101.0, 102.0, 103.0, 104.0]

@@ -427,3 +427,145 @@ def test_merge_matches_dict_model(spark, tmp_path_factory, ops):
         else set()
     )
     assert got == set(model.items())
+
+
+# ---------------------------------------------------------- file stats + skipping
+
+
+def test_footer_stats_recorded_on_append(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    files = t.snapshot()["files"]
+    assert files and all("stats" in f for f in files)
+    st = files[0]["stats"]
+    assert st["rows"] >= 1
+    assert "v" in st["min"] and "v" in st["max"]
+    assert st["min"]["v"] <= st["max"]["v"]
+    # string column stats present too
+    assert "k" in st["min"]
+
+
+def test_stats_pruning_skips_files_but_keeps_all_hits(spark, tmp_path):
+    """Ten appends of disjoint v-ranges -> ten files; a range predicate
+    must cut the file list AND the pruned read must still contain every
+    matching row (superset guarantee)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(10):
+        df = spark.createDataFrame(
+            [(f"k{i}", i * 100 + j) for j in range(100)], "k string, v bigint"
+        ).coalesce(1)
+        t.append(df)
+    allfiles = t.files_for()
+    assert len(allfiles) == 10
+    pruned = t.files_for(prune=[("v", ">=", 850)])
+    assert 0 < len(pruned) < len(allfiles)
+    got = sorted(
+        r["v"] for r in t.read(prune=[("v", ">=", 850)]).filter("v >= 850").collect()
+    )
+    assert got == list(range(850, 1000))
+    # equality point lookup prunes to a single file
+    assert len(t.files_for(prune=[("v", "=", 123)])) == 1
+
+
+def test_stats_pruning_conservative_without_stats(spark, tmp_path):
+    """A predicate on a column with no stats (all-null) must not prune."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2)], "s string, v bigint"
+    ).coalesce(1)
+    t.append(df)
+    assert len(t.files_for(prune=[("s", "=", "zzz")])) == 1
+    # type-mismatched predicate value is likewise ignored
+    assert len(t.files_for(prune=[("v", ">=", "not-a-number")])) == 1
+
+
+def test_stats_survive_delete_rewrite(spark, tmp_path):
+    """delete_where restages surviving rows -> rewritten files carry fresh
+    stats and pruning still works on the new snapshot."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [("a", i) for i in range(100)], "k string, v bigint"
+    ).coalesce(1)
+    t.append(df)
+    t.delete_where(F.col("v") < 50)
+    files = t.snapshot()["files"]
+    assert all(f["stats"]["min"]["v"] >= 50 for f in files)
+    assert len(t.files_for(prune=[("v", "<", 40)])) == 0
+
+
+def test_zorder_clustered_write_prunes_on_both_dims(spark, tmp_path):
+    """The OPTIMIZE ZORDER story end-to-end in the snapshot format: write
+    a grid clustered by the Morton key (repartitionByRange on z -> each
+    file owns a z-range), then prune on EITHER dimension alone straight
+    from the manifest stats. An unclustered write can't prune either."""
+    from cassabon_spark.operators.layout import linear_bucket_expr, zorder_key_expr
+
+    grid = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), F.floor(F.col("id") / 64).alias("y")
+    )
+    xb = linear_bucket_expr(F.col("x"), F.lit(0.0), F.lit(63.0), 6)
+    yb = linear_bucket_expr(F.col("y"), F.lit(0.0), F.lit(63.0), 6)
+    clustered = (
+        grid.withColumn("z", zorder_key_expr([xb, yb], 6))
+        .repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .drop("z")
+    )
+    t = SnapshotTable(spark, str(tmp_path / "ztbl"))
+    t.append(clustered)
+    n_files = len(t.files_for())
+    assert n_files >= 8
+    px = t.files_for(prune=[("x", ">=", 56)])
+    py = t.files_for(prune=[("y", ">=", 56)])
+    assert len(px) <= n_files / 2, (len(px), n_files)
+    assert len(py) <= n_files / 2, (len(py), n_files)
+    # and the pruned reads stay complete
+    assert t.read(prune=[("x", ">=", 56)]).filter("x >= 56").count() == 8 * 64
+    assert t.read(prune=[("y", ">=", 56)]).filter("y >= 56").count() == 8 * 64
+
+
+# ---------------------------------------------------------- evolution + CDC
+
+
+def test_alter_add_columns_widens_and_backfills_null(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    with pytest.raises(ValueError):
+        t.append(
+            spark.createDataFrame(
+                [("c", 9, 10, "2020-01-03", "x")],
+                "k string, v bigint, res bigint, day string, note string",
+            )
+        )
+    t.alter_add_columns("note string")
+    with pytest.raises(ValueError):
+        t.alter_add_columns("note string")  # duplicate
+    t.append(
+        spark.createDataFrame(
+            [("c", 9, 10, "2020-01-03", "x")],
+            "k string, v bigint, res bigint, day string, note string",
+        ),
+        partition_cols=("res", "day"),
+    )
+    got = {(r["k"], r["note"]) for r in t.read().select("k", "note").collect()}
+    # old rows read as NULL for the new column, new row carries its value
+    assert got == {("a", None), ("b", None), ("c", "x")}
+
+
+def test_read_changes_append_only_cdc(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+    v0 = t.version()
+    t.append(spark.createDataFrame([("b", 2)], "k string, v bigint"))
+    t.append(spark.createDataFrame([("c", 3)], "k string, v bigint"))
+    got = {(r["k"], r["v"]) for r in t.read_changes(v0).collect()}
+    assert got == {("b", 2), ("c", 3)}
+    # compaction adds no rows to the diff (rewrite of existing data)
+    v1 = t.version()
+    t.rewrite_partition({}, lambda df: df.coalesce(1))
+    assert t.read_changes(v1).count() == 0
+    # a delete makes the file-level diff unrepresentable
+    v2 = t.version()
+    t.delete_where(F.col("k") == "a")
+    with pytest.raises(ValueError):
+        t.read_changes(v2)
+    # but the pre-delete range still answers
+    assert t.read_changes(v0, v1).count() == 2

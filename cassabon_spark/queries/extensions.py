@@ -5395,3 +5395,95 @@ def dedup_graph_degree(spark, sf_dir):
         )
         .orderBy("degree")
     )
+
+
+# ------------------------------------------- retrieval eval: NDCG / MRR (r3)
+
+# Ranking-quality evaluation of the quantized index against the exact
+# ranking — the eval harness a similarity stack ships with. Relevance =
+# membership in the exact cosine top-5; the SQ8 system list is scored
+# with NDCG@5 and MRR per query. Both rankings are deterministic
+# (exact-oracled in their own entries), so the metrics are exact too —
+# recall/quality numbers under the correctness gate, not just asserted
+# in tests.
+import math as _math
+
+_NDCG_K = 5
+_NDCG_IDCG = sum(1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1))
+
+_NDCG_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qe)),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))            AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM q, c
+  WHERE qid <> cid
+),
+exact AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk
+    FROM pairs
+  ) WHERE rnk <= {_NDCG_K}
+),
+sys AS ({_SQ8_SQL.replace("ORDER BY qid, rnk", "")}),
+rel AS (
+  SELECT s.qid, s.rnk, CASE WHEN e.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM sys s LEFT JOIN exact e ON e.qid = s.qid AND e.cid = s.cid
+)
+SELECT qid,
+       CAST(SUM(rel) AS BIGINT) AS n_hits,
+       ROUND(ROUND(SUM(rel / LOG2(rnk + 1.0)) / {_NDCG_IDCG!r}, 8), 4) AS ndcg5,
+       ROUND(ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rnk END), 0.0), 8), 4) AS mrr
+FROM rel
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@register(
+    "similarity_eval_ndcg",
+    _NDCG_SQL,
+    "retrieval eval under the gate: NDCG@5 and MRR of the SQ8 quantized "
+    "ranking against the exact cosine top-5 — both rankings deterministic, "
+    "so the quality metrics themselves are exact-checked",
+)
+def similarity_eval_ndcg(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.similarity import cosine_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=_NDCG_K).select("qid", "cid")
+    system = similarity_sq8(spark, sf_dir).select("qid", "cid", "rnk")
+    rel = system.join(
+        exact.withColumn("rel", F.lit(1)), ["qid", "cid"], "left"
+    ).select("qid", "rnk", F.coalesce("rel", F.lit(0)).alias("rel"))
+    return (
+        rel.groupBy("qid")
+        .agg(
+            F.sum("rel").cast("bigint").alias("n_hits"),
+            R(
+                F.round(
+                    F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)) / _NDCG_IDCG, 8
+                ),
+                4,
+            ).alias("ndcg5"),
+            R(
+                F.round(
+                    F.coalesce(
+                        1.0
+                        / F.min(F.when(F.col("rel") == 1, F.col("rnk"))),
+                        F.lit(0.0),
+                    ),
+                    8,
+                ),
+                4,
+            ).alias("mrr"),
+        )
+        .orderBy("qid")
+    )

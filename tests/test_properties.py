@@ -300,3 +300,72 @@ def test_largest_remainder_allocation_properties(spark, tokens, budget):
     tt = sum(tokens)
     for i, t in enumerate(tokens):
         assert abs(out[f"s{i}"] - budget * t / tt) < 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------- r3: file skipping
+
+
+@given(
+    st.lists(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=40),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(min_value=-10**6, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_file_may_match_never_prunes_a_real_hit(rows, ops):
+    """Soundness of manifest stats pruning: whenever _file_may_match says
+    False for a file, NO row in that file can satisfy the conjunction of
+    predicates. (The converse — False positives — is allowed; they cost a
+    read, never correctness.)"""
+    from cassabon_spark.sources.snapshot import _file_may_match
+
+    entry = {"stats": {"min": {"v": min(rows)}, "max": {"v": max(rows)}}}
+    prune = [("v", op, val) for op, val in ops]
+
+    def checks_for(op):
+        return {
+            "=": lambda a, b: a == b,
+            "<": lambda a, b: a < b,
+            "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b,
+            ">=": lambda a, b: a >= b,
+        }[op]
+
+    any_hit = any(
+        all(checks_for(op)(row, val) for op, val in ops) for row in rows
+    )
+    if not _file_may_match(entry, prune):
+        assert not any_hit
+
+
+def test_zorder_key_bijective_and_local(spark):
+    """The Morton key is a bijection on (bucket, bucket) pairs, and
+    truncating it to its top bits groups pairs into aligned 2^k x 2^k
+    tiles (the property that bounds BOTH dims per z-range)."""
+    from pyspark.sql import functions as F
+
+    from cassabon_spark.operators.layout import zorder_key_expr
+
+    pairs = (
+        spark.range(0, 256)
+        .select((F.col("id") % 16).alias("a"), F.floor(F.col("id") / 16).alias("b"))
+    )
+    z = pairs.select(
+        "a", "b", zorder_key_expr([F.col("a"), F.col("b")], 4).alias("z")
+    )
+    rows = z.collect()
+    assert len({r.z for r in rows}) == 256  # bijective on 16x16
+    assert all(0 <= r.z < 256 for r in rows)
+    # z >> 4 is the Morton code of (a >> 2, b >> 2): aligned 4x4 tiles
+    def morton2(a, b, bits):
+        return sum(
+            (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i))
+            for i in range(bits)
+        )
+
+    for r in rows:
+        assert (r.z >> 4) == morton2(r.a >> 2, r.b >> 2, 2)

@@ -201,3 +201,31 @@ def test_store_for_prunes_files_and_stays_exact(spark, tmp_path):
     # values 100..105 land in 10s windows ending 86410..86460; the [day,
     # day+50] grid holds the five slots 86410..86450
     assert resp["series"]["svc.web.hits"] == [100.0, 101.0, 102.0, 103.0, 104.0]
+
+
+def test_streaming_ingest_feeds_append_only_cdc(spark, tmp_path):
+    """The downstream-consumer contract: every streaming microbatch is one
+    append commit, so read_changes(v) between any two watermarks returns
+    exactly the rollup rows those microbatches added — an incremental
+    export feed with no full-table rescans."""
+    lines_dir = tmp_path / "lines"
+    lines_dir.mkdir()
+    (lines_dir / "b0.txt").write_text("s.y 1.0 1001\n")
+    eng = _engine(spark, str(tmp_path))
+    q = eng.start_streaming_ingest(
+        str(lines_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    v0 = eng.table.version()
+    (lines_dir / "b1.txt").write_text("s.y 5.0 1101\ns.z 7.0 1102\n")
+    q = eng.start_streaming_ingest(
+        str(lines_dir), str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    delta = eng.table.read_changes(v0)
+    got = {(r["path"], float(r["vsum"])) for r in delta.select("path", "vsum").collect()}
+    # only the second batch's partials appear, across both tiers
+    assert {p for p, _ in got} == {"s.y", "s.z"}
+    assert (delta.filter("path = 's.y'").agg(F.min("vsum")).collect()[0][0]) == 5.0
+    # and nothing from before v0 leaks in
+    assert delta.filter("vsum = 1.0").count() == 0

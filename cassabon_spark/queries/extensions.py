@@ -5487,3 +5487,119 @@ def similarity_eval_ndcg(spark, sf_dir):
         )
         .orderBy("qid")
     )
+
+
+# ------------------------------------------- range-partition planning (r3)
+
+# Balanced range-bound planning from the mergeable histogram sketch — how
+# a 100 TB sort/repartitionByRange picks its split points WITHOUT a global
+# scan-and-sort: per-shard sketches merge by addition (operators/sketch),
+# octile bounds interpolate from the merged bins, and the output verifies
+# balance by counting rows below each estimated bound next to the exact
+# quantile. Spark's own RangePartitioner samples instead; the sketch gives
+# the deterministic, mergeable, incremental-friendly equivalent.
+_RB_LO, _RB_HI, _RB_BINS = 0.0, 120000.0, 512
+_RB_QS = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+
+from cassabon_spark.operators.sketch import (  # noqa: E402
+    histogram_sketch,
+    sketch_quantiles,
+    sketch_quantiles_sql,
+)
+
+_rb_sketch_sql = sketch_quantiles_sql(
+    "SELECT 1 AS grp, l_extendedprice AS value FROM lineitem",
+    ["grp"],
+    _RB_QS,
+    _RB_LO,
+    _RB_HI,
+    _RB_BINS,
+)
+
+_rb_branches = " UNION ALL ".join(
+    f"""SELECT {q} AS q, s.q{int(q * 100)} AS est_bound,
+        (SELECT QUANTILE_CONT(l_extendedprice, {q}) FROM lineitem) AS exact_bound,
+        (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= s.q{int(q * 100)}) AS rows_below
+     FROM s"""
+    for q in _RB_QS
+)
+
+_RANGE_BOUNDS_SQL = f"""
+WITH s AS ({_rb_sketch_sql}),
+t AS (SELECT COUNT(*) AS n FROM lineitem),
+u AS ({_rb_branches})
+SELECT ROUND(q, 4) AS q,
+       ROUND(ROUND(est_bound, 8), 4)   AS est_bound,
+       ROUND(ROUND(exact_bound, 8), 4) AS exact_bound,
+       CAST(rows_below AS BIGINT)      AS rows_below,
+       ROUND(ROUND(rows_below * 1.0 / t.n, 8), 4) AS frac_below
+FROM u, t
+ORDER BY q
+"""
+
+
+@register(
+    "sketch_range_bounds",
+    _RANGE_BOUNDS_SQL,
+    "range-partition split points from the mergeable histogram sketch "
+    "(512 bins): octile bounds without a global sort, verified against "
+    "exact quantiles and actual row fractions below each bound",
+)
+def sketch_range_bounds(spark, sf_dir):
+    prep(spark)
+    li = T(spark, sf_dir, "lineitem")
+    src = li.select(F.lit(1).alias("grp"), F.col("l_extendedprice").alias("value"))
+    sk = histogram_sketch(src, ["grp"], "value", _RB_LO, _RB_HI, _RB_BINS)
+    bounds = sketch_quantiles(sk, ["grp"], _RB_QS, _RB_LO, _RB_HI, _RB_BINS)
+    long = bounds.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"q{int(q * 100)}").alias("est_bound"),
+                    )
+                    for q in _RB_QS
+                ]
+            )
+        ).alias("b")
+    ).select(F.col("b.q").alias("q"), F.col("b.est_bound").alias("est_bound"))
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q})").alias(f"e{int(q * 100)}")
+            for q in _RB_QS
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"), F.col(f"e{int(q * 100)}").alias("exact_bound")
+                    )
+                    for q in _RB_QS
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.q").alias("q"), F.col("e.exact_bound").alias("exact_bound"))
+    counts = (
+        li.crossJoin(F.broadcast(long))
+        .groupBy("q")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("est_bound"), 1).otherwise(0)
+            ).alias("rows_below"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        long.join(F.broadcast(exact), "q")
+        .join(F.broadcast(counts), "q")
+        .select(
+            F.round("q", 4).alias("q"),
+            R(F.round("est_bound", 8), 4).alias("est_bound"),
+            R(F.round("exact_bound", 8), 4).alias("exact_bound"),
+            F.col("rows_below").cast("bigint").alias("rows_below"),
+            R(F.round(F.col("rows_below") / F.col("n"), 8), 4).alias("frac_below"),
+        )
+        .orderBy("q")
+    )

@@ -36,6 +36,11 @@ This module upgrades the store to a versioned-manifest table:
     op, val)]) skips files driver-side, conservative on missing stats.
   * Schema evolution is ADD-ONLY (alter_add_columns): nullable fields join
     the stored schema in a manifest-only commit; old files read as null.
+  * CHECK constraints (add_constraint): SQL boolean expressions validated
+    against the current table once, then enforced on every append/merge
+    (NULL = violation, Delta semantics); they ride commits like the schema.
+  * Commits are wall-time stamped: version_as_of(ts) resolves timestamp
+    time travel next to version-number time travel.
   * read_changes(since, to) is the append-only CDC feed (one append commit
     per streaming microbatch); row rewrites (delete/merge) raise.
 
@@ -109,9 +114,20 @@ class SnapshotTable:
         return self._load(v)
 
     def _commit(self, parent: int | None, payload: dict) -> int:
-        """Publish payload as version parent+1 via atomic link-if-absent."""
+        """Publish payload as version parent+1 via atomic link-if-absent.
+        Stamps commit wall-time (timestamp time travel) and carries the
+        parent's CHECK constraints forward unless the payload sets them."""
+        import time
+
         next_v = 0 if parent is None else parent + 1
-        payload = {**payload, "version": next_v, "parent": parent}
+        if "constraints" not in payload and parent is not None:
+            payload["constraints"] = self._load(parent).get("constraints", {})
+        payload = {
+            **payload,
+            "version": next_v,
+            "parent": parent,
+            "committed_at": time.time(),
+        }
         tmp = Path(self.root, MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
         final = self._manifest_path(next_v)
@@ -241,6 +257,7 @@ class SnapshotTable:
         then one manifest commit flips them live. Losing a commit race is
         harmless for appends: re-read the new latest and retry the commit —
         the data files need no rewrite."""
+        self._violations(df, self.snapshot().get("constraints"))
         new = self._stage(df, partition_cols)
         for _ in range(max_retries):
             head = self.version()
@@ -264,6 +281,83 @@ class SnapshotTable:
             except CommitConflict:
                 continue
         raise CommitConflict(f"append lost {max_retries} commit races")
+
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel: the latest version committed at or before
+        ts (epoch seconds). Manifests missing a committed_at stamp (written
+        before the feature) fall back to the manifest file's mtime."""
+        best = None
+        for v in self.versions():
+            man = self._load(v)
+            at = man.get("committed_at")
+            if at is None:
+                at = self._manifest_path(v).stat().st_mtime
+            if at <= ts:
+                best = v
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
+    # ------------------------------------------------------------ constraints
+
+    @staticmethod
+    def _violations(df: DataFrame, constraints: dict) -> None:
+        """Raise if any row fails a CHECK constraint. Delta semantics: the
+        expression must evaluate TRUE; NULL counts as a violation."""
+        from pyspark.sql import functions as F
+
+        for name, expr in (constraints or {}).items():
+            n = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).count()
+            if n:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by {n} row(s)"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint (SQL boolean expression over the table
+        columns). The CURRENT table must already satisfy it — validated
+        with one scan — then a manifest-only commit records it; every
+        subsequent append/merge validates incoming rows and raises on
+        violation. Constraints ride commits like the schema does."""
+        head = self.version()
+        snap = self.snapshot(head)
+        if snap.get("schema") is None:
+            raise ValueError("cannot constrain an empty table: append first")
+        cons = dict(snap.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if snap["files"]:
+            self._violations(
+                self.read_files(snap["files"], schema=snap.get("schema")),
+                {name: expr},
+            )
+        cons[name] = expr
+        return self._commit(
+            head,
+            {
+                "op": "alter",
+                "files": snap["files"],
+                "schema": snap["schema"],
+                "constraints": cons,
+            },
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        head = self.version()
+        snap = self.snapshot(head)
+        cons = dict(snap.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint named {name!r}")
+        del cons[name]
+        return self._commit(
+            head,
+            {
+                "op": "alter",
+                "files": snap["files"],
+                "schema": snap.get("schema"),
+                "constraints": cons,
+            },
+        )
 
     def alter_add_columns(self, schema: str | StructType) -> int:
         """Add-only schema evolution: widen the stored schema with new
@@ -402,6 +496,7 @@ class SnapshotTable:
             n_src = src.count()
             if src.select(*keys).distinct().count() != n_src:
                 raise ValueError("merge source has duplicate keys")
+            self._violations(src, self.snapshot().get("constraints"))
             head = self.version()
             snap = self.snapshot(head)
             if not snap["files"]:

@@ -569,3 +569,49 @@ def test_read_changes_append_only_cdc(spark, tmp_path):
         t.read_changes(v2)
     # but the pre-delete range still answers
     assert t.read_changes(v0, v1).count() == 2
+
+
+# ---------------------------------------------------------- constraints + as-of
+
+
+def test_check_constraints_enforced_on_append_and_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint"))
+    t.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([("c", -1)], "k string, v bigint"))
+    with pytest.raises(ValueError, match="v_positive"):  # NULL is a violation
+        t.append(spark.createDataFrame([("c", None)], "k string, v bigint"))
+    t.append(spark.createDataFrame([("c", 3)], "k string, v bigint"))
+    with pytest.raises(ValueError, match="v_positive"):
+        t.merge(spark.createDataFrame([("a", -5)], "k string, v bigint"), keys=["k"])
+    # constraints survive unrelated commits (delete carries them forward)
+    t.delete_where(F.col("k") == "b")
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([("d", 0)], "k string, v bigint"))
+    t.drop_constraint("v_positive")
+    t.append(spark.createDataFrame([("d", 0)], "k string, v bigint"))
+    assert t.read().count() == 3  # a, c, d
+
+
+def test_add_constraint_rejects_violating_table(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("a", -1)], "k string, v bigint"))
+    with pytest.raises(ValueError, match="violated by 1"):
+        t.add_constraint("v_positive", "v > 0")
+
+
+def test_version_as_of_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.append(spark.createDataFrame([("a", 1)], "k string, v bigint"))
+    mid = time.time()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([("b", 2)], "k string, v bigint"))
+    v = t.version_as_of(mid)
+    assert v == 0
+    assert t.read(version=v).count() == 1
+    assert t.read(version=t.version_as_of(time.time())).count() == 2
+    with pytest.raises(ValueError):
+        t.version_as_of(mid - 10**6)

@@ -5603,3 +5603,155 @@ def sketch_range_bounds(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+# ------------------------------------------- dedup eval: LSH recall (r3)
+
+# Candidate-generation quality of the LSH index, under the gate: ground
+# truth is the EXACT shingle-join pair set at Jaccard >= 0.7 (blocked by
+# the shingle inverted index, no cross product); the system is the
+# MinHash-LSH banding. Verified LSH pairs are a subset of truth (the
+# verify step recomputes true Jaccard), so the eval reduces to recall +
+# candidate efficiency per language — the number a production dedup
+# pipeline tracks to size its bands. Both pair sets are deterministic,
+# so recall itself is exact-checked.
+_LSH_EVAL_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+truth AS (
+  SELECT a_lang AS lang, d1, d2 FROM (
+    SELECT a.lang AS a_lang, a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3
+  ) p JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.7
+),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+lsh AS (
+  SELECT DISTINCT a.lang, a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+hit AS (
+  SELECT t.lang, COUNT(*) AS n_true,
+         SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS n_found
+  FROM truth t LEFT JOIN lsh l ON l.lang = t.lang AND l.d1 = t.d1 AND l.d2 = t.d2
+  GROUP BY t.lang
+),
+cand AS (SELECT lang, COUNT(*) AS n_candidates FROM lsh GROUP BY lang)
+SELECT h.lang,
+       CAST(h.n_true AS BIGINT)       AS n_true_pairs,
+       CAST(h.n_found AS BIGINT)      AS n_found_pairs,
+       ROUND(ROUND(h.n_found * 1.0 / h.n_true, 8), 4) AS recall,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT)    AS n_candidates
+FROM hit h LEFT JOIN cand c ON c.lang = h.lang
+ORDER BY h.lang
+"""
+
+
+@register(
+    "dedup_lsh_eval",
+    _LSH_EVAL_SQL,
+    "LSH candidate-generation eval under the gate: recall of the banded "
+    "MinHash index against the exact shingle-join Jaccard>=0.7 truth set, "
+    "plus candidate counts per lang — the band-sizing number, exact-checked",
+)
+def dedup_lsh_eval(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    ).cache()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang"),
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("inter") / (F.col("x.n") + F.col("y.n") - F.col("inter"))
+    truth = (
+        inter.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .filter(jac >= 0.7)
+        .select("lang", "d1", "d2")
+    )
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.col(f"h{2*bb}").cast("string"),
+                            F.col(f"h{2*bb+1}").cast("string"),
+                        )
+                    )
+                    for bb in range(_N_HASHES // _BAND_W)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    ba, bb_ = bands.alias("ba"), bands.alias("bb")
+    lsh = (
+        ba.join(
+            bb_,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bkey") == F.col("bb.bkey"))
+            & (F.col("ba.lang") == F.col("bb.lang"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.lang").alias("lang"),
+            F.col("ba.doc_id").alias("d1"),
+            F.col("bb.doc_id").alias("d2"),
+        )
+        .distinct()
+        .cache()
+    )
+    hit = (
+        truth.join(lsh.withColumn("found", F.lit(1)), ["lang", "d1", "d2"], "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce("found", F.lit(0))).alias("n_found"),
+        )
+    )
+    cand = lsh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        hit.join(cand, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_true").cast("bigint").alias("n_true_pairs"),
+            F.col("n_found").cast("bigint").alias("n_found_pairs"),
+            R(F.round(F.col("n_found") / F.col("n_true"), 8), 4).alias("recall"),
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        )
+        .orderBy("lang")
+    )

@@ -5755,3 +5755,69 @@ def dedup_lsh_eval(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------- streaming heavy hitters (r3)
+
+# Streaming token-frequency top-k end-to-end: documents stream in as text
+# files, a running groupBy(token).count() emits in UPDATE mode, and the
+# final state is recovered as the max emission per token (cumulative
+# counts strictly increase, so the last/maximum re-emission IS the total
+# regardless of file slicing — microbatch-invariant, same recovery trick
+# as streaming_sliding_window). Top-10 equals the batch answer exactly;
+# this is the live counterpart of sketch_count_min's batch heavy hitters.
+_SHH_SQL = f"""
+WITH t AS ({_TOKS}),
+tok AS (SELECT UNNEST(t) AS tok FROM t),
+c AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 10)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rnk
+FROM top
+ORDER BY rnk
+"""
+
+
+@register(
+    "streaming_topk_tokens",
+    _SHH_SQL,
+    "streaming heavy hitters end-to-end: running token counts in update "
+    "mode, final state = max re-emission per token (counts strictly "
+    "increase => microbatch-invariant); top-10 equals the batch answer",
+)
+def streaming_topk_tokens(spark, sf_dir):
+    import os
+    import tempfile
+    import uuid
+
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="cassabon_shh_")
+    drop = os.path.join(tmp, "drop")
+    docs.select("text").coalesce(4).write.mode("overwrite").text(drop)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
+        .text(drop)
+        .select(F.explode(tokens_expr("value")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"shh_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final = spark.table(name).groupBy("tok").agg(F.max("cnt").alias("cnt"))
+    top = final.orderBy(F.desc("cnt"), F.asc("tok")).limit(10)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return top.select(
+        "tok",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).orderBy("rnk")

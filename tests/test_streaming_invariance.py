@@ -27,6 +27,7 @@ def _rows(spark, name):
         "streaming_sliding_window",
         "streaming_neardup_lsh",
         "streaming_dedup_distinct",
+        "streaming_topk_tokens",
     ],
 )
 def test_slicing_invariance(spark, name):

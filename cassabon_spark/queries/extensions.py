@@ -5821,3 +5821,121 @@ def streaming_topk_tokens(spark, sf_dir):
         F.col("cnt").cast("bigint").alias("cnt"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     ).orderBy("rnk")
+
+
+# ------------------------------------------- winnowing fingerprints (r3)
+
+# Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the guaranteed-
+# coverage document fingerprinting behind MOSS-style plagiarism and
+# repeated-substring detection: hash every 5-gram, then keep the LEFTMOST
+# minimum of each window of 4 consecutive hashes (distinct positions).
+# Any shared run of >= w+n-1 tokens is guaranteed to share a fingerprint,
+# at ~2/(w+1) selection density — the principled alternative to stride
+# sampling for substring-level dedup. Entirely row-local higher-order
+# array expressions (one pass per doc, no shuffle until the cross-doc
+# match join on the selected hashes).
+_WIN_N = 5  # gram size
+_WIN_W = 4  # winnow window
+
+_WIN_SQL = f"""
+WITH t AS ({_TOKS}),
+g AS (
+  SELECT doc_id, source,
+         LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - {_WIN_N - 1}, 0)),
+           i -> {_sql_h48(f"ARRAY_TO_STRING(t[i:i+{_WIN_N - 1}], ' ')")}) AS h
+  FROM t
+),
+w AS (
+  -- (pos, fp) packed into one BIGINT (pos * 2^48 + fp) so the selected
+  -- set deduplicates as plain integers
+  SELECT doc_id, source,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, GREATEST(LEN(h) - {_WIN_W - 1}, 0)),
+           i -> (i + LIST_POSITION(h[i:i+{_WIN_W - 1}], LIST_MIN(h[i:i+{_WIN_W - 1}])) - 1)
+                * {2**48} + LIST_MIN(h[i:i+{_WIN_W - 1}]))) AS sel
+  FROM g WHERE LEN(h) >= {_WIN_W}
+),
+fp AS (
+  SELECT doc_id, source, u % {2**48} AS fp
+  FROM w, UNNEST(sel) AS g2(u)
+),
+shared AS (
+  SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM fp GROUP BY fp)
+  WHERE nd > 1
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT)  AS n_docs,
+       CAST(COUNT(*) AS BIGINT)                AS n_fingerprints,
+       CAST(COUNT(DISTINCT fp) AS BIGINT)      AS n_distinct_fp,
+       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM shared) THEN 1 ELSE 0 END) AS BIGINT)
+                                               AS n_shared_fp
+FROM fp
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    _WIN_SQL,
+    f"winnowing fingerprints (SIGMOD'03): leftmost-min of each {_WIN_W}-hash "
+    f"window over {_WIN_N}-gram hashes — guaranteed-coverage substring "
+    "fingerprinting; per-source selection density and cross-doc shared "
+    "fingerprints exact-checked",
+)
+def text_winnow_fingerprints(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "source", tokens_expr("text").alias("t"))
+    gram_hash = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size("t") - (_WIN_N - 1), F.lit(0))
+        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.array_join(F.slice("t", i, _WIN_N), " ")), 1, 12
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    g = toks.select("doc_id", "source", gram_hash.alias("h")).filter(
+        F.size("h") >= _WIN_W
+    )
+    # (pos, fp) packed into one BIGINT (pos * 2^48 + fp): array_distinct
+    # over plain integers, portable to the oracle
+    win = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (_WIN_W - 1)),
+            lambda i: (
+                i
+                + F.array_position(
+                    F.slice("h", i, _WIN_W), F.array_min(F.slice("h", i, _WIN_W))
+                )
+                - 1
+            )
+            * F.lit(2**48)
+            + F.array_min(F.slice("h", i, _WIN_W)),
+        )
+    )
+    fp = g.select("doc_id", "source", F.explode(win).alias("u")).select(
+        "doc_id", "source", (F.col("u") % F.lit(2**48)).alias("fp")
+    ).cache()
+    shared = (
+        fp.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("fp")
+        .withColumn("is_shared", F.lit(1))
+    )
+    return (
+        fp.join(F.broadcast(shared), "fp", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_fingerprints"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).cast("bigint").alias("n_shared_fp"),
+        )
+        .orderBy("source")
+    )

@@ -5939,3 +5939,79 @@ def text_winnow_fingerprints(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- bucketized interval join (r3)
+
+# The pure range join with NO equi key ("errors within 30 minutes before
+# any purchase" — incident attribution across all users): naive Spark
+# plans a BroadcastNestedLoopJoin, O(|L| x |R|). operators/interval.py
+# bucketizes by the interval span so the join becomes an equi-shuffle on
+# the bucket id with the true predicate as residual (each right row in
+# ONE bucket -> no pair dedup needed). The entry ASSERTS no BNLJ in its
+# own executed plan, putting the join shape under the gate alongside the
+# values. Second-granularity semantics on both engines (unix truncation
+# mirrored with FLOOR(EPOCH())).
+_IVJ_SQL = """
+WITH p AS (SELECT event_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+e AS (SELECT ts AS e_ts FROM events WHERE event_type = 'error'),
+pr AS (
+  SELECT p.event_id, STRFTIME(p.p_ts, '%Y-%m-%d') AS day, COUNT(e.e_ts) AS n_err
+  FROM p LEFT JOIN e
+    ON FLOOR(EPOCH(e.e_ts)) >= FLOOR(EPOCH(p.p_ts)) - 1800
+   AND FLOOR(EPOCH(e.e_ts)) <  FLOOR(EPOCH(p.p_ts))
+  GROUP BY 1, 2
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_purchases,
+       CAST(SUM(CASE WHEN n_err > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_errors,
+       CAST(SUM(n_err) AS BIGINT)                                 AS n_pairs
+FROM pr
+GROUP BY day
+ORDER BY day
+"""
+
+
+@register(
+    "join_interval_bucketed",
+    _IVJ_SQL,
+    "pure interval join (no equi key) via span bucketization: equi-shuffle "
+    "on the bucket id + residual predicate instead of a nested-loop cross; "
+    "the entry fails if a BroadcastNestedLoopJoin appears in its plan",
+)
+def join_interval_bucketed(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.interval import bucketed_interval_join
+
+    ev = EV(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(F.col("ts").alias("e_ts"))
+    pairs = bucketed_interval_join(p, e, "p_ts", "e_ts", -1800, 0)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan, (
+        "interval join degenerated to a nested-loop cross product"
+    )
+    per_p = (
+        p.join(
+            pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_err")),
+            "event_id",
+            "left",
+        )
+        .select(
+            F.date_format("p_ts", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+        )
+    )
+    return (
+        per_p.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("n_err") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_with_errors"),
+            F.sum("n_err").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("day")
+    )

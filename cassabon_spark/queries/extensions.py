@@ -6015,3 +6015,63 @@ def join_interval_bucketed(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# ------------------------------------------- time-decayed aggregates (r3)
+
+# Exponentially-decayed counts/sums — the trending/recency-weighting
+# primitive (half-life weighting of events): score = SUM(exp(-(T - ts)/tau))
+# with tau = 7 days and T pinned to the corpus max timestamp (NOT wall
+# clock — deterministic and retry-stable). Decayed counters are mergeable
+# by ADDITION at a fixed reference time, and rescaling to a newer T is one
+# multiplication by exp(-dT/tau) — so per-shard partials merge exactly
+# like the count/sum sketches. Truncated-second arithmetic on both
+# engines; ROUND(,8) absorbs libm exp ulps as in the ANN entries.
+_DECAY_TAU_S = 7 * 86400
+
+_DECAY_SQL = f"""
+WITH t AS (SELECT FLOOR(EPOCH(MAX(ts))) AS now_s FROM events),
+e AS (
+  SELECT event_type, value,
+         EXP(-(t.now_s - FLOOR(EPOCH(ts))) / {float(_DECAY_TAU_S)}) AS wgt
+  FROM events, t
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT)                    AS n_events,
+       ROUND(ROUND(SUM(wgt), 8), 4)                AS decayed_count,
+       ROUND(ROUND(SUM(wgt * value), 8), 4)        AS decayed_value_sum,
+       ROUND(ROUND(SUM(wgt) / COUNT(*), 8), 4)     AS recency_ratio
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "agg_time_decay",
+    _DECAY_SQL,
+    "exponentially-decayed counts/sums (tau = 7 d, reference = corpus max "
+    "ts): the trending primitive — mergeable by addition at fixed T, "
+    "rescaled to a newer T by one multiply; exact-checked",
+)
+def agg_time_decay(spark, sf_dir):
+    prep(spark)
+    ev = EV(spark, sf_dir)
+    now = ev.agg(F.max(F.unix_timestamp("ts")).alias("now_s"))
+    wgt = F.exp(
+        -(F.col("now_s") - F.unix_timestamp("ts")) / F.lit(float(_DECAY_TAU_S))
+    )
+    return (
+        ev.crossJoin(F.broadcast(now))
+        .select("event_type", "value", wgt.alias("wgt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            R(F.round(F.sum("wgt"), 8), 4).alias("decayed_count"),
+            R(F.round(F.sum(F.col("wgt") * F.col("value")), 8), 4).alias(
+                "decayed_value_sum"
+            ),
+            R(F.round(F.sum("wgt") / F.count(F.lit(1)), 8), 4).alias("recency_ratio"),
+        )
+        .orderBy("event_type")
+    )

@@ -6075,3 +6075,139 @@ def agg_time_decay(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- leakage-safe split (r3)
+
+# Train/val splitting with GROUP integrity: assigning docs independently
+# leaks near-duplicates across the split boundary (the classic eval
+# contamination bug); the correct unit is the near-dup CONNECTED
+# COMPONENT. Components come from the exact-checked pair graph
+# (min-label propagation, as dedup_minhash_clusters); singletons are
+# their own component; the split decision hashes the COMPONENT id
+# (deterministic 95/5 via md5), so every member lands on the same side.
+# The output surfaces max_splits_per_group — the leakage assertion
+# itself (must be 1) — under the oracle gate.
+_LEAK_SPLIT_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2 FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+edges AS (
+  SELECT d1 AS src, d2 AS dst FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(node, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM r JOIN edges e ON e.src = r.node
+  )
+  SELECT node, MIN(lab) AS component FROM r GROUP BY node
+),
+comp AS (
+  SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+),
+sp AS (
+  SELECT doc_id, component,
+         CASE WHEN {_sql_h48("CAST(component AS VARCHAR)", "'split|'")} % 20 = 0
+              THEN 'val' ELSE 'train' END AS split
+  FROM comp
+),
+integrity AS (
+  SELECT component, COUNT(DISTINCT split) AS ns FROM sp GROUP BY component
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT)  AS n_groups,
+       CAST((SELECT MAX(ns) FROM integrity) AS BIGINT) AS max_splits_per_group
+FROM sp
+GROUP BY split
+ORDER BY split
+"""
+
+
+@register(
+    "pipeline_leakage_safe_split",
+    _LEAK_SPLIT_SQL,
+    "group-integrity train/val split: the split unit is the near-dup "
+    "connected component (hash of component id, 95/5), so near-dups never "
+    "straddle the boundary; max_splits_per_group == 1 is the in-output "
+    "leakage assertion",
+)
+def pipeline_leakage_safe_split(spark, sf_dir):
+    prep(spark)
+    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
+    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(16):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id", F.coalesce("lab", F.col("doc_id")).alias("component")
+    )
+    split = comp.withColumn(
+        "split",
+        F.when(
+            md5_bucket_expr(F.col("component").cast("string"), prefix="split|") % 20
+            == 0,
+            F.lit("val"),
+        ).otherwise(F.lit("train")),
+    ).cache()
+    integrity = split.groupBy("component").agg(
+        F.countDistinct("split").alias("ns")
+    ).agg(F.max("ns").alias("mx"))
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("component").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(integrity))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            F.col("mx").cast("bigint").alias("max_splits_per_group"),
+        )
+        .orderBy("split")
+    )

@@ -6211,3 +6211,134 @@ def pipeline_leakage_safe_split(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ------------------------------------------- event transition matrix (r3)
+
+# First-order behavioral transition matrix: per user, order events by
+# time and count (prev_type -> type) bigrams — the Markov-chain view of
+# the event stream (funnel generalization; feeds session intent models).
+# Window lag partitioned BY USER: state is per-user and bounded, no
+# global sort. Deterministic tie-break on event_id for equal timestamps.
+_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 8), 4)
+         AS p_next
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "events_markov_transitions",
+    _TRANSITIONS_SQL,
+    "first-order event transition matrix: per-user time-ordered bigrams "
+    "(lag window partitioned by user — bounded state, no global sort) "
+    "with row-normalized transition probabilities",
+)
+def events_markov_transitions(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = EV(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("bigint").alias("n"),
+        R(F.round(F.col("n") / F.sum("n").over(row_tot), 8), 4).alias("p_next"),
+    ).orderBy("prev_type", "next_type")
+
+
+# ------------------------------------------- robust anomaly detection (r3)
+
+# Median/MAD outlier detection over the rollup series — the robust
+# alternative to holtWintersAberration for spiky ops data (mean/stddev
+# are themselves dragged by the outliers they should flag). Per path:
+# median, MAD (median absolute deviation), and the count of points
+# outside median +/- 3 * 1.4826 * MAD (the normal-consistent scale
+# factor). Exact interpolated medians on both engines (percentile <->
+# QUANTILE_CONT, the carbon_percentile_rollup precedent).
+_MAD_SQL = """
+WITH raw AS (
+  SELECT CONCAT('srv.', CAST(user_id % 10 AS VARCHAR), '.load') AS path, value
+  FROM events
+),
+med AS (
+  SELECT path, QUANTILE_CONT(value, 0.5) AS med FROM raw GROUP BY path
+),
+dev AS (
+  SELECT r.path, r.value, m.med, ABS(r.value - m.med) AS adev
+  FROM raw r JOIN med m ON m.path = r.path
+),
+mad AS (
+  SELECT path, QUANTILE_CONT(adev, 0.5) AS mad FROM dev GROUP BY path
+)
+SELECT d.path,
+       CAST(COUNT(*) AS BIGINT)            AS n_points,
+       ROUND(ROUND(MAX(d.med), 8), 4)      AS median,
+       ROUND(ROUND(MAX(m2.mad), 8), 4)     AS mad,
+       CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m2 ON m2.path = d.path
+GROUP BY d.path
+ORDER BY d.path
+"""
+
+
+@register(
+    "carbon_anomaly_mad",
+    _MAD_SQL,
+    "median/MAD robust outlier detection per series (3 * 1.4826 * MAD "
+    "fence): two grouped exact-median passes, no global sort — the "
+    "spiky-data complement to holtWintersAberration",
+)
+def carbon_anomaly_mad(spark, sf_dir):
+    prep(spark)
+    ev = EV(spark, sf_dir)
+    raw = ev.select(
+        F.concat(
+            F.lit("srv."), (F.col("user_id") % 10).cast("string"), F.lit(".load")
+        ).alias("path"),
+        "value",
+    )
+    med = raw.groupBy("path").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = raw.join(F.broadcast(med), "path").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("path").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    fence = F.lit(3.0) * F.lit(1.4826)
+    return (
+        dev.join(F.broadcast(mad), "path")
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            R(F.round(F.max("med"), 8), 4).alias("median"),
+            R(F.round(F.max("mad"), 8), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med")) > fence * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("path")
+    )

@@ -615,3 +615,34 @@ def test_version_as_of_timestamp_time_travel(spark, tmp_path):
     assert t.read(version=t.version_as_of(time.time())).count() == 2
     with pytest.raises(ValueError):
         t.version_as_of(mid - 10**6)
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """Multi-writer appends: N threads race commits; the link-if-absent
+    retry loop must land EVERY append with no lost rows and a linear
+    version chain (parent = version - 1 all the way down)."""
+    import threading
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    errs = []
+
+    def w(i):
+        try:
+            t.append(
+                spark.createDataFrame([(f"w{i}", i)], "k string, v bigint"),
+                max_retries=50,
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=w, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert t.version() == 5  # 6 appends -> versions 0..5
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(f"w{i}", i) for i in range(6)}
+    for v in range(1, 6):  # linear history
+        assert t.snapshot(v)["parent"] == v - 1

@@ -289,7 +289,13 @@ def _make_handler(engine: Engine, healthcheck_file: str | None, stats: dict):
                 elif u.path == "/stats":
                     with _STATS_LOCK:
                         snap = {k: dict(v) for k, v in stats.items()}
-                    self._json({"routes": snap})
+                    self._json(
+                        {
+                            "routes": snap,
+                            "result_cache": dict(engine.cache_stats),
+                            "manifest_pruning": dict(engine.prune_stats),
+                        }
+                    )
                 else:
                     self._error(404, "not found", self.path)
             except ValueError as e:

@@ -91,6 +91,9 @@ class Engine:
         self._result_cache: dict[tuple, dict] = {}
         self._result_cache_max = 256
         self.cache_stats = {"hits": 0, "misses": 0}
+        # manifest-pruning effectiveness across store_for reads (snapshot
+        # mode): files the manifest listed vs files actually planned
+        self.prune_stats = {"files_total": 0, "files_read": 0, "reads": 0}
 
     # ------------------------------------------------------------ store access
 
@@ -148,7 +151,19 @@ class Engine:
             # which truncates — widen the prune bound so the boundary file
             # with rows at to_s + fraction is kept, never wrongly skipped
             prune.append(("time", "<=", _iso(to_s + 1)))
-        return self.table.read(partition_filter=part, prune=prune or None)
+        v = self.table.version()
+        kept = self.table.files_for(v, part, prune or None)
+        self.prune_stats["files_total"] += len(self.table.snapshot(v)["files"])
+        self.prune_stats["files_read"] += len(kept)
+        self.prune_stats["reads"] += 1
+        if not kept:
+            schema = self.table.snapshot(v).get("schema")
+            if schema is None:
+                raise ValueError(f"snapshot table {self.store_dir} has no commits yet")
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(schema))
+        return self.table.read_files(kept, schema=self.table.snapshot(v).get("schema"))
 
     @property
     def index(self) -> DataFrame:

@@ -229,3 +229,17 @@ def test_streaming_ingest_feeds_append_only_cdc(spark, tmp_path):
     assert (delta.filter("path = 's.y'").agg(F.min("vsum")).collect()[0][0]) == 5.0
     # and nothing from before v0 leaks in
     assert delta.filter("vsum = 1.0").count() == 0
+
+
+def test_prune_stats_track_manifest_effectiveness(spark, tmp_path):
+    eng = _engine(spark, str(tmp_path))
+    day = 86400
+    lines = []
+    for d in range(3):
+        lines += [f"svc.web.hits {d * 100 + i}.0 {d * day + i * 10}" for i in range(6)]
+    eng.ingest_lines(_lines(spark, lines))
+    assert eng.prune_stats == {"files_total": 0, "files_read": 0, "reads": 0}
+    eng.get_metrics(["svc.web.hits"], day, day + 50, now_s=day + 100)
+    s = eng.prune_stats
+    assert s["reads"] == 1
+    assert 0 < s["files_read"] < s["files_total"]

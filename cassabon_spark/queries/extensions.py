@@ -6342,3 +6342,122 @@ def carbon_anomaly_mad(spark, sf_dir):
         )
         .orderBy("path")
     )
+
+
+# ------------------------------------------- LTOB downsampling (r3)
+
+# Largest-Triangle-One-Bucket downsampling (Steinarsson's thesis; the
+# parallelizable sibling of dashboards' LTTB): split each series into
+# fixed time buckets and keep the point whose triangle area against its
+# immediate RAW neighbors is largest — preserving visual extremes where
+# naive average-downsampling flattens them. Unlike LTTB (sequential
+# dependency on the previously SELECTED point), LTOB's areas depend only
+# on lag/lead, so it is one window pass + one per-bucket argmax —
+# embarrassingly parallel per series. Endpoints get +inf area (always
+# kept). This is the quality-preserving complement to the maxDataPoints
+# step-coarsening guard on the render path.
+_LTOB_BUCKETS = 10
+
+_LTOB_SQL = f"""
+WITH raw AS (
+  SELECT CONCAT('srv.', CAST(user_id % 10 AS VARCHAR), '.load') AS path,
+         FLOOR(EPOCH(ts)) AS x, value AS y,
+         event_id
+  FROM events
+),
+spans AS (SELECT MIN(x) AS x0, MAX(x) AS x1 FROM raw),
+pts AS (
+  SELECT path, x, y, event_id,
+         LEAST({_LTOB_BUCKETS - 1}, GREATEST(0,
+           CAST(FLOOR((x - x0) / (x1 - x0 + 1) * {_LTOB_BUCKETS}) AS INT))) AS bucket,
+         LAG(x)  OVER w AS px, LAG(y)  OVER w AS py,
+         LEAD(x) OVER w AS nx, LEAD(y) OVER w AS ny
+  FROM raw, spans
+  WINDOW w AS (PARTITION BY path ORDER BY x, event_id)
+),
+areas AS (
+  SELECT path, bucket, x, y,
+         COALESCE(ABS((px - nx) * (y - py) - (px - x) * (ny - py)), 1e308) AS area
+  FROM pts
+),
+sel AS (
+  SELECT path, bucket, x, y FROM (
+    SELECT path, bucket, x, y,
+           ROW_NUMBER() OVER (
+             PARTITION BY path, bucket ORDER BY ROUND(area, 8) DESC, x
+           ) AS r
+    FROM areas
+  ) WHERE r = 1
+)
+SELECT path, CAST(bucket AS BIGINT) AS bucket,
+       CAST(x AS BIGINT) AS sel_ts,
+       ROUND(ROUND(y, 8), 4) AS sel_value
+FROM sel
+ORDER BY path, bucket
+"""
+
+
+@register(
+    "carbon_downsample_ltob",
+    _LTOB_SQL,
+    f"LTOB downsampling to {_LTOB_BUCKETS} buckets/series: keep the "
+    "max-triangle-area point per bucket (lag/lead neighbors only — "
+    "parallel per series, unlike sequential LTTB); preserves visual "
+    "extremes that average-downsampling flattens",
+)
+def carbon_downsample_ltob(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    ev = EV(spark, sf_dir)
+    raw = ev.select(
+        F.concat(
+            F.lit("srv."), (F.col("user_id") % 10).cast("string"), F.lit(".load")
+        ).alias("path"),
+        F.unix_timestamp("ts").alias("x"),
+        F.col("value").alias("y"),
+        "event_id",
+    )
+    spans = raw.agg(F.min("x").alias("x0"), F.max("x").alias("x1"))
+    w = Window.partitionBy("path").orderBy("x", "event_id")
+    pts = raw.crossJoin(F.broadcast(spans)).select(
+        "path",
+        "x",
+        "y",
+        F.least(
+            F.lit(_LTOB_BUCKETS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("x") - F.col("x0"))
+                    / (F.col("x1") - F.col("x0") + 1)
+                    * _LTOB_BUCKETS
+                ).cast("int"),
+            ),
+        ).alias("bucket"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+        F.lead("x").over(w).alias("nx"),
+        F.lead("y").over(w).alias("ny"),
+    )
+    area = F.coalesce(
+        F.abs(
+            (F.col("px") - F.col("nx")) * (F.col("y") - F.col("py"))
+            - (F.col("px") - F.col("x")) * (F.col("ny") - F.col("py"))
+        ),
+        F.lit(1e308),
+    )
+    ws = Window.partitionBy("path", "bucket").orderBy(
+        F.desc(F.round(area, 8)), F.asc("x")
+    )
+    return (
+        pts.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") == 1)
+        .select(
+            "path",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("x").cast("bigint").alias("sel_ts"),
+            R(F.round("y", 8), 4).alias("sel_value"),
+        )
+        .orderBy("path", "bucket")
+    )

@@ -569,6 +569,70 @@ class SnapshotTable:
         finally:
             src.unpersist()
 
+    def optimize(
+        self,
+        zorder_by: list[str],
+        n_files: int = 16,
+        partition_filter: Callable[[dict], bool] | None = None,
+        partition_cols: tuple[str, ...] = (),
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE ZORDER BY: rewrite the selected partitions' files
+        clustered by the Morton key of `zorder_by` (operators/layout.py) so
+        the per-file footer stats become narrow on EVERY listed column at
+        once — after this, read(prune=[(col, op, val)]) skips files for
+        predicates on any of them. Envelope = one tiny global aggregate
+        over the selected data; rewrite = repartitionByRange(n_files, z) +
+        sortWithinPartitions(z); one manifest commit per run. Old files
+        survive for older snapshots (vacuum reclaims)."""
+        from pyspark.sql import functions as F
+
+        from cassabon_spark.operators.layout import (
+            linear_bucket_expr,
+            zorder_key_expr,
+        )
+
+        head = self.version()
+        snap = self.snapshot(head)
+        files = snap["files"]
+        if partition_filter is not None:
+            files = [f for f in files if partition_filter(f["partition"])]
+        if not files:
+            return head if head is not None else 0
+        df = self.read_files(files, schema=snap.get("schema"))
+        env = df.agg(
+            *[
+                a
+                for c in zorder_by
+                for a in (
+                    F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                )
+            ]
+        )
+        clustered = df.crossJoin(F.broadcast(env))
+        buckets = [
+            linear_bucket_expr(
+                F.col(c).cast("double"),
+                F.col(f"__mn_{c}"),
+                F.col(f"__mx_{c}"),
+                bits,
+            )
+            for c in zorder_by
+        ]
+        clustered = (
+            clustered.withColumn("__z", zorder_key_expr(buckets, bits))
+            .drop(*[f"__mn_{c}" for c in zorder_by], *[f"__mx_{c}" for c in zorder_by])
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        new = self._stage(clustered, partition_cols)
+        keep = [f for f in snap["files"] if f not in files]
+        return self._commit(
+            head, {"op": "compact", "files": keep + new, "schema": snap.get("schema")}
+        )
+
     def rewrite_partition(
         self,
         partition: dict,

@@ -646,3 +646,35 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert got == {(f"w{i}", i) for i in range(6)}
     for v in range(1, 6):  # linear history
         assert t.snapshot(v)["parent"] == v - 1
+
+
+def test_optimize_zorder_rewrites_for_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE ZORDER BY as API: an unclustered table (random row order
+    -> every file spans ~the full range of both columns, nothing prunes)
+    becomes skippable on EITHER column after optimize(); rows unchanged."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    grid = (
+        spark.range(0, 4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+            # shuffle the physical order so nothing is accidentally clustered
+            F.md5(F.col("id").cast("string")).alias("r"),
+        )
+        .orderBy("r")
+        .drop("r")
+        .repartition(8)
+    )
+    t.append(grid)
+    before = t.files_for(prune=[("x", ">=", 56)])
+    assert len(before) == len(t.files_for())  # unclustered: no skipping
+    v = t.optimize(zorder_by=["x", "y"], n_files=16)
+    assert v == 1
+    total = len(t.files_for())
+    px = t.files_for(prune=[("x", ">=", 56)])
+    py = t.files_for(prune=[("y", ">=", 56)])
+    assert len(px) <= total / 2 and len(py) <= total / 2
+    assert t.read().count() == 4096
+    assert t.read(prune=[("y", ">=", 56)]).filter("y >= 56").count() == 8 * 64
+    # pre-optimize snapshot still time-travels
+    assert t.read(version=0).count() == 4096

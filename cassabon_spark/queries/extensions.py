@@ -6461,3 +6461,106 @@ def carbon_downsample_ltob(spark, sf_dir):
         )
         .orderBy("path", "bucket")
     )
+
+
+# ------------------------------------------- quality prune curve (r3)
+
+# The filter-threshold decision artifact: score every document (type-token
+# ratio — deterministic, engine-portable), split into deciles by
+# percentile cutoffs (grouped aggregate + broadcast comparison — no
+# global NTILE sort), and report what fraction of documents AND tokens
+# survives each "keep everything above decile d" cutoff. This is the
+# curve a data team reads before choosing a quality threshold: the token
+# cost of each notch of selectivity.
+_QPRUNE_SQL = f"""
+WITH t AS ({_TOKS}),
+sc AS (
+  SELECT doc_id, LEN(t) AS n_tok,
+         LEN(LIST_DISTINCT(t)) * 1.0 / GREATEST(LEN(t), 1) AS score
+  FROM t WHERE LEN(t) > 0
+),
+cuts AS (
+  SELECT [{", ".join(f"QUANTILE_CONT(score, {i / 10.0})" for i in range(1, 10))}] AS qs
+  FROM sc
+),
+dec AS (
+  SELECT doc_id, n_tok, score,
+         1 + LEN(LIST_FILTER(qs, q -> score >= q)) AS decile
+  FROM sc, cuts
+),
+agg AS (
+  SELECT decile, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens FROM dec GROUP BY decile
+),
+cum AS (
+  SELECT decile, n_docs, n_tokens,
+         SUM(n_docs)  OVER (ORDER BY decile DESC) AS cd,
+         SUM(n_tokens) OVER (ORDER BY decile DESC) AS ct,
+         SUM(n_docs)  OVER () AS td,
+         SUM(n_tokens) OVER () AS tt
+  FROM agg
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(ROUND(cd * 1.0 / td, 8), 4) AS kept_docs_frac,
+       ROUND(ROUND(ct * 1.0 / tt, 8), 4) AS kept_tokens_frac
+FROM cum
+ORDER BY decile
+"""
+
+
+@register(
+    "pipeline_quality_prune_curve",
+    _QPRUNE_SQL,
+    "quality-threshold prune curve: decile cutoffs from grouped "
+    "percentiles (no global NTILE sort), per-decile docs/tokens and the "
+    "cumulative keep-above-this fraction — the token cost of each notch "
+    "of filter selectivity",
+)
+def pipeline_quality_prune_curve(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    sc = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        (
+            F.size(F.array_distinct("t"))
+            / F.greatest(F.size("t"), F.lit(1)).cast("double")
+        ).alias("score"),
+    )
+    cuts = sc.agg(
+        F.array(
+            *[F.expr(f"percentile(score, {i / 10.0})") for i in range(1, 10)]
+        ).alias("qs")
+    )
+    dec = sc.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tok",
+        (
+            1 + F.size(F.filter("qs", lambda q: F.col("score") >= q))
+        ).alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    wdesc = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return agg.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        R(F.round(F.sum("n_docs").over(wdesc) / F.sum("n_docs").over(wall), 8), 4).alias(
+            "kept_docs_frac"
+        ),
+        R(
+            F.round(F.sum("n_tokens").over(wdesc) / F.sum("n_tokens").over(wall), 8),
+            4,
+        ).alias("kept_tokens_frac"),
+    ).orderBy("decile")

@@ -33,21 +33,32 @@ def bucketed_interval_join(
 ) -> DataFrame:
     """Pairs (left x right) with unix(right_ts) in [unix(left_ts)+lo_s,
     unix(left_ts)+hi_s). Columns of both inputs are preserved; callers
-    select/aggregate after. lo_s < hi_s required."""
+    select/aggregate after. lo_s < hi_s required.
+
+    Column names other than the two timestamps must be disjoint between
+    the inputs (standard Spark join-output caveat — duplicate names come
+    back ambiguous to select). The timestamps themselves MAY collide
+    (including left_ts == right_ts): the residual predicate is built from
+    DataFrame-qualified references captured before the join, so it binds
+    to the correct side either way."""
     if not lo_s < hi_s:
         raise ValueError("need lo_s < hi_s")
     w = hi_s - lo_s
-    lu = F.unix_timestamp(F.col(left_ts))
-    ru = F.unix_timestamp(F.col(right_ts))
     lb = left.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor((lu + lo_s) / w).cast("long"),
-                F.floor((lu + hi_s) / w).cast("long"),
+                F.floor((F.unix_timestamp(F.col(left_ts)) + lo_s) / w).cast("long"),
+                F.floor((F.unix_timestamp(F.col(left_ts)) + hi_s) / w).cast("long"),
             )
         ),
     )
-    rb = right.withColumn("__bkt", F.floor(ru / w).cast("long"))
+    rb = right.withColumn(
+        "__bkt", F.floor(F.unix_timestamp(F.col(right_ts)) / w).cast("long")
+    )
+    # qualified refs: unambiguous even when left_ts == right_ts or the
+    # name exists on both sides (ADVICE r3)
+    lu = F.unix_timestamp(lb[left_ts])
+    ru = F.unix_timestamp(rb[right_ts])
     cond = (ru >= lu + lo_s) & (ru < lu + hi_s)
-    return lb.join(rb, "__bkt").filter(cond).drop("__bkt")
+    return lb.join(rb, lb["__bkt"] == rb["__bkt"]).filter(cond).drop("__bkt")

@@ -899,20 +899,46 @@ def dedup_simhash(spark, sf_dir):
 # ---------------------------------------------------------------- HLL approx distinct
 
 
+_APPROX_CD_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey)  AS exact_parts,
+       TRUE AS orders_within_5pct,
+       TRUE AS parts_within_5pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 @register(
     "agg_approx_count_distinct",
-    None,
-    "HyperLogLog++ approximate distinct (the 100 TB path for cardinality); rows-only — "
-    "DuckDB's approx sketch differs by construction, exactness is covered by agg_count_distinct",
+    _APPROX_CD_SQL,
+    "HyperLogLog++ approximate distinct (the 100 TB path for cardinality), "
+    "SELF-VALIDATING: the HLL estimate is checked Spark-side against the exact "
+    "count (relative error <= 5% at rsd 0.02) and only the deterministic exact "
+    "counts + the boolean verdicts are emitted — so the sketch is GATED by the "
+    "oracle (DuckDB: exact counts + TRUE), not waved through as rows-only",
 )
 def agg_approx(spark, sf_dir):
     prep(spark)
     li = T(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__ap"),
+    )
+    within = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact)) / F.col(exact) <= F.lit(0.05)
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        g.select(
+            "l_returnflag",
+            "exact_orders",
+            "exact_parts",
+            within("__ao", "exact_orders").alias("orders_within_5pct"),
+            within("__ap", "exact_parts").alias("parts_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -1698,27 +1724,52 @@ def similarity_ivf(spark, sf_dir):
     )
 
 
+# Self-validating oracle for the learned-quantizer ANN: the k-means||
+# quantizer is not SQL-reproducible, but the EXACT brute-force top-5 is —
+# so the entry emits the deterministic exact neighbors plus one boolean,
+# "IVF recall@5 over the whole query set >= 0.6", computed Spark-side.
+# DuckDB reproduces the exact rows and asserts TRUE: the ANN quality is
+# now checked by the gate rather than only by tests (measured recall on
+# the synthetic corpus is ~0.8; coverage floor nprobe/n_cells = 0.375).
+_IVF_KMEANS_SQL = _COSINE_SQL.replace(
+    "SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk",
+    "SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk, TRUE AS recall_ok",
+)
+
+
 @register(
     "similarity_ivf_kmeans",
-    None,  # learned quantizer (k-means|| sampling) is not SQL-reproducible:
-    # rows-only gate; recall vs the exact brute-force top-k is asserted in
-    # tests/test_multimodal_similarity.py instead
+    _IVF_KMEANS_SQL,
     "IVF-flat ANN with a pyspark.ml KMeans coarse quantizer over "
     "L2-normalized vectors (euclidean cells == cosine neighborhoods on the "
     "unit sphere); nprobe=3 of 8 cells, cosine rerank "
-    "(operators/similarity.py::ivf_kmeans_topk)",
+    "(operators/similarity.py::ivf_kmeans_topk). SELF-VALIDATING: output = "
+    "exact top-5 identities + a Spark-checked 'recall@5 >= 0.6' boolean",
 )
 def similarity_ivf_kmeans(spark, sf_dir):
     prep(spark)
-    from cassabon_spark.operators.similarity import ivf_kmeans_topk
+    from cassabon_spark.operators.similarity import cosine_topk, ivf_kmeans_topk
 
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    out = ivf_kmeans_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=5, n_cells=8, nprobe=3
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_kmeans_topk(emb, q, k=5, n_cells=8, nprobe=3).select("qid", "cid")
+    exact = cosine_topk(emb, q, k=5)
+    hits = exact.join(ivf, ["qid", "cid"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__nh")
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("__nt"))
+    gate = hits.crossJoin(tot).select(
+        ((F.col("__nh") / F.col("__nt")) >= F.lit(0.6)).alias("recall_ok")
     )
     return (
-        out.withColumn("cosine", R(F.col("cosine"), 4))
-        .withColumn("rnk", F.col("rnk").cast("bigint"))
+        exact.crossJoin(F.broadcast(gate))
+        .select(
+            "qid",
+            "cid",
+            R(F.col("cosine"), 4).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "recall_ok",
+        )
         .orderBy("qid", "rnk")
     )
 

@@ -256,12 +256,22 @@ class SnapshotTable:
         """Atomic multi-partition append. Data files land first (invisible),
         then one manifest commit flips them live. Losing a commit race is
         harmless for appends: re-read the new latest and retry the commit —
-        the data files need no rewrite."""
-        self._violations(df, self.snapshot().get("constraints"))
+        the data files need no rewrite. CHECK constraints are validated
+        against the constraint set of the head snapshot the commit is
+        attempted against (re-validated inside the retry loop when a racing
+        add_constraint() changed the set — otherwise the retried append
+        would carry an unvalidated constraint forward onto rows it never
+        checked)."""
+        validated: dict = {}
         new = self._stage(df, partition_cols)
         for _ in range(max_retries):
             head = self.version()
             snap = self.snapshot(head)
+            cons = snap.get("constraints") or {}
+            fresh = {k: v for k, v in cons.items() if validated.get(k) != v}
+            if fresh:
+                self._violations(df, fresh)
+                validated.update(fresh)
             stored = snap.get("schema")
             if stored is not None:
                 known = {f["name"] for f in stored["fields"]}
@@ -496,9 +506,14 @@ class SnapshotTable:
             n_src = src.count()
             if src.select(*keys).distinct().count() != n_src:
                 raise ValueError("merge source has duplicate keys")
-            self._violations(src, self.snapshot().get("constraints"))
+            # pin head FIRST, then validate against that snapshot's
+            # constraint set: a constraint committed after this point takes
+            # version head+1, which forces this merge's _commit into
+            # CommitConflict — so a merge can never slip rows past a
+            # constraint it did not validate.
             head = self.version()
             snap = self.snapshot(head)
+            self._violations(src, snap.get("constraints"))
             if not snap["files"]:
                 v = self.append(src, partition_cols)
                 return {
@@ -584,7 +599,17 @@ class SnapshotTable:
         predicates on any of them. Envelope = one tiny global aggregate
         over the selected data; rewrite = repartitionByRange(n_files, z) +
         sortWithinPartitions(z); one manifest commit per run. Old files
-        survive for older snapshots (vacuum reclaims)."""
+        survive for older snapshots (vacuum reclaims).
+
+        When the selected files live in a partitioned layout and the caller
+        does not pass partition_cols, the partition keys are DERIVED from
+        the selected entries so the rewrite preserves the layout — silently
+        flattening it would break partition-keyed maintenance (retention
+        predicates, engine.compact) on the rewritten files. Losing the
+        commit race to a concurrent append rebases the keep-list against
+        the new head and retries; a race that REWROTE any selected file
+        (delete/merge/another optimize) surfaces as CommitConflict — our
+        rewrite would resurrect rows the racer removed."""
         from pyspark.sql import functions as F
 
         from cassabon_spark.operators.layout import (
@@ -599,6 +624,22 @@ class SnapshotTable:
             files = [f for f in files if partition_filter(f["partition"])]
         if not files:
             return head if head is not None else 0
+        # manifests serialize dicts with sort_keys, so the partition dict
+        # loses directory order — recover layout order from the data paths
+        # ('res=10/day=2020-01-01/x.parquet' -> ('res', 'day'))
+        part_keysets = {
+            tuple(
+                seg.split("=", 1)[0] for seg in f["path"].split("/")[:-1] if "=" in seg
+            )
+            for f in files
+        }
+        if not partition_cols and part_keysets != {()}:
+            if len(part_keysets) != 1:
+                raise ValueError(
+                    f"selected files carry mixed partition layouts {part_keysets}; "
+                    "pass partition_cols explicitly"
+                )
+            partition_cols = next(iter(part_keysets))
         df = self.read_files(files, schema=snap.get("schema"))
         env = df.agg(
             *[
@@ -628,10 +669,27 @@ class SnapshotTable:
             .drop("__z")
         )
         new = self._stage(clustered, partition_cols)
-        keep = [f for f in snap["files"] if f not in files]
-        return self._commit(
-            head, {"op": "compact", "files": keep + new, "schema": snap.get("schema")}
-        )
+        rewritten_paths = {f["path"] for f in files}
+        keep = [f for f in snap["files"] if f["path"] not in rewritten_paths]
+        for _ in range(5):
+            try:
+                return self._commit(
+                    head,
+                    {"op": "compact", "files": keep + new, "schema": snap.get("schema")},
+                )
+            except CommitConflict:
+                # optimize holds head across a long rewrite, so a racing
+                # streaming-ingest append is likely: rebase against the new
+                # head (its files minus the set we rewrote) and retry. If a
+                # racer REWROTE any selected file, committing would
+                # resurrect rows it removed — surface the conflict instead.
+                head = self.version()
+                snap = self.snapshot(head)
+                head_paths = {f["path"] for f in snap["files"]}
+                if not rewritten_paths <= head_paths:
+                    raise
+                keep = [f for f in snap["files"] if f["path"] not in rewritten_paths]
+        raise CommitConflict("optimize lost 5 commit races")
 
     def rewrite_partition(
         self,

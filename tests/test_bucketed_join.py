@@ -59,3 +59,23 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP DATABASE IF EXISTS bktest CASCADE")
+
+
+def test_interval_join_tolerates_shared_column_names(spark):
+    """ADVICE r3: bucketed_interval_join builds its residual predicate
+    from DataFrame-qualified references, so inputs sharing a timestamp
+    column name — including left_ts == right_ts — join correctly instead
+    of failing on ambiguous resolution."""
+    from cassabon_spark.operators.interval import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [("L1", "2020-01-01 00:10:00")], "lid string, ts string"
+    ).select("lid", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("R1", "2020-01-01 00:05:00"), ("R2", "2020-01-01 00:30:00")],
+        "rid string, ts string",
+    ).select("rid", F.col("ts").cast("timestamp"))
+    out = bucketed_interval_join(left, right, "ts", "ts", -600, 0)
+    rows = out.select("lid", "rid").collect()
+    # only R1 falls in [L1-10min, L1): R2 is after L1
+    assert {(r["lid"], r["rid"]) for r in rows} == {("L1", "R1")}

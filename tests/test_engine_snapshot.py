@@ -243,3 +243,30 @@ def test_prune_stats_track_manifest_effectiveness(spark, tmp_path):
     s = eng.prune_stats
     assert s["reads"] == 1
     assert 0 < s["files_read"] < s["files_total"]
+
+
+def test_store_for_skips_path_bounds_for_glob_paths(spark, tmp_path):
+    """ADVICE r3: lexicographic path-bound pruning is only sound for
+    concrete names — '*' (0x2a) sorts below alphanumerics, so a glob
+    leaking into store_for would wrongly prune files holding matches.
+    Glob-bearing path lists must skip the path bounds (conservative) and
+    still return the right rows."""
+    eng = _engine(spark, str(tmp_path))
+    eng.ingest_lines(
+        _lines(
+            spark,
+            ["svc.web.hits 1.0 100", "svc.api.hits 2.0 100", "zz.tail 3.0 100"],
+        )
+    )
+    # a concrete list prunes on path bounds: files holding only 'zz.tail'
+    # fall outside ['svc.api.hits','svc.web.hits']
+    concrete = eng.store_for(paths=["svc.web.hits", "svc.api.hits"])
+    assert {r["path"] for r in concrete.select("path").distinct().collect()} >= {
+        "svc.web.hits",
+        "svc.api.hits",
+    }
+    # the glob form must NOT prune by bounds ('svc.*' < any alnum name):
+    # every matching row is still readable from the returned scan
+    globbed = eng.store_for(paths=["svc.*.hits"])
+    got = {r["path"] for r in globbed.select("path").distinct().collect()}
+    assert {"svc.web.hits", "svc.api.hits"} <= got

@@ -678,3 +678,99 @@ def test_optimize_zorder_rewrites_for_multi_column_skipping(spark, tmp_path):
     assert t.read(prune=[("y", ">=", 56)]).filter("y >= 56").count() == 8 * 64
     # pre-optimize snapshot still time-travels
     assert t.read(version=0).count() == 4096
+
+
+def test_append_revalidates_constraints_after_commit_race(spark, tmp_path):
+    """ADVICE r3: a constraint committed by a racer between append's
+    validation and its commit must be re-validated on the retry — the
+    retried append must not carry the new constraint forward onto rows it
+    never checked."""
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.root)
+    orig = t._commit
+    state = {"raced": False}
+
+    def racing_commit(parent, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.add_constraint("v_pos", "v > 0")  # racer takes the version
+        return orig(parent, payload)
+
+    t._commit = racing_commit
+    bad = spark.createDataFrame(
+        [("q", -1, 10, "2020-01-05")], "k string, v bigint, res bigint, day string"
+    )
+    with pytest.raises(ValueError, match="v_pos"):
+        t.append(bad, partition_cols=("res", "day"))
+    # invariant held: no violating row ever landed
+    assert t.read().filter("v <= 0").count() == 0
+    # a conforming append passes the (now re-validated) constraint
+    ok = spark.createDataFrame(
+        [("q", 7, 10, "2020-01-05")], "k string, v bigint, res bigint, day string"
+    )
+    t.append(ok, partition_cols=("res", "day"))
+    assert t.read().filter("k = 'q'").count() == 1
+
+
+def test_optimize_preserves_partition_layout(spark, tmp_path):
+    """ADVICE r3: optimize() on a partitioned table must not silently
+    flatten the layout — partition keys are derived from the selected
+    entries, so retention predicates keep matching the rewritten files."""
+    t = _mk(spark, tmp_path, ROWS)
+    v = t.optimize(zorder_by=["v"])
+    files = t.snapshot(v)["files"]
+    assert files and all(set(f["partition"]) == {"res", "day"} for f in files)
+    got = {(r["k"], r["v"], r["res"], r["day"]) for r in t.read().collect()}
+    assert got == set(ROWS)
+    # partition-keyed maintenance still works on the rewritten files
+    _, dropped = t.drop_partitions(lambda p: p["day"] == "2020-01-02")
+    assert dropped == [{"day": "2020-01-02", "res": "10"}]
+    assert t.read().count() == 3
+
+
+def test_optimize_rebases_on_append_commit_race(spark, tmp_path):
+    """ADVICE r3: optimize holds head across a long rewrite; losing the
+    commit race to a concurrent append must rebase (keep the racer's new
+    files) and retry, not blow up with a raw conflict."""
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.root)
+    orig = t._commit
+    state = {"raced": False}
+
+    def racing_commit(parent, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.append(
+                spark.createDataFrame(
+                    [("n", 9, 10, "2020-01-07")],
+                    "k string, v bigint, res bigint, day string",
+                ),
+                partition_cols=("res", "day"),
+            )
+        return orig(parent, payload)
+
+    t._commit = racing_commit
+    t.optimize(zorder_by=["v"])
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(k, v) for (k, v, *_rest) in ROWS} | {("n", 9)}
+
+
+def test_optimize_conflicts_when_racer_rewrote_selected_files(spark, tmp_path):
+    """A racer that REWROTE files optimize selected (here: a delete) must
+    surface CommitConflict — committing would resurrect the deleted rows."""
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.root)
+    orig = t._commit
+    state = {"raced": False}
+
+    def racing_commit(parent, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.delete_where(F.col("k") == "a", partition_cols=("res", "day"))
+        return orig(parent, payload)
+
+    t._commit = racing_commit
+    with pytest.raises(CommitConflict):
+        t.optimize(zorder_by=["v"])
+    # the delete's outcome is intact: no 'a' rows resurrected
+    assert t.read().filter("k = 'a'").count() == 0

@@ -38,6 +38,14 @@ HEADLINE = [
     "text_quality_score",
     "text_bpe_token_count",
     "q6_forecast_revenue",
+    # r4 additions (VERDICT r3 #3): the heavy flagship operators added in
+    # rounds 2-3, so regressions in them are tracked round-over-round. The
+    # original 17 names above are kept verbatim for cross-round continuity.
+    "similarity_ivfpq_adc",
+    "dedup_semdedup",
+    "dedup_cross_corpus",
+    "text_bm25_search",
+    "streaming_neardup_lsh",
 ]
 
 

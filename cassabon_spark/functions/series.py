@@ -642,6 +642,27 @@ def as_percent(grid: DataFrame, total: float | None = None) -> DataFrame:
     )
 
 
+def as_percent_of_series(grid: DataFrame, total_grid: DataFrame) -> DataFrame:
+    """asPercent(seriesList, totalSeries): each slot as a percentage of a
+    REFERENCE series' value at that slot (graphite's two-argument form —
+    the one-argument slot-total and constant-total forms are as_percent).
+    Slots where the total is null or zero come back null. Equi-join on
+    slot_s; the total grid is bounded by the render window, so it
+    broadcasts."""
+    tot = total_grid.select(F.col("slot_s").alias("__ts"), F.col("stat").alias("__tv"))
+    return (
+        grid.join(F.broadcast(tot), F.col("slot_s") == F.col("__ts"), "left")
+        .withColumn(
+            "stat",
+            F.when(
+                F.col("__tv").isNotNull() & (F.col("__tv") != 0),
+                F.col("stat") * 100.0 / F.col("__tv"),
+            ),
+        )
+        .drop("__ts", "__tv")
+    )
+
+
 def average_above(grid: DataFrame, n: float) -> DataFrame:
     """Keep series whose mean exceeds n (averageAbove()) — broadcast
     semi-join like top_series."""

@@ -1310,3 +1310,428 @@ def carbon_tagged_series(spark, sf_dir):
         )
         .orderBy("base", "region")
     )
+
+
+# ----------------------------------------------- dashboard functions, round 4
+#
+# VERDICT r3 #6: the graphite function library (functions/series.py, ~155
+# names) is unit-tested but only ~15 names rode exact oracles. This section
+# puts the next 10 most dashboard-critical functions under the DuckDB gate,
+# each applied over the SAME gap-filled engine grid the earlier series
+# entries use (reference read path these feed: datastore/metricquery.go:
+# 139-220; function semantics: graphite-web render/functions.py).
+
+
+def _grid_df(spark, sf_dir, paths=("evt.click", "evt.view"), method="average"):
+    """The shared render grid: finest-tier rollup -> gap-filled hourly grid
+    over Jan 5-8 (72 slots/series), exactly _GRID_CTE's Spark twin."""
+    finest = rollup_finest(route(_metrics(spark, sf_dir), EVENTS_CONFIG), EVENTS_CONFIG)
+    return query_metrics_df(
+        spark,
+        finest,
+        paths=list(paths),
+        from_s=JAN_5,
+        to_s=JAN_8,
+        step=3600,
+        method=method,
+    )
+
+
+_SUMMARIZE_SQL = f"""
+{_GRID_CTE}
+SELECT path,
+       CAST(FLOOR((slot_s + 21600 - 1) / 21600) * 21600 AS BIGINT) AS slot_s,
+       ROUND(ROUND(SUM(stat), 8), 4) AS stat
+FROM grid
+GROUP BY 1, 2
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_summarize",
+    _SUMMARIZE_SQL,
+    "Graphite summarize('6h','sum') over the grid: re-bucket to a coarser "
+    "step, buckets label with their CLOSE time (engine A7 convention), "
+    "nulls excluded from the sum",
+)
+def carbon_summarize(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import summarize
+    from cassabon_spark.queries import R
+
+    return (
+        summarize(_grid_df(spark, sf_dir), 21600, "sum")
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_SMART_SUMMARIZE_SQL = f"""
+{_GRID_CTE}
+SELECT path,
+       CAST(FLOOR((slot_s - {JAN_5 + 3600} + 21600 - 1) / 21600) * 21600
+            + {JAN_5 + 3600} AS BIGINT) AS slot_s,
+       ROUND(ROUND(AVG(stat), 8), 4) AS stat
+FROM grid
+GROUP BY 1, 2
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_smart_summarize",
+    _SMART_SUMMARIZE_SQL,
+    "Graphite smartSummarize('6h','avg'): summarize with buckets aligned "
+    "to the query start (no partial leading bucket), close-labelled",
+)
+def carbon_smart_summarize(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import smart_summarize
+    from cassabon_spark.queries import R
+
+    return (
+        smart_summarize(_grid_df(spark, sf_dir), 21600, "avg", origin_s=JAN_5 + 3600)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+# Counter-wrap derivative: build a synthetic wrapping counter from the grid
+# (fill gaps with 0, running-sum, mod 997) and recover the true deltas with
+# graphite's wrap formula (maxValue - prev + cur + 1). The mod/fmod and the
+# running sum are computed in identical order on both engines.
+_NND_WRAP_SQL = f"""
+{_GRID_CTE},
+-- quantize the grid BEFORE the running sum: the raw averages agree only to
+-- ~1 ulp across engines, and the mod turns an ulp into a 997-sized jump
+-- near wrap points; summing identical 4-decimal values in identical order
+-- is bit-reproducible
+q AS (
+  SELECT path, slot_s, ROUND(ROUND(stat, 8), 4) AS stat FROM grid
+),
+-- ... and quantize the COUNTER too: DuckDB evaluates windowed SUM with a
+-- segment tree, so even identical prefixes can differ in the last ulp
+-- row-to-row; rounding re-quantizes both engines onto one decimal grid
+counter AS (
+  SELECT path, slot_s,
+         ROUND(ROUND(FMOD(SUM(COALESCE(stat, 0)) OVER (
+             PARTITION BY path ORDER BY slot_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 997), 8), 4) AS c
+  FROM q
+),
+delta AS (
+  SELECT path, slot_s, c, c - LAG(c) OVER (PARTITION BY path ORDER BY slot_s) AS d,
+         LAG(c) OVER (PARTITION BY path ORDER BY slot_s) AS prev
+  FROM counter
+)
+SELECT path, slot_s,
+       ROUND(ROUND(CASE WHEN d >= 0 THEN d
+                        WHEN d < 0 AND 996 - prev + c + 1 >= 0 THEN 996 - prev + c + 1
+                   END, 8), 4) AS stat
+FROM delta
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_nnd_wrap",
+    _NND_WRAP_SQL,
+    "Graphite nonNegativeDerivative(maxValue=996) counter-WRAP recovery "
+    "over a synthetic mod-997 wrapping counter built from the grid: a "
+    "negative delta is a wrap, recovered as maxValue - prev + cur + 1",
+)
+def carbon_nnd_wrap(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.series import (
+        integral,
+        non_negative_derivative_max,
+        transform_null,
+    )
+    from cassabon_spark.queries import R
+
+    quantized = _grid_df(spark, sf_dir).withColumn(
+        "stat", F.round(F.round("stat", 8), 4)
+    )
+    counter = (
+        integral(transform_null(quantized, 0.0))
+        .withColumn("stat", F.round(F.round(F.col("stat") % 997, 8), 4))
+    )
+    return (
+        non_negative_derivative_max(counter, 996.0)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_MOVMED_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       ROUND(ROUND(MEDIAN(stat) OVER (PARTITION BY path ORDER BY slot_s
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 8), 4) AS stat
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_moving_median",
+    _MOVMED_SQL,
+    "Graphite movingMedian(5): trailing 5-slot exact interpolated median, "
+    "nulls excluded — JVM percentile aggregate over a rows frame",
+)
+def carbon_moving_median(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import moving_median
+    from cassabon_spark.queries import R
+
+    return (
+        moving_median(_grid_df(spark, sf_dir), 5)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_STDEV_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       ROUND(ROUND(STDDEV_POP(stat) OVER (PARTITION BY path ORDER BY slot_s
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 8), 4) AS stat
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_stdev",
+    _STDEV_SQL,
+    "Graphite stdev(5): trailing 5-slot population stddev (graphite "
+    "safeStdDev divides by n), nulls excluded",
+)
+def carbon_stdev(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import stdev
+    from cassabon_spark.queries import R
+
+    return (
+        stdev(_grid_df(spark, sf_dir), 5)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_PCTL_OF_SERIES_SQL = f"""
+{_GRID_CTE}
+SELECT 'percentileOfSeries' AS path, slot_s,
+       ROUND(ROUND(QUANTILE_CONT(stat, 0.9), 8), 4) AS stat
+FROM grid
+GROUP BY slot_s
+ORDER BY slot_s
+"""
+
+
+@register(
+    "carbon_series_percentileofseries",
+    _PCTL_OF_SERIES_SQL,
+    "Graphite percentileOfSeries(90): exact interpolated p90 ACROSS series "
+    "per slot (the across-series combine family)",
+)
+def carbon_percentileofseries(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import percentile_of_series
+    from cassabon_spark.queries import R
+
+    return (
+        percentile_of_series(_grid_df(spark, sf_dir), 90.0)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("slot_s")
+    )
+
+
+_AVGABOVE_SQL = f"""
+{_GRID_CTE},
+keep AS (
+  SELECT path FROM grid GROUP BY path HAVING AVG(stat) > 50.0
+)
+SELECT g.path, g.slot_s, ROUND(ROUND(g.stat, 8), 4) AS stat
+FROM grid g JOIN keep USING (path)
+ORDER BY g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_averageabove",
+    _AVGABOVE_SQL,
+    "Graphite averageAbove(50): keep whole series whose mean exceeds the "
+    "threshold — broadcast semi-join of the per-series verdict",
+)
+def carbon_averageabove(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import average_above
+    from cassabon_spark.queries import R
+
+    return (
+        average_above(_grid_df(spark, sf_dir), 50.0)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_KEEPLAST_SQL = f"""
+{_GRID_CTE},
+marks AS (
+  SELECT path, slot_s, stat,
+         LAST_VALUE(stat IGNORE NULLS) OVER wb AS fillv,
+         LAST_VALUE(CASE WHEN stat IS NOT NULL THEN slot_s END IGNORE NULLS)
+             OVER wb AS last_slot
+  FROM grid
+  WINDOW wb AS (PARTITION BY path ORDER BY slot_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT path, slot_s,
+       ROUND(ROUND(CASE WHEN stat IS NOT NULL THEN stat
+                        WHEN slot_s - last_slot <= 2 * 3600 THEN fillv
+                   END, 8), 4) AS stat
+FROM marks
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_keeplastvalue",
+    _KEEPLAST_SQL,
+    "Graphite keepLastValue(limit=2): forward-fill nulls with the most "
+    "recent non-null value, at most 2 consecutive slots",
+)
+def carbon_keeplastvalue(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import keep_last_value
+    from cassabon_spark.queries import R
+
+    return (
+        keep_last_value(_grid_df(spark, sf_dir), limit=2)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("stat"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_ASPCT_SERIES_SQL = f"""
+{_GRID_CTE},
+num AS (SELECT slot_s, stat FROM grid WHERE path = 'evt.click'),
+tot AS (SELECT slot_s, stat FROM grid WHERE path = 'evt.view')
+SELECT 'evt.click' AS path, num.slot_s,
+       ROUND(ROUND(CASE WHEN tot.stat IS NOT NULL AND tot.stat <> 0
+                        THEN num.stat * 100.0 / tot.stat END, 8), 4) AS pct_of_view,
+       ROUND(ROUND(num.stat * (100.0 / 50.0), 8), 4) AS pct_of_const
+FROM num LEFT JOIN tot ON tot.slot_s = num.slot_s
+ORDER BY num.slot_s
+"""
+
+
+@register(
+    "carbon_series_aspercent_total",
+    _ASPCT_SERIES_SQL,
+    "Graphite asPercent TOTAL forms: two-argument asPercent(series, "
+    "totalSeries) (evt.click as % of evt.view per slot, null where the "
+    "total is null/0) and the constant-total form asPercent(series, 50)",
+)
+def carbon_aspercent_total(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import as_percent, as_percent_of_series
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    click = grid.filter(F.col("path") == "evt.click")
+    view = grid.filter(F.col("path") == "evt.view")
+    of_view = as_percent_of_series(click, view).select(
+        "path", "slot_s", F.col("stat").alias("__pv")
+    )
+    of_const = as_percent(click, total=50.0).select(
+        F.col("slot_s").alias("__cs"), F.col("stat").alias("__cv")
+    )
+    return (
+        of_view.join(F.broadcast(of_const), F.col("slot_s") == F.col("__cs"))
+        .select(
+            "path",
+            "slot_s",
+            R(F.col("__pv"), 4).alias("pct_of_view"),
+            R(F.col("__cv"), 4).alias("pct_of_const"),
+        )
+        .orderBy("slot_s")
+    )
+
+
+# Holt-Winters forecast, EXACT-oracled: the additive triple-smoothing
+# recurrence (graphite-web holtWintersAnalysis: alpha=.1, beta=.0035,
+# gamma=.1, season = 24 slots) is sequential in time, so the DuckDB oracle
+# replays it as a RECURSIVE CTE carrying (level, trend, seasonal[24]) row
+# state per path — the same op-by-op double arithmetic the applyInPandas
+# numpy loop runs, on a grid quantized to the 4-decimal lattice first so
+# both engines iterate bit-identical inputs. 72 iterations x 2 paths.
+_HW_SQL = f"""
+{_GRID_CTE.replace("WITH m AS", "WITH RECURSIVE m AS", 1)},
+q AS (
+  SELECT path, slot_s, ROUND(ROUND(stat, 8), 4) AS stat FROM grid
+),
+idx AS (
+  SELECT path, slot_s, stat,
+         CAST(ROW_NUMBER() OVER (PARTITION BY path ORDER BY slot_s) - 1
+              AS INTEGER) AS i
+  FROM q
+),
+hw AS (
+  SELECT path, -1 AS i,
+         CAST(NULL AS DOUBLE) AS lv, CAST(0.0 AS DOUBLE) AS tr,
+         LIST_TRANSFORM(GENERATE_SERIES(1, 24), x -> CAST(0.0 AS DOUBLE)) AS seas,
+         CAST(NULL AS DOUBLE) AS fc
+  FROM (SELECT DISTINCT path FROM idx)
+  UNION ALL
+  SELECT g.path, g.i,
+         CASE WHEN hw.lv IS NULL
+                THEN (CASE WHEN g.stat IS NOT NULL THEN g.stat END)
+              WHEN g.stat IS NULL THEN hw.lv + hw.tr
+              ELSE 0.1 * (g.stat - hw.seas[(g.i % 24) + 1])
+                   + (1 - 0.1) * (hw.lv + hw.tr)
+         END AS nlv,
+         CASE WHEN hw.lv IS NULL OR g.stat IS NULL THEN hw.tr
+              ELSE 0.0035 * (nlv - hw.lv) + (1 - 0.0035) * hw.tr
+         END AS ntr,
+         CASE WHEN hw.lv IS NULL OR g.stat IS NULL THEN hw.seas
+              ELSE hw.seas[1:(g.i % 24)]
+                   || [0.1 * (g.stat - nlv) + (1 - 0.1) * hw.seas[(g.i % 24) + 1]]
+                   || hw.seas[(g.i % 24) + 2:24]
+         END AS nseas,
+         CASE WHEN hw.lv IS NULL
+                THEN (CASE WHEN g.stat IS NOT NULL THEN g.stat END)
+              ELSE hw.lv + hw.tr + hw.seas[(g.i % 24) + 1]
+         END AS nfc
+  FROM hw JOIN idx g ON g.path = hw.path AND g.i = hw.i + 1
+)
+SELECT hw.path AS path, g.slot_s AS slot_s, ROUND(ROUND(hw.fc, 8), 4) AS hw_fc
+FROM hw JOIN idx g ON g.path = hw.path AND g.i = hw.i
+ORDER BY hw.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_holtwinters",
+    _HW_SQL,
+    "Graphite holtWintersForecast(): additive triple exponential smoothing "
+    "per series (applyInPandas numpy loop, parallel across series), "
+    "exact-oracled against a DuckDB recursive CTE replaying the recurrence",
+)
+def carbon_holtwinters(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import holt_winters_forecast
+    from cassabon_spark.queries import R
+
+    quantized = _grid_df(spark, sf_dir).withColumn(
+        "stat", F.round(F.round("stat", 8), 4)
+    )
+    return (
+        holt_winters_forecast(quantized, season_slots=24)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("hw_fc"))
+        .orderBy("path", "slot_s")
+    )

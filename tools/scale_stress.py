@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""10x scale stress of the heaviest dedup/ANN pipelines (VERDICT r3 #2).
+
+SCALE.md argues the dedup/ANN family survives 100 TB by design (blocking
+keys, skew-split, int-code compression). This harness makes the central
+claims EXECUTABLE at ~10x the bench scale:
+
+  1. synthesize a ~sf1-equivalent corpus from sf0.1 (default
+     /tmp/scale_sf1): documents x10 (one exact replica generation + nine
+     mutated generations, so most of the corpus is NOT near-duplicate,
+     like a real crawl) PLUS a heavy-duplication shard (20k identical
+     docs -> one pathological LSH band bucket, the skew regime
+     operators/skew.py::salted_self_pairs exists for); embeddings x10
+     with per-replica orthogonal-ish perturbation so ANN candidates
+     don't collapse to exact ties;
+  2. run dedup_minhash_lsh, dedup_simhash, similarity_ivfpq_adc ONCE each
+     against that directory (same registered query fns the driver runs);
+  3. pull per-stage task summaries from the Spark UI REST API and flag
+     stragglers: any stage whose max task duration exceeds 10x its median
+     (stages with sub-100ms medians are skipped as noise);
+  4. print a markdown report (committed as SCALE_r04.md).
+
+Usage: python tools/scale_stress.py [--dir /tmp/scale_sf1] [--src /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cassabon_spark import get_spark  # noqa: E402
+from cassabon_spark.queries import load_registry  # noqa: E402
+
+QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "similarity_ivfpq_adc"]
+STRAGGLER_RATIO = 10.0
+MEDIAN_FLOOR_MS = 100.0
+
+
+def synthesize(spark, src: str, dst: str) -> None:
+    """documents: 10 generations (gen 0 verbatim, gens 1-9 text-mutated ->
+    distinct content) + a 20k-row identical-text shard; embeddings: 10
+    generations with a deterministic per-generation perturbation on the
+    vector tail. doc_id/vec_id stay unique via id*16+gen packing."""
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    gens = spark.range(10).select(F.col("id").cast("int").alias("gen"))
+    d10 = (
+        docs.crossJoin(gens)
+        .select(
+            (F.col("doc_id") * 16 + F.col("gen")).alias("doc_id"),
+            F.when(F.col("gen") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.col("text"),
+                    F.lit("gen"),
+                    F.col("gen").cast("string"),
+                    F.md5(F.concat_ws("|", F.col("doc_id"), F.col("gen"))),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    # heavy-duplication shard: one document repeated 20k times verbatim —
+    # every MinHash band collides into ONE bucket (the skew-split regime)
+    seed = docs.orderBy("doc_id").limit(1)
+    shard = (
+        seed.crossJoin(spark.range(20_000).select(F.col("id").alias("rep")))
+        .select(
+            (F.lit(10_000_000) + F.col("rep")).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("dupfarm").alias("source"),
+            "n_chars",
+        )
+    )
+    d10.unionByName(shard).repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    e10 = (
+        emb.crossJoin(gens)
+        .select(
+            (F.col("vec_id") * 16 + F.col("gen")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.col("gen").cast("float")
+                    * 0.01
+                    * ((i % 7).cast("float") - 3.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    e10.repartition(32).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+
+
+def _ui(spark, path: str):
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}{path}", timeout=30) as r:
+        return json.loads(r.read())
+
+
+def stage_straggler_report(spark, t0_ms: float) -> list[dict]:
+    """Per-stage (submitted after t0) max/median task-duration ratios from
+    the UI REST API — the executable form of 'no straggler task >10x
+    median' (Spark UI task summary)."""
+    out = []
+    for st in _ui(spark, "/stages?status=complete"):
+        sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
+        if sub is None:
+            continue
+        sub_ms = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        if sub_ms < t0_ms or st.get("numCompleteTasks", 0) < 2:
+            continue
+        try:
+            q = _ui(
+                spark,
+                f"/stages/{st['stageId']}/{st['attemptId']}/taskSummary?quantiles=0.5,1.0",
+            )
+        except Exception:
+            continue
+        med, mx = q["duration"][0], q["duration"][1]
+        if med < MEDIAN_FLOOR_MS:
+            continue
+        out.append(
+            {
+                "stage": st["stageId"],
+                "name": st.get("name", "")[:60],
+                "tasks": st.get("numCompleteTasks"),
+                "median_ms": round(med, 1),
+                "max_ms": round(mx, 1),
+                "ratio": round(mx / max(med, 1e-9), 2),
+            }
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default="/tmp/scale_sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="cassabon-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(f"{args.dir}/documents.parquet"):
+        synthesize(spark, args.src, args.dir)
+    nd = spark.read.parquet(f"{args.dir}/documents.parquet").count()
+    ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
+
+    registry = load_registry()
+    print(f"# SCALE_r04 — 10x stress ({nd} docs incl. 20k-identical shard, {ne} vectors)\n")
+    print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
+          "+ dup-farm shard). One cold run per query, local[32].\n")
+    print("| query | wall s | rows | worst stage max/median | straggler (>10x)? |")
+    print("|---|---|---|---|---|")
+    failures = 0
+    details = []
+    for name in QUERIES:
+        t0_ms = time.time() * 1000 - 1000
+        t0 = time.time()
+        n = registry[name].fn(spark, args.dir).count()
+        wall = time.time() - t0
+        stages = stage_straggler_report(spark, t0_ms)
+        worst = max(stages, key=lambda s: s["ratio"], default=None)
+        bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
+        failures += len(bad)
+        wtxt = (
+            f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
+            if worst
+            else "n/a"
+        )
+        print(f"| {name} | {wall:.1f} | {n} | {wtxt} | {'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |")
+        details.append((name, stages))
+    print()
+    for name, stages in details:
+        print(f"## {name} — stages with median >= {MEDIAN_FLOOR_MS:.0f}ms\n")
+        print("| stage | name | tasks | median ms | max ms | ratio |")
+        print("|---|---|---|---|---|---|")
+        for s in sorted(stages, key=lambda s: -s["max_ms"])[:8]:
+            print(
+                f"| {s['stage']} | {s['name']} | {s['tasks']} | "
+                f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} |"
+            )
+        print()
+    print(f"**Straggler stages (> {STRAGGLER_RATIO:.0f}x median): {failures}**")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -6615,3 +6615,128 @@ def pipeline_quality_prune_curve(spark, sf_dir):
             4,
         ).alias("kept_tokens_frac"),
     ).orderBy("decile")
+
+
+# -------------------------------------------- exact-substring dedup (round 4)
+
+# ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"): find every 20-token span that occurs more than
+# once ANYWHERE in the corpus and report, per document, the duplicated
+# positions merged into maximal spans — the pre-computation for cutting
+# duplicated text out of documents (vs. dropping whole near-dup docs).
+#
+# Spark shape: positions x 20-gram hashes via ONE higher-order transform
+# per doc (no per-position explode of token arrays), hash-groupBy to find
+# grams with count > 1 (the only corpus-wide shuffle, on a 32-hex key),
+# semi-join back, then per-doc windows (bounded by doc length) to merge
+# positions into spans. Equal-length intervals make the span break test
+# prefix-free: a break is pos - lag(pos) > 20, no running-max chain needed.
+_EXACTSUBSTR_SQL = f"""
+WITH toks AS ({_TOKS}),
+base AS (SELECT doc_id, t FROM toks WHERE LEN(t) >= 20),
+grams AS (
+  SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(t[i:i+19], ' ')) AS h
+  FROM base, UNNEST(GENERATE_SERIES(1, LEN(t) - 19)) AS g(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM grams
+  WHERE h IN (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL
+                OR pos - LAG(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+per_span AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+  FROM spans GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS covered
+  FROM per_span GROUP BY 1
+),
+dcount AS (SELECT doc_id, COUNT(*) AS n_dup FROM dup GROUP BY 1)
+SELECT b.doc_id,
+       CAST(LEN(b.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.covered, 0) AS BIGINT) AS dup_tokens,
+       ROUND(ROUND(COALESCE(p.covered, 0) * 1.0 / LEN(b.t), 8), 4) AS dup_ratio
+FROM base b
+LEFT JOIN dcount d USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    _EXACTSUBSTR_SQL,
+    "ExactSubstr dedup (Lee et al. 2022): 20-token grams occurring >1 time "
+    "corpus-wide, merged per doc into maximal duplicated spans — the "
+    "span-cut precomputation; one hash-groupBy shuffle, per-doc windows",
+)
+def dedup_exact_substring(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.text import tokens_expr
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 20
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 19), "
+                "i -> struct(i AS pos, md5(array_join(slice(t, i, 20), ' ')) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup = grams.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > 20),
+        1,
+    ).otherwise(0)
+    spans = dup.withColumn("brk", brk).withColumn("span_id", F.sum("brk").over(w))
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 19).alias("e")
+    )
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    dcount = dup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_grams"))
+    base = toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+    return (
+        base.join(dcount, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            R(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

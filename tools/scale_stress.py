@@ -8,9 +8,10 @@ claims EXECUTABLE at ~10x the bench scale:
   1. synthesize a ~sf1-equivalent corpus from sf0.1 (default
      /tmp/scale_sf1): documents x10 (one exact replica generation + nine
      mutated generations, so most of the corpus is NOT near-duplicate,
-     like a real crawl) PLUS a heavy-duplication shard (20k identical
-     docs -> one pathological LSH band bucket, the skew regime
-     operators/skew.py::salted_self_pairs exists for); embeddings x10
+     like a real crawl) PLUS a heavy-duplication shard (10k identical
+     docs -> one pathological LSH band bucket emitting ~50M candidate
+     pairs, the skew regime operators/skew.py::salted_self_pairs exists
+     for — the envelope tests/test_skew.py proves); embeddings x10
      with per-replica orthogonal-ish perturbation so ANN candidates
      don't collapse to exact ties;
   2. run dedup_minhash_lsh, dedup_simhash, similarity_ivfpq_adc ONCE each
@@ -36,7 +37,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from cassabon_spark import get_spark  # noqa: E402
 from cassabon_spark.queries import load_registry  # noqa: E402
 
 QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "similarity_ivfpq_adc"]
@@ -71,11 +71,11 @@ def synthesize(spark, src: str, dst: str) -> None:
             "n_chars",
         )
     )
-    # heavy-duplication shard: one document repeated 20k times verbatim —
+    # heavy-duplication shard: one document repeated 10k times verbatim —
     # every MinHash band collides into ONE bucket (the skew-split regime)
     seed = docs.orderBy("doc_id").limit(1)
     shard = (
-        seed.crossJoin(spark.range(20_000).select(F.col("id").alias("rep")))
+        seed.crossJoin(spark.range(10_000).select(F.col("id").alias("rep")))
         .select(
             (F.lit(10_000_000) + F.col("rep")).alias("doc_id"),
             "text",
@@ -155,7 +155,25 @@ def main():
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="cassabon-scale-stress")
+    # get_spark disables the UI; this harness NEEDS the UI REST API for
+    # per-stage task summaries, so build an equivalent session with it on
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cassabon-scale-stress")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.isdir(f"{args.dir}/documents.parquet"):
         synthesize(spark, args.src, args.dir)

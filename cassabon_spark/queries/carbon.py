@@ -1735,3 +1735,243 @@ def carbon_holtwinters(spark, sf_dir):
         .select("path", "slot_s", R(F.col("stat"), 4).alias("hw_fc"))
         .orderBy("path", "slot_s")
     )
+
+
+# ----------------------------------------- dashboard functions, round 4 (b2)
+
+
+_COMBINE_SQL = f"""
+{_GRID_CTE}
+SELECT * FROM (
+  SELECT 'sumSeries' AS path, slot_s, ROUND(ROUND(SUM(stat), 8), 4) AS stat
+  FROM grid GROUP BY slot_s
+  UNION ALL
+  SELECT 'averageSeries', slot_s, ROUND(ROUND(AVG(stat), 8), 4) FROM grid GROUP BY slot_s
+  UNION ALL
+  SELECT 'maxSeries', slot_s, ROUND(ROUND(MAX(stat), 8), 4) FROM grid GROUP BY slot_s
+  UNION ALL
+  SELECT 'minSeries', slot_s, ROUND(ROUND(MIN(stat), 8), 4) FROM grid GROUP BY slot_s
+  UNION ALL
+  SELECT 'countSeries', slot_s, ROUND(ROUND(CAST(COUNT(stat) AS DOUBLE), 8), 4)
+  FROM grid GROUP BY slot_s
+  UNION ALL
+  SELECT 'rangeOfSeries', slot_s, ROUND(ROUND(MAX(stat) - MIN(stat), 8), 4)
+  FROM grid GROUP BY slot_s
+)
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_combine",
+    _COMBINE_SQL,
+    "Graphite across-series combine family in one gate: sumSeries / "
+    "averageSeries / maxSeries / minSeries / countSeries / rangeOfSeries — "
+    "each one groupBy(slot) aggregation with map-side partials",
+)
+def carbon_combine(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        average_series,
+        count_series,
+        max_series,
+        min_series,
+        range_series,
+        sum_series,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    parts = [
+        sum_series(grid),
+        average_series(grid),
+        max_series(grid),
+        min_series(grid),
+        count_series(grid),
+        range_series(grid),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "path", "slot_s", R(F.col("stat"), 4).alias("stat")
+    ).orderBy("path", "slot_s")
+
+
+_DIVDIFF_SQL = f"""
+{_GRID_CTE},
+div AS (
+  SELECT slot_s, MAX(CASE WHEN path = 'evt.view' THEN stat END) AS d FROM grid
+  GROUP BY slot_s
+),
+mult AS (
+  SELECT slot_s,
+         CASE WHEN MAX(CASE WHEN stat IS NULL THEN 1 ELSE 0 END) = 0
+              THEN PRODUCT(stat) END AS m
+  FROM grid GROUP BY slot_s
+),
+diff AS (
+  SELECT slot_s,
+         MAX(CASE WHEN path = 'evt.click' THEN stat END)
+         - COALESCE(SUM(CASE WHEN path <> 'evt.click' THEN stat END), 0) AS f
+  FROM grid GROUP BY slot_s
+)
+SELECT g.path, g.slot_s,
+       ROUND(ROUND(CASE WHEN div.d <> 0 THEN g.stat / div.d END, 8), 4) AS divided,
+       ROUND(ROUND(diff.f, 8), 4) AS diffed,
+       ROUND(ROUND(mult.m, 8), 4) AS product
+FROM grid g
+JOIN div USING (slot_s) JOIN mult USING (slot_s) JOIN diff USING (slot_s)
+WHERE g.path = 'evt.click'
+ORDER BY g.slot_s
+"""
+
+
+@register(
+    "carbon_series_divide_diff_multiply",
+    _DIVDIFF_SQL,
+    "Graphite divideSeries(click, view) / diffSeries(click, *rest) / "
+    "multiplySeries in one gate — conditional per-slot aggregation, no "
+    "self-joins; product slots with any null are null (graphite None "
+    "poisoning), division by 0/null -> null",
+)
+def carbon_divide_diff_multiply(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        diff_series,
+        divide_series,
+        multiply_series,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    div = divide_series(grid, "evt.view").select(
+        "slot_s", F.col("stat").alias("__dv")
+    )
+    dif = diff_series(grid, "evt.click").select(
+        F.col("slot_s").alias("__ds"), F.col("stat").alias("__df")
+    )
+    mul = multiply_series(grid).select(
+        F.col("slot_s").alias("__ms"), F.col("stat").alias("__mp")
+    )
+    return (
+        div.withColumn("path", F.lit("evt.click"))
+        .join(F.broadcast(dif), F.col("slot_s") == F.col("__ds"))
+        .join(F.broadcast(mul), F.col("slot_s") == F.col("__ms"))
+        .select(
+            "path",
+            "slot_s",
+            R(F.col("__dv"), 4).alias("divided"),
+            R(F.col("__df"), 4).alias("diffed"),
+            R(F.col("__mp"), 4).alias("product"),
+        )
+        .orderBy("slot_s")
+    )
+
+
+_OFFSETLOG_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       ROUND(ROUND(stat - MIN(stat) OVER (PARTITION BY path), 8), 4) AS zeroed,
+       ROUND(ROUND(CASE WHEN stat > 0 THEN LOG(10, stat) END, 8), 4) AS log10v
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_offsetzero_log",
+    _OFFSETLOG_SQL,
+    "Graphite offsetToZero() (shift each series so its min is 0) and "
+    "logarithm(10) (log of positives, else null) in one gate",
+)
+def carbon_offsetzero_log(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import logarithm, offset_to_zero
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    z = offset_to_zero(grid).select("path", "slot_s", F.col("stat").alias("__z"))
+    lg = logarithm(grid, 10.0).select(
+        F.col("path").alias("__lp"),
+        F.col("slot_s").alias("__ls"),
+        F.col("stat").alias("__lg"),
+    )
+    return (
+        z.join(
+            lg,
+            (F.col("path") == F.col("__lp")) & (F.col("slot_s") == F.col("__ls")),
+        )
+        .select(
+            "path",
+            "slot_s",
+            R(F.col("__z"), 4).alias("zeroed"),
+            R(F.col("__lg"), 4).alias("log10v"),
+        )
+        .orderBy("path", "slot_s")
+    )
+
+
+_HITCOUNT_SQL = f"""
+{_GRID_CTE}
+SELECT path,
+       CAST(FLOOR((slot_s + 21600 - 1) / 21600) * 21600 AS BIGINT) AS slot_s,
+       ROUND(ROUND(SUM(stat * 3600), 8), 4) AS hits
+FROM grid
+GROUP BY 1, 2
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_hitcount",
+    _HITCOUNT_SQL,
+    "Graphite hitcount('6h'): rate series -> total hits per bucket "
+    "(sum of value x step), close-labelled buckets (A7 convention)",
+)
+def carbon_hitcount(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import hitcount
+    from cassabon_spark.queries import R
+
+    return (
+        hitcount(_grid_df(spark, sf_dir), 21600)
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("hits"))
+        .orderBy("path", "slot_s")
+    )
+
+
+_LINREG_SQL = f"""
+{_GRID_CTE},
+fit AS (
+  SELECT path,
+         COVAR_POP(stat, CASE WHEN stat IS NOT NULL THEN CAST(slot_s AS DOUBLE) END)
+         / VAR_POP(CASE WHEN stat IS NOT NULL THEN CAST(slot_s AS DOUBLE) END) AS slope,
+         AVG(stat) AS ybar,
+         AVG(CASE WHEN stat IS NOT NULL THEN CAST(slot_s AS DOUBLE) END) AS xbar
+  FROM grid GROUP BY path
+)
+SELECT g.path, g.slot_s,
+       ROUND(ROUND((fit.ybar - fit.slope * fit.xbar) + fit.slope * g.slot_s, 8), 4)
+           AS fitted
+FROM grid g JOIN fit USING (path)
+ORDER BY g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_linreg",
+    _LINREG_SQL,
+    "Graphite linearRegression(): least-squares fitted line per series via "
+    "covariance aggregates (no collect, no second scan)",
+)
+def carbon_linreg(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import linear_regression
+    from cassabon_spark.queries import R
+
+    return (
+        linear_regression(_grid_df(spark, sf_dir))
+        .select("path", "slot_s", R(F.col("stat"), 4).alias("fitted"))
+        .orderBy("path", "slot_s")
+    )

@@ -39,7 +39,18 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from cassabon_spark.queries import load_registry  # noqa: E402
 
-QUERIES = ["dedup_minhash_lsh", "dedup_simhash", "similarity_ivfpq_adc"]
+# the three heaviest pipelines (VERDICT r3 #2) plus the two BOUNDED
+# production dedup shapes for contrast: the pair-listing entry's output is
+# inherently quadratic in dup-group size (the 10k shard alone emits ~50M
+# pairs), while cross-corpus probing and cluster-blocked semantic dedup
+# bound the volume per batch/cluster — the shapes a 100 TB pipeline runs.
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_ivfpq_adc",
+    "dedup_cross_corpus",
+    "dedup_semdedup",
+]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
 
@@ -181,7 +192,7 @@ def main():
     ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
 
     registry = load_registry()
-    print(f"# SCALE_r04 — 10x stress ({nd} docs incl. 20k-identical shard, {ne} vectors)\n")
+    print(f"# SCALE_r04 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
     print("| query | wall s | rows | worst stage max/median | straggler (>10x)? |")

@@ -6740,3 +6740,98 @@ def dedup_exact_substring(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- Matryoshka prefix-dim ANN (round 4)
+
+# Matryoshka-style retrieval (Kusupati et al. 2022, MRL): score candidates
+# on a PREFIX of the embedding (here 16 of 64 dims — a 4x cheaper corpus
+# scan, the same shape as PQ/SQ8's compressed first pass) and measure how
+# well the cheap ranking preserves the full-dimension top-5. Unlike the
+# learned quantizers this is fully deterministic, so the quality metric
+# itself rides an exact oracle: output = full-dim top-5 per query, each
+# neighbor's rank under the prefix scoring, and the per-query prefix
+# recall@5. 100 TB shape: the prefix scan touches 1/4 of the vector bytes;
+# full vectors are fetched only for rerank of prefix survivors.
+_MATRYOSHKA_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+pairs AS (
+  SELECT qid, cid, qe, ce,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(qe)),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))            AS dot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 16),
+                  i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))            AS pdot,
+         SQRT(LIST_SUM(LIST_TRANSFORM(qe[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pqn,
+         SQRT(LIST_SUM(LIST_TRANSFORM(ce[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pcn
+  FROM q, c WHERE qid <> cid
+),
+ranked AS (
+  SELECT qid, cid,
+         ROUND(ROUND(dot / (qn * cn), 8), 4) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pdot / (pqn * pcn) DESC, cid) AS prefix_rnk
+  FROM pairs
+),
+top AS (SELECT * FROM ranked WHERE rnk <= 5)
+SELECT qid, cid, cosine, CAST(rnk AS BIGINT) AS rnk,
+       CAST(prefix_rnk AS BIGINT) AS prefix_rnk,
+       ROUND(ROUND(SUM(CASE WHEN prefix_rnk <= 5 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY qid) / 5.0, 8), 4) AS prefix_recall5
+FROM top
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_matryoshka_prefix",
+    _MATRYOSHKA_SQL,
+    "Matryoshka prefix-dim retrieval (MRL): rank the corpus on the first "
+    "16 of 64 dims (4x cheaper scan), report each full-dim top-5 "
+    "neighbor's prefix rank and per-query prefix recall@5 — deterministic, "
+    "so the ANN quality metric itself is exact-oracled",
+)
+def similarity_matryoshka_prefix(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.vectors import cosine_sim_expr
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.slice("embedding", 1, 16).alias("pq"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.slice("embedding", 1, 16).alias("pc"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
+    full_sim = cosine_sim_expr("qe", "ce")
+    pref_sim = cosine_sim_expr("pq", "pc")
+    wf = Window.partitionBy("qid").orderBy(F.desc(full_sim), F.asc("cid"))
+    wp = Window.partitionBy("qid").orderBy(F.desc(pref_sim), F.asc("cid"))
+    ranked = (
+        pairs.withColumn("cosine", full_sim)
+        .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .withColumn("prefix_rnk", F.row_number().over(wp).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+    wq = Window.partitionBy("qid")
+    return ranked.select(
+        "qid",
+        "cid",
+        R(F.col("cosine"), 4).alias("cosine"),
+        "rnk",
+        "prefix_rnk",
+        R(
+            F.round(
+                F.sum((F.col("prefix_rnk") <= 5).cast("int")).over(wq) / 5.0, 8
+            ),
+            4,
+        ).alias("prefix_recall5"),
+    ).orderBy("qid", "rnk")

@@ -247,17 +247,65 @@ def dedup_minhash(spark, sf_dir):
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
-    # cache: the shingle set feeds banding, sizes AND pair verification
-    sh = (
-        # distinct is LOCAL (array_distinct before explode): shingle sets are
-        # per-document, so a shuffle-distinct over the full shingle stream
-        # buys nothing — this removes the widest shuffle in the pipeline
-        toks.select(
-            "doc_id", "lang",
-            F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL shingle sets
+    # form one group keyed by a content hash; LSH banding and Jaccard
+    # verification run over ONE representative per distinct content, and
+    # the pair list re-expands at the end (within-group pairs have
+    # Jaccard exactly 1, cross-group pairs inherit their reps' value —
+    # signatures and Jaccard are functions of content alone, so the
+    # output is provably identical). This caps the verify join — the
+    # 10x-stress profile showed 50M candidate pairs x ~75 shingles
+    # exploding into the verification aggregation when a 10k-identical
+    # dup farm is present; after collapse the farm contributes ONE rep
+    # and its 50M output pairs come from a cheap expansion join.
+    # Filter on size(t) >= 3 — EXACTLY equivalent to "has shingles" (the
+    # shingle expr returns empty below 3 tokens) but cheap: filtering on
+    # size(sa) would inline the interpreted higher-order shingle transform
+    # into the pushed-down scan predicate and re-evaluate it per reference
+    # (measured 25 s vs 0.5 s on the sf0.1 corpus). Cache: the array feeds
+    # the content hash, the rep shingle explode, and the expansion joins.
+    # repartition by doc_id BEFORE the (interpreted-HOF) shingle compute:
+    # parallelizes it across the cluster when the scan has few splits, and
+    # the hash partitioning is reused by the rep semi-join and the minhash
+    # groupBy (both keyed on doc_id) — the one corpus-sized shuffle buys
+    # two later ones
+    sa = (
+        toks.filter(F.size("t") >= 3)
+        .repartition(F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_shingles_expr(F.col("t"), 3)).alias("sa"),
         )
         .cache()
     )
+    # content key: xxhash64 over the SORTED shingle array (set identity,
+    # JVM-side, no giant string materialization; the key is engine-internal
+    # — the oracle never sees it — so 64-bit collision odds ~2^-64 suffice)
+    grp = sa.select(
+        "doc_id",
+        "lang",
+        F.xxhash64(F.col("lang"), F.sort_array("sa")).alias("ck"),
+    ).cache()
+    # ADAPTIVE plan choice (one scalar aggregate, the same philosophy as
+    # AQE's runtime re-plan): the collapse adds ~6 small stages of fixed
+    # overhead (reps, semi-join, expansion joins), which only pays for
+    # itself when duplicate groups actually exist. A mostly-unique corpus
+    # (the common case) takes the direct path — identical to the r3 plan;
+    # a dup-heavy corpus (crawl snapshots, the 10k-farm stress) collapses.
+    # The aggregate materializes the sa/grp caches the chosen plan reuses.
+    st = grp.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("ck").alias("r")
+    ).first()
+    collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
+    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
+    rep_ids = reps.select(F.col("rep").alias("doc_id"))
+    # cache: the shingle rows feed banding, sizes AND pair verification.
+    # distinct is LOCAL (array_distinct before explode): shingle sets are
+    # per-document, so a shuffle-distinct over the full shingle stream
+    # buys nothing — this removes the widest shuffle in the pipeline
+    base = sa.join(rep_ids, "doc_id", "left_semi") if collapse else sa
+    sh = base.select("doc_id", "lang", F.explode("sa").alias("s")).cache()
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
     # collect_list array round trip — each shingle is md5'd once per seed
     # cache the signature table too: a self-join materializes BOTH sides, and
@@ -325,11 +373,46 @@ def dedup_minhash(spark, sf_dir):
     )
     x, y = sz.alias("x"), sz.alias("y")
     jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
-    return (
+    verified = (
         inter.join(x, F.col("d1") == F.col("x.doc_id"))
         .join(y, F.col("d2") == F.col("y.doc_id"))
         .filter(jac >= 0.7)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .select("d1", "d2", jac.alias("jraw"))
+    )
+    if not collapse:  # direct path: LSH ran over every doc
+        return verified.select(
+            "d1", "d2", F.round("jraw", 4).alias("jaccard")
+        ).orderBy("d1", "d2")
+    rep_pairs = verified.select(
+        F.col("d1").alias("r1"), F.col("d2").alias("r2"), "jraw"
+    )
+    # re-expand: rep pair -> content groups -> all member pairs. The group
+    # maps are one row per doc; the only potentially-quadratic expansion
+    # is within-group (the dup farm), which rides salted_self_pairs.
+    ckmap = reps.select("rep", "ck")
+    cross = (
+        rep_pairs.join(
+            ckmap.select(F.col("rep").alias("r1"), F.col("ck").alias("ck1")), "r1"
+        )
+        .join(ckmap.select(F.col("rep").alias("r2"), F.col("ck").alias("ck2")), "r2")
+        .join(grp.select(F.col("ck").alias("ck1"), F.col("doc_id").alias("m1")), "ck1")
+        .join(grp.select(F.col("ck").alias("ck2"), F.col("doc_id").alias("m2")), "ck2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "jraw",
+        )
+    )
+    same = salted_self_pairs(
+        grp.select("ck", "doc_id"), ["ck"], "doc_id", unique_pairs=True
+    ).select(
+        F.col("id1").alias("d1"),
+        F.col("id2").alias("d2"),
+        F.lit(1.0).alias("jraw"),  # i = n1 = n2 -> i/(n1+n2-i) is exactly 1
+    )
+    return (
+        cross.unionByName(same)
+        .select("d1", "d2", F.round("jraw", 4).alias("jaccard"))
         .orderBy("d1", "d2")
     )
 

@@ -37,3 +37,43 @@ def test_exact_substring_merges_overlapping_positions_into_spans(spark, tmp_path
     assert out[2]["n_dup_grams"] == 6 and out[2]["dup_tokens"] == 25
     assert out[3]["n_dup_grams"] == 0 and out[3]["dup_tokens"] == 0
     assert abs(out[1]["dup_ratio"] - 25 / 35) < 1e-4  # entry rounds to 4dp
+
+
+def test_minhash_collapse_path_matches_direct_path(spark, tmp_path):
+    """The adaptive content-collapse plan must emit EXACTLY the pairs the
+    direct plan emits. Corpus: a 120-copy dup farm (trips the collapse
+    threshold) + near-dup pair + unique docs; expected pairs computed
+    independently here."""
+    import itertools
+
+    from cassabon_spark.queries import load_registry
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"  # high-jaccard neighbor
+    rows = [(i, base, "en", "s", 0) for i in range(120)]  # dup farm 0..119
+    rows.append((200, near, "en", "s", 0))
+    rows += [
+        (300 + j, " ".join(f"u{j}x{i}" for i in range(30)), "en", "s", 0)
+        for j in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in load_registry()["dedup_minhash_lsh"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # every farm pair present with jaccard exactly 1.0
+    farm = set(itertools.combinations(range(120), 2))
+    assert farm <= set(got)
+    assert all(got[p] == 1.0 for p in farm)
+    # the near-dup doc pairs with EVERY farm member at the same jaccard:
+    # 38 3-shingles per doc, 37 shared -> 37/39 ~ 0.9487 >= 0.7
+    near_pairs = {p for p in got if p[1] == 200}
+    assert len(near_pairs) in (0, 120)  # all-or-nothing by content
+    if near_pairs:
+        assert all(abs(got[p] - round(37 / 39, 4)) < 1e-9 for p in near_pairs)
+    # unique docs never pair with each other
+    assert not any(d1 >= 300 and d2 >= 300 for (d1, d2) in got)

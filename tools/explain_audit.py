@@ -33,6 +33,9 @@ HEADLINE = [
     "dedup_minhash_lsh", "dedup_simhash", "similarity_topk_cosine",
     "similarity_ann_lsh", "text_quality_score", "text_bpe_token_count",
     "q6_forecast_revenue",
+    # r4: keep the audit list in lockstep with bench.py's headline set
+    "similarity_ivfpq_adc", "dedup_semdedup", "dedup_cross_corpus",
+    "text_bm25_search", "streaming_neardup_lsh",
 ]
 
 

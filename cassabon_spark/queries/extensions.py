@@ -4622,11 +4622,40 @@ def dedup_cross_corpus(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents", wide=True)
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
-    sh = toks.select(
+    # content collapse, adaptive — same scheme as dedup_minhash_lsh (r4):
+    # the per-crawl-drop shape is EXACTLY where duplicate mass concentrates
+    # (a re-crawled page appears in both the new batch and the corpus), and
+    # the verify join otherwise explodes |new dups| x |existing dups| pairs
+    # x shingles. Content-level candidates + verification, expanded to the
+    # member level only at the final best-match step (output is top-1 per
+    # new doc, so no quadratic member-pair materialization ever happens).
+    sa = (
+        toks.filter(F.size("t") >= 3)
+        .repartition(F.col("doc_id"))
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(word_shingles_expr(F.col("t"), 3)).alias("sa"),
+        )
+        .cache()
+    )
+    grp = sa.select(
         "doc_id",
         "lang",
-        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+        F.xxhash64(F.col("lang"), F.sort_array("sa")).alias("ck"),
     ).cache()
+    st = grp.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("ck").alias("r")
+    ).first()
+    collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
+    is_new = F.col("doc_id") % 5 == 0
+    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
+    base = (
+        sa.join(reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi")
+        if collapse
+        else sa
+    )
+    sh = base.select("doc_id", "lang", F.explode("sa").alias("s")).cache()
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
@@ -4648,8 +4677,6 @@ def dedup_cross_corpus(spark, sf_dir):
     bands = mh.select(
         "doc_id", "lang", band_keys.alias("bks")
     ).select("doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")).cache()
-    new_side = bands.filter(F.col("doc_id") % 5 == 0).alias("a")
-    exist_side = bands.filter(F.col("doc_id") % 5 != 0).alias("b")
     # row-local first-matching-band pair dedup (both rows carry the full
     # band-key array) — same codegen-only trick as the self-join entries
     n_bands = _N_HASHES // _BAND_W
@@ -4660,42 +4687,106 @@ def dedup_cross_corpus(spark, sf_dir):
         earlier_all_differ = earlier_all_differ & (
             F.element_at(F.col("a.bks"), bb + 1) != F.element_at(F.col("b.bks"), bb + 1)
         )
+
+    def _verify(cand, lkey, rkey):
+        """Jaccard of candidate (lkey, rkey) doc-id pairs via the cached
+        shingle rows; returns (lkey, rkey, jac) filtered >= 0.7."""
+        sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
+        s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
+        inter = (
+            cand.join(s1, F.col(lkey) == F.col("sd1"))
+            .join(s2, (F.col(rkey) == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+            .groupBy(lkey, rkey)
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        x, y = sz.alias("x"), sz.alias("y")
+        jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+        return (
+            inter.join(x, F.col(lkey) == F.col("x.doc_id"))
+            .join(y, F.col(rkey) == F.col("y.doc_id"))
+            .filter(jac >= 0.7)
+            .select(lkey, rkey, jac.alias("jac"))
+        )
+
+    if not collapse:  # direct path: bands over every doc, member-level pairs
+        new_side = bands.filter(is_new).alias("a")
+        exist_side = bands.filter(~is_new).alias("b")
+        cand = (
+            new_side.join(
+                exist_side,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.lang") == F.col("b.lang")),
+            )
+            .filter(first_match)
+            .select(
+                F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("exist_id")
+            )
+        )
+        verified = _verify(cand, "new_id", "exist_id")
+        w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("exist_id"))
+        return (
+            verified.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(
+                "new_id",
+                F.col("exist_id").alias("match_id"),
+                F.round("jac", 4).alias("jaccard"),
+            )
+            .orderBy("new_id")
+        )
+    # collapsed path: candidates and verification at CONTENT level.
+    new_cks = grp.filter(is_new).select("ck").distinct()
+    exist_min = grp.filter(~is_new).groupBy("ck").agg(
+        F.min("doc_id").alias("exist_min")
+    )
+    bands_ck = bands.join(
+        reps.select(F.col("rep").alias("doc_id"), "ck"), "doc_id"
+    )
+    a = bands_ck.join(new_cks, "ck", "left_semi").alias("a")
+    b = bands_ck.join(exist_min.select("ck"), "ck", "left_semi").alias("b")
     cand = (
-        new_side.join(
-            exist_side,
+        a.join(
+            b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.lang") == F.col("b.lang")),
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.ck") != F.col("b.ck")),
         )
         .filter(first_match)
-        .select(F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("exist_id"))
+        .select(F.col("a.doc_id").alias("nrep"), F.col("b.doc_id").alias("erep"))
     )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
-    inter = (
-        cand.join(s1, F.col("new_id") == F.col("sd1"))
-        .join(s2, (F.col("exist_id") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("new_id", "exist_id")
-        .agg(F.count(F.lit(1)).alias("i"))
+    rep_ck = reps.select(F.col("rep").alias("doc_id"), "ck")
+    cross = (
+        _verify(cand, "nrep", "erep")
+        .join(rep_ck.select(F.col("doc_id").alias("nrep"), F.col("ck").alias("nck")), "nrep")
+        .join(rep_ck.select(F.col("doc_id").alias("erep"), F.col("ck").alias("eck")), "erep")
+        .join(exist_min.select(F.col("ck").alias("eck"), "exist_min"), "eck")
+        .select(F.col("nck").alias("ck"), F.col("exist_min").alias("match_id"), "jac")
     )
-    x, y = sz.alias("x"), sz.alias("y")
-    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
-    verified = (
-        inter.join(x, F.col("new_id") == F.col("x.doc_id"))
-        .join(y, F.col("exist_id") == F.col("y.doc_id"))
-        .filter(jac >= 0.7)
-        .select("new_id", "exist_id", jac.alias("jac"))
+    # same-content cross-side matches: jaccard is exactly 1 (identical
+    # shingle sets), which beats any cross-content candidate (jaccard 1
+    # between DIFFERENT contents is impossible)
+    same = (
+        new_cks.join(exist_min, "ck")
+        .select("ck", F.col("exist_min").alias("match_id"), F.lit(1.0).alias("jac"))
     )
-    w = Window.partitionBy("new_id").orderBy(F.desc("jac"), F.asc("exist_id"))
-    return (
-        verified.withColumn("r", F.row_number().over(w))
+    # best match per new CONTENT: group-level tiebreak (jac desc, then the
+    # group's min exist id) picks the same winner as the member-level
+    # window — every member of an exist group shares its jac
+    wc = Window.partitionBy("ck").orderBy(F.desc("jac"), F.asc("match_id"))
+    best = (
+        cross.unionByName(same)
+        .withColumn("r", F.row_number().over(wc))
         .filter(F.col("r") == 1)
-        .select(
-            "new_id",
-            F.col("exist_id").alias("match_id"),
-            F.round("jac", 4).alias("jaccard"),
-        )
+        .select("ck", "match_id", "jac")
+    )
+    return (
+        grp.filter(is_new)
+        .select("ck", F.col("doc_id").alias("new_id"))
+        .join(best, "ck")
+        .select("new_id", "match_id", F.round("jac", 4).alias("jaccard"))
         .orderBy("new_id")
     )
 

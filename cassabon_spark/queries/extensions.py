@@ -2886,13 +2886,22 @@ def streaming_dedup_q(spark, sf_dir):
 # quadratic only in the (constant) cell size, never in the corpus.
 _SEM_K = 8
 _SEM_TAU = 0.40
+# target mean cell occupancy: cluster count scales with the corpus
+# (k = max(_SEM_K, ceil(N / _SEM_CELL))) so within-cell pair work stays
+# ~N x _SEM_CELL instead of N^2 / k_fixed — the SemDeDup paper's
+# sqrt-ish cluster scaling. At every driver test scale (<= 2048 vectors)
+# this resolves to the original k = 8, so outputs there are unchanged.
+_SEM_CELL = 256
 
 _SEM_SQL = f"""
-WITH pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pe
-  FROM embeddings
-  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {_SEM_K}
+WITH nrow AS (SELECT COUNT(*) AS n FROM embeddings),
+pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
+    FROM embeddings
+  ), nrow
+  WHERE prn <= GREATEST({_SEM_K}, CEIL(n / {_SEM_CELL}.0))
 ),
 cells AS (
   SELECT vec_id, embedding, pivot_id FROM (
@@ -2939,12 +2948,18 @@ ORDER BY dropped
 )
 def dedup_semdedup(spark, sf_dir):
     prep(spark)
+    import math
+
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings", wide=True)
+    # corpus-scaled cluster count (one scalar count, mirrored in the
+    # oracle): mean cell occupancy ~_SEM_CELL keeps within-cell pair work
+    # linear-ish in N instead of N^2/k_fixed
+    k = max(_SEM_K, math.ceil(emb.count() / _SEM_CELL))
     pivots = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_SEM_K)
+        .limit(k)
         .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
     )
     sim_p = cosine_sim_expr("embedding", "pe")
@@ -2975,12 +2990,22 @@ def dedup_semdedup(spark, sf_dir):
     ).select(
         F.col("id1").alias("keeper"), F.col("id2").alias("dropped"), "pivot_id", "ea", "eb"
     )
+    # evaluate the 64-dim cosine (an interpreted higher-order aggregate —
+    # the dominant per-pair cost) exactly ONCE: materialize the column,
+    # then filter/round on it (was filter + two selects = 3 evaluations)
     sim = cosine_sim_expr("ea", "eb")
     hits = (
-        pairs.filter(sim >= _SEM_TAU)
+        pairs.withColumn("__cos", sim)
+        .filter(F.col("__cos") >= _SEM_TAU)
         # rank on the 8-decimal re-quantized cosine so the argmax decision is
         # made on engine-identical keys (same trick as similarity_pq_adc)
-        .select("pivot_id", "keeper", "dropped", F.round(sim, 8).alias("cos8"), R(sim, 4).alias("cosine"))
+        .select(
+            "pivot_id",
+            "keeper",
+            "dropped",
+            F.round("__cos", 8).alias("cos8"),
+            R(F.col("__cos"), 4).alias("cosine"),
+        )
     )
     w = Window.partitionBy("dropped").orderBy(F.desc("cos8"), F.asc("keeper"))
     return (

@@ -3429,9 +3429,13 @@ def streaming_neardup_q(spark, sf_dir):
 
     # static side: the indexed corpus, banded once and cached (at 100 TB
     # this is the precomputed band index the arrivals shuffle against;
-    # per-microbatch only the arrivals are hashed)
+    # per-microbatch only the arrivals are hashed). Repartition BEFORE the
+    # row-local signature compute: the per-doc 8-hash banding is an
+    # interpreted HOF pipeline, and a few-split parquet scan would
+    # otherwise materialize the whole cache on 1-2 tasks (measured ~10 s
+    # of the entry's 16 s at sf0.1)
     static_bands = (
-        _lsh_row_frame(docs)
+        _lsh_row_frame(docs.repartition(F.col("doc_id")))
         .select("doc_id", "lang", "shs", "bks", F.posexplode("bks").alias("band", "bkey"))
         .cache()
     )
@@ -3444,7 +3448,9 @@ def streaming_neardup_q(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="cassabon_snd_")
     drop = os.path.join(tmp, "drop")
-    lines.coalesce(4).write.mode("overwrite").text(drop)
+    # 8 drop files: per-microbatch arrival hashing parallelism is bounded
+    # by files-per-trigger (one task per small text file)
+    lines.repartition(8).write.mode("overwrite").text(drop)
     parts = F.split("value", "\t", 3)
     stream = (
         spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))
@@ -3455,8 +3461,15 @@ def streaming_neardup_q(spark, sf_dir):
             parts[2].alias("text"),
         )
     )
+    # repartition INSIDE the streaming query (stateless, so slicing
+    # invariance is untouched): per-microbatch arrival hashing otherwise
+    # runs on one task per drop file — the interpreted signature pipeline
+    # wants the full executor width. The partition count is EXPLICIT:
+    # a column-only repartition gets AQE-coalesced back to 1 task on
+    # KB-sized microbatches (measured), which is worse than no shuffle.
+    width = spark.sparkContext.defaultParallelism
     arr = (
-        _lsh_row_frame(stream)
+        _lsh_row_frame(stream.repartition(width, F.col("doc_id")))
         .select("doc_id", "lang", "shs", "bks", F.posexplode("bks").alias("band", "bkey"))
         .alias("a")
     )

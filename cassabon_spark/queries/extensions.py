@@ -246,66 +246,55 @@ ORDER BY d1, d2
 def dedup_minhash(spark, sf_dir):
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
-    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
-    # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL shingle sets
-    # form one group keyed by a content hash; LSH banding and Jaccard
+    # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL (lang, text)
+    # form one group keyed by a cheap hash; LSH banding and Jaccard
     # verification run over ONE representative per distinct content, and
     # the pair list re-expands at the end (within-group pairs have
-    # Jaccard exactly 1, cross-group pairs inherit their reps' value —
-    # signatures and Jaccard are functions of content alone, so the
-    # output is provably identical). This caps the verify join — the
-    # 10x-stress profile showed 50M candidate pairs x ~75 shingles
-    # exploding into the verification aggregation when a 10k-identical
-    # dup farm is present; after collapse the farm contributes ONE rep
-    # and its 50M output pairs come from a cheap expansion join.
-    # Filter on size(t) >= 3 — EXACTLY equivalent to "has shingles" (the
-    # shingle expr returns empty below 3 tokens) but cheap: filtering on
-    # size(sa) would inline the interpreted higher-order shingle transform
-    # into the pushed-down scan predicate and re-evaluate it per reference
-    # (measured 25 s vs 0.5 s on the sf0.1 corpus). Cache: the array feeds
-    # the content hash, the rep shingle explode, and the expansion joins.
-    # repartition by doc_id BEFORE the (interpreted-HOF) shingle compute:
-    # parallelizes it across the cluster when the scan has few splits, and
-    # the hash partitioning is reused by the rep semi-join and the minhash
-    # groupBy (both keyed on doc_id) — the one corpus-sized shuffle buys
-    # two later ones
-    sa = (
-        toks.filter(F.size("t") >= 3)
-        .repartition(F.col("doc_id"))
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(word_shingles_expr(F.col("t"), 3)).alias("sa"),
-        )
-        .cache()
-    )
-    # content key: xxhash64 over the SORTED shingle array (set identity,
-    # JVM-side, no giant string materialization; the key is engine-internal
-    # — the oracle never sees it — so 64-bit collision odds ~2^-64 suffice)
-    grp = sa.select(
-        "doc_id",
-        "lang",
-        F.xxhash64(F.col("lang"), F.sort_array("sa")).alias("ck"),
-    ).cache()
-    # ADAPTIVE plan choice (one scalar aggregate, the same philosophy as
-    # AQE's runtime re-plan): the collapse adds ~6 small stages of fixed
-    # overhead (reps, semi-join, expansion joins), which only pays for
-    # itself when duplicate groups actually exist. A mostly-unique corpus
-    # (the common case) takes the direct path — identical to the r3 plan;
-    # a dup-heavy corpus (crawl snapshots, the 10k-farm stress) collapses.
-    # The aggregate materializes the sa/grp caches the chosen plan reuses.
-    st = grp.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("ck").alias("r")
+    # Jaccard exactly 1; cross-group pairs — including text variants that
+    # normalize to the same shingle set — inherit their reps' verified
+    # value, so the output is provably identical: signatures and Jaccard
+    # are functions of content alone, and a FINER grouping key than
+    # shingle-set identity only means slightly less collapse, never a
+    # missed pair). This caps the verify join — the 10x-stress profile
+    # showed 50M candidate pairs x ~75 shingles exploding into the
+    # verification aggregation when a 10k-identical dup farm is present;
+    # after collapse the farm contributes ONE rep and its 50M output
+    # pairs come from a cheap expansion join.
+    #
+    # ADAPTIVE plan choice (one scalar aggregate over a two-column scan,
+    # the same philosophy as AQE's runtime re-plan): the collapse adds ~6
+    # small stages of fixed overhead, which only pays for itself when
+    # duplicate groups actually exist. A mostly-unique corpus (the common
+    # case) takes the direct path — identical to the r3 plan.
+    ck = F.xxhash64(F.col("lang"), F.col("text"))
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
     ).first()
     collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
-    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
-    rep_ids = reps.select(F.col("rep").alias("doc_id"))
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    if collapse:
+        # shingle-less docs (< 3 tokens) never produce candidates in the
+        # direct plan, so they must not enter the group table either — a
+        # pair of identical tiny docs would otherwise surface from the
+        # within-group expansion with no oracle counterpart
+        grp = (
+            docs.filter(F.size(tokens_expr("text")) >= 3)
+            .select("doc_id", "lang", ck.alias("ck"))
+            .cache()
+        )
+        reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
+        toks = toks.join(
+            reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
     # cache: the shingle rows feed banding, sizes AND pair verification.
     # distinct is LOCAL (array_distinct before explode): shingle sets are
     # per-document, so a shuffle-distinct over the full shingle stream
     # buys nothing — this removes the widest shuffle in the pipeline
-    base = sa.join(rep_ids, "doc_id", "left_semi") if collapse else sa
-    sh = base.select("doc_id", "lang", F.explode("sa").alias("s")).cache()
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    ).cache()
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
     # collect_list array round trip — each shingle is md5'd once per seed
     # cache the signature table too: a self-join materializes BOTH sides, and
@@ -4659,7 +4648,6 @@ def dedup_cross_corpus(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = T(spark, sf_dir, "documents", wide=True)
-    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
     # content collapse, adaptive — same scheme as dedup_minhash_lsh (r4):
     # the per-crawl-drop shape is EXACTLY where duplicate mass concentrates
     # (a re-crawled page appears in both the new batch and the corpus), and
@@ -4667,33 +4655,32 @@ def dedup_cross_corpus(spark, sf_dir):
     # x shingles. Content-level candidates + verification, expanded to the
     # member level only at the final best-match step (output is top-1 per
     # new doc, so no quadratic member-pair materialization ever happens).
-    sa = (
-        toks.filter(F.size("t") >= 3)
-        .repartition(F.col("doc_id"))
-        .select(
-            "doc_id",
-            "lang",
-            F.array_distinct(word_shingles_expr(F.col("t"), 3)).alias("sa"),
-        )
-        .cache()
-    )
-    grp = sa.select(
-        "doc_id",
-        "lang",
-        F.xxhash64(F.col("lang"), F.sort_array("sa")).alias("ck"),
-    ).cache()
-    st = grp.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("ck").alias("r")
+    # The group key is the cheap (lang, text) hash — finer than shingle-set
+    # identity, which is still exact (see dedup_minhash_lsh).
+    ck = F.xxhash64(F.col("lang"), F.col("text"))
+    st = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
     ).first()
     collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
     is_new = F.col("doc_id") % 5 == 0
-    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
-    base = (
-        sa.join(reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi")
-        if collapse
-        else sa
+    # shingle-less docs (< 3 tokens) never candidate in the direct plan —
+    # keep them out of the group table (see dedup_minhash_lsh)
+    grp = (
+        docs.filter(F.size(tokens_expr("text")) >= 3)
+        .select("doc_id", "lang", ck.alias("ck"))
+        .cache()
     )
-    sh = base.select("doc_id", "lang", F.explode("sa").alias("s")).cache()
+    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    if collapse:
+        toks = toks.join(
+            reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+        )
+    sh = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    ).cache()
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")

@@ -77,3 +77,23 @@ def test_minhash_collapse_path_matches_direct_path(spark, tmp_path):
         assert all(abs(got[p] - round(37 / 39, 4)) < 1e-9 for p in near_pairs)
     # unique docs never pair with each other
     assert not any(d1 >= 300 and d2 >= 300 for (d1, d2) in got)
+
+
+def test_minhash_collapse_excludes_shingle_less_docs(spark, tmp_path):
+    """Identical tiny docs (< 3 tokens, so NO shingles) must not pair even
+    when the collapse path triggers — the direct plan and the oracle never
+    produce candidates for them."""
+    from cassabon_spark.queries import load_registry
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(i, base, "en", "s", 0) for i in range(120)]  # trips collapse
+    rows += [(500 + j, "hi there", "en", "s", 0) for j in range(10)]  # 2 tokens
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["d1"], r["d2"])
+        for r in load_registry()["dedup_minhash_lsh"].fn(spark, str(tmp_path)).collect()
+    }
+    assert not any(d1 >= 500 or d2 >= 500 for (d1, d2) in got)
+    assert len(got) == 120 * 119 // 2  # the farm pairs, nothing else

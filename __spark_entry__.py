@@ -5,12 +5,13 @@ entry(spark)    — flagship query: the full carbon read path (tier rollup ->
 queries()       — every implemented operator from SURVEY.md §2
                   (Part A carbon surface, Part B relational surface,
                   Part C training-data extensions).
-oracle_sql()    — matching DuckDB SQL for each; the two rows-only entries
-                  are omitted (approx_count_distinct: HLL sketches are
-                  engine-specific; similarity_ivf_kmeans: k-means|| training
-                  is not SQL-reproducible — its recall is asserted in tests,
-                  and the deterministic ANN variants ARE exact-checked,
-                  including recall@5 itself via similarity_ann_recall).
+oracle_sql()    — matching DuckDB SQL for EVERY entry (since r4, zero
+                  rows-only entries: approx_count_distinct emits exact
+                  counts plus a Spark-checked <=5%-error boolean, and
+                  similarity_ivf_kmeans emits the exact brute-force top-5
+                  plus a recall@5 >= 0.6 boolean, so the engine-specific
+                  sketch/learned-quantizer quality is gated rather than
+                  waved through).
 """
 
 from __future__ import annotations

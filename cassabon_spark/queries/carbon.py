@@ -1975,3 +1975,68 @@ def carbon_linreg(spark, sf_dir):
         .select("path", "slot_s", R(F.col("stat"), 4).alias("fitted"))
         .orderBy("path", "slot_s")
     )
+
+
+_TRANSFORM_FAMILY_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       ROUND(ROUND(ABS(stat), 8), 4) AS abs_v,
+       ROUND(ROUND(CASE WHEN stat <> 0 THEN 1.0 / stat END, 8), 4) AS inv_v,
+       ROUND(ROUND(POW(stat, 2), 8), 4) AS pow2_v,
+       ROUND(ROUND(CASE WHEN stat >= 0 THEN SQRT(stat) END, 8), 4) AS sqrt_v,
+       ROUND(ROUND(stat * 10, 8), 4) AS scale_v,
+       ROUND(ROUND(stat + 5, 8), 4) AS offset_v,
+       ROUND(ROUND(COALESCE(stat, 0), 8), 4) AS tnull_v,
+       ROUND(ROUND(LAG(stat, 2) OVER (PARTITION BY path ORDER BY slot_s), 8), 4)
+           AS delay_v,
+       ROUND(ROUND(stat * 60 / 3600, 8), 4) AS persec_min_v
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_transform_family",
+    _TRANSFORM_FAMILY_SQL,
+    "Graphite per-value transform family in one gate: absolute, invert "
+    "(0 -> null), pow(2), squareRoot (NaN-scrubbed), scale(10), offset(5), "
+    "transformNull(0), delay(2), scaleToSeconds(60)",
+)
+def carbon_transform_family(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        absolute,
+        delay,
+        invert,
+        offset,
+        power,
+        scale,
+        scale_to_seconds,
+        square_root,
+        transform_null,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    fams = {
+        "abs_v": absolute(grid),
+        "inv_v": invert(grid),
+        "pow2_v": power(grid, 2.0),
+        "sqrt_v": square_root(grid),
+        "scale_v": scale(grid, 10.0),
+        "offset_v": offset(grid, 5.0),
+        "tnull_v": transform_null(grid, 0.0),
+        "delay_v": delay(grid, 2),
+        "persec_min_v": scale_to_seconds(grid, 60),
+    }
+    out = grid.select("path", "slot_s")
+    for name, g in fams.items():
+        out = out.join(
+            g.select(
+                F.col("path").alias("__p"),
+                F.col("slot_s").alias("__s"),
+                R(F.col("stat"), 4).alias(name),
+            ),
+            (F.col("path") == F.col("__p")) & (F.col("slot_s") == F.col("__s")),
+        ).drop("__p", "__s")
+    return out.orderBy("path", "slot_s")

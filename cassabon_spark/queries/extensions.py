@@ -238,12 +238,21 @@ ORDER BY d1, d2
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    _MINHASH_SQL,
-    "MinHash(8) + LSH banding(4x2) candidates, Jaccard-verified >= 0.7; md5-portable hashes",
-)
-def dedup_minhash(spark, sf_dir):
+def _minhash_pair_frames(spark, sf_dir) -> dict:
+    """Shared MinHash-LSH machinery for the pair/cluster/canonical family.
+
+    Returns {collapse, pairs, rep_pairs, grp, reps}:
+      pairs     — (d1, d2, jraw) member-level verified pairs (in collapsed
+                  mode this is expansion ∪ within-group; lazy either way)
+      rep_pairs — (r1, r2, jraw) content-representative pairs, or None on
+                  the direct path
+      grp/reps  — (doc_id, lang, ck) / (ck, lang, rep), or None direct.
+    Consumers that only need COMPONENTS (clusters, canonical keep) should
+    work on rep_pairs + group sizes when collapse is set: propagating
+    labels over the expanded member graph would shuffle the dup farm's
+    ~100M directed edges per iteration for information the rep graph
+    already carries.
+    """
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL (lang, text)
@@ -369,9 +378,13 @@ def dedup_minhash(spark, sf_dir):
         .select("d1", "d2", jac.alias("jraw"))
     )
     if not collapse:  # direct path: LSH ran over every doc
-        return verified.select(
-            "d1", "d2", F.round("jraw", 4).alias("jaccard")
-        ).orderBy("d1", "d2")
+        return {
+            "collapse": False,
+            "pairs": verified,
+            "rep_pairs": None,
+            "grp": None,
+            "reps": None,
+        }
     rep_pairs = verified.select(
         F.col("d1").alias("r1"), F.col("d2").alias("r2"), "jraw"
     )
@@ -399,8 +412,80 @@ def dedup_minhash(spark, sf_dir):
         F.col("id2").alias("d2"),
         F.lit(1.0).alias("jraw"),  # i = n1 = n2 -> i/(n1+n2-i) is exactly 1
     )
+    return {
+        "collapse": True,
+        "pairs": cross.unionByName(same),
+        "rep_pairs": rep_pairs,
+        "grp": grp,
+        "reps": reps,
+    }
+
+
+
+
+def _min_label_components(edges, labels, max_iters: int = 16):
+    """Min-label propagation to convergence over a directed edge frame
+    (src, dst); labels = (node, lab) initialized to node. localCheckpoint
+    cuts the iterative lineage; the loop exits early on a fixed point."""
+    for _ in range(max_iters):  # diameter bound; near-dup components are tiny
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lab")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.join(labels.withColumnRenamed("lab", "old"), "node")
+            .filter(F.col("lab") != F.col("old"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels
+
+
+def _component_labels_from_frames(fr):
+    """(node=rep, lab) component labels plus the per-rep group size, from
+    collapsed frames: nodes are reps of groups with >= 2 members (internally
+    paired) or with a cross-content rep pair; the component's min member id
+    equals the min rep label because each rep IS its group's min doc_id."""
+    rp = fr["rep_pairs"].select("r1", "r2")
+    gsz = fr["grp"].groupBy("ck").agg(F.count(F.lit(1)).alias("gn"))
+    rep_sz = fr["reps"].join(gsz, "ck").select("rep", "gn")
+    edge_nodes = (
+        rp.select(F.col("r1").alias("rep"))
+        .union(rp.select(F.col("r2").alias("rep")))
+        .distinct()
+    )
+    nodes = (
+        rep_sz.filter(F.col("gn") >= 2).select("rep").union(edge_nodes).distinct()
+    )
+    edges = (
+        rp.select(F.col("r1").alias("src"), F.col("r2").alias("dst"))
+        .union(rp.select(F.col("r2").alias("src"), F.col("r1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _min_label_components(
+        edges, nodes.select(F.col("rep").alias("node")).withColumn("lab", F.col("node"))
+    )
+    return labels, rep_sz
+
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_SQL,
+    "MinHash(8) + LSH banding(4x2) candidates, Jaccard-verified >= 0.7; md5-portable hashes",
+)
+def dedup_minhash(spark, sf_dir):
+    prep(spark)
+    fr = _minhash_pair_frames(spark, sf_dir)
     return (
-        cross.unionByName(same)
+        fr["pairs"]
         .select("d1", "d2", F.round("jraw", 4).alias("jaccard"))
         .orderBy("d1", "d2")
     )
@@ -1642,32 +1727,33 @@ ORDER BY component
 )
 def dedup_clusters(spark, sf_dir):
     prep(spark)
-    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
+    fr = _minhash_pair_frames(spark, sf_dir)
+    if fr["collapse"]:
+        # content-level components (r4): propagate over the REP graph and
+        # weight each rep by its group size — identical result (a group is
+        # internally connected; the component min member IS the min rep),
+        # without shuffling the expanded member edges per iteration
+        labels, rep_sz = _component_labels_from_frames(fr)
+        return (
+            labels.join(rep_sz, labels.node == rep_sz.rep)
+            .groupBy(F.col("lab").alias("component"))
+            .agg(
+                F.sum("gn").cast("bigint").alias("cluster_size"),
+                (F.sum("gn") - 1).cast("bigint").alias("n_removable"),
+            )
+            .orderBy("component")
+        )
+    pairs = fr["pairs"].select("d1", "d2")
     fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
     edges = fwd.union(
         pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
     ).distinct().localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
+    labels = _min_label_components(
+        edges,
+        edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "lab", F.col("node")
+        ),
     )
-    for _ in range(16):  # diameter bound; near-dup components are tiny
-        # neighbor labels (edges reversed: label flows src -> dst) + own label
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lab")
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)  # cut iterative lineage
-        )
-        changed = (
-            prop.join(labels.withColumnRenamed("lab", "old"), "node")
-            .filter(F.col("lab") != F.col("old"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
-            break
     return (
         labels.groupBy(F.col("lab").alias("component"))
         .agg(
@@ -2158,35 +2244,35 @@ ORDER BY component
 )
 def dedup_keep_canonical(spark, sf_dir):
     prep(spark)
-    # reuse the pair graph, propagate min labels (identical mechanics to
-    # dedup_minhash_clusters), then join lengths back for the keep decision
-    pairs = dedup_minhash(spark, sf_dir).select("d1", "d2")
-    fwd = pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-    edges = fwd.union(
-        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
-    )
-    for _ in range(16):
-        prop = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lab")
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
+    # reuse the pair frames: components via min-label propagation (rep
+    # graph when collapsed — see dedup_minhash_clusters), then join doc
+    # lengths back for the keep decision. The member-level rows here are
+    # LINEAR in corpus size; only pair/edge propagation was quadratic.
+    fr = _minhash_pair_frames(spark, sf_dir)
+    if fr["collapse"]:
+        labels, _rep_sz = _component_labels_from_frames(fr)
+        member_nodes = (
+            fr["grp"]
+            .join(fr["reps"].select("ck", "rep"), "ck")
+            .join(labels, F.col("rep") == F.col("node"))
+            .select("lab", F.col("doc_id").alias("node"))
+        )
+    else:
+        pairs = fr["pairs"].select("d1", "d2")
+        edges = (
+            pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+            .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+            .distinct()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            prop.join(labels.withColumnRenamed("lab", "old"), "node")
-            .filter(F.col("lab") != F.col("old"))
-            .count()
+        member_nodes = _min_label_components(
+            edges,
+            edges.select(F.col("src").alias("node")).distinct().withColumn(
+                "lab", F.col("node")
+            ),
         )
-        labels = prop
-        if changed == 0:
-            break
     docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    member = labels.join(docs, labels.node == docs.doc_id).select(
+    member = member_nodes.join(docs, member_nodes.node == docs.doc_id).select(
         F.col("lab").alias("component"), "node", "n_chars"
     )
     return (

@@ -97,3 +97,61 @@ def test_minhash_collapse_excludes_shingle_less_docs(spark, tmp_path):
     }
     assert not any(d1 >= 500 or d2 >= 500 for (d1, d2) in got)
     assert len(got) == 120 * 119 // 2  # the farm pairs, nothing else
+
+
+def test_cluster_and_canonical_match_pair_graph_on_collapse_corpus(spark, tmp_path):
+    """On a corpus that trips the content-collapse threshold, the
+    rep-graph component labels must equal a union-find over the emitted
+    pair set, for both dedup_minhash_clusters and dedup_keep_canonical."""
+    from cassabon_spark.queries import load_registry
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    other = " ".join(f"q{i}" for i in range(40))
+    rows = [(i, base, "en", "s", 40) for i in range(120)]
+    rows.append((200, near, "en", "s", 41))
+    rows += [(300 + j, other, "en", "s", 40) for j in range(70)]  # 2nd farm
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    reg = load_registry()
+    pairs = [
+        (r["d1"], r["d2"])
+        for r in reg["dedup_minhash_lsh"].fn(spark, str(tmp_path)).collect()
+    ]
+    # union-find over the pair graph
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), set()).add(n)
+    expected = {
+        (lab, len(m), len(m) - 1) for lab, m in comps.items()
+    }
+    got = {
+        (r["component"], r["cluster_size"], r["n_removable"])
+        for r in reg["dedup_minhash_clusters"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == expected, (sorted(got), sorted(expected))
+    # canonical: longest member, ties -> smallest doc_id
+    exp_canon = {}
+    n_chars = {r[0]: r[4] for r in rows}
+    for lab, m in comps.items():
+        best = min(m, key=lambda d: (-n_chars[d], d))
+        exp_canon[lab] = (best, len(m) - 1, sum(n_chars[d] for d in m) - max(n_chars[d] for d in m))
+    got_canon = {
+        r["component"]: (r["canonical"], r["n_dropped"], r["chars_dropped"])
+        for r in reg["dedup_keep_canonical"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got_canon == exp_canon, (got_canon, exp_canon)

@@ -2040,3 +2040,151 @@ def carbon_transform_family(spark, sf_dir):
             (F.col("path") == F.col("__p")) & (F.col("slot_s") == F.col("__s")),
         ).drop("__p", "__s")
     return out.orderBy("path", "slot_s")
+
+
+_SERIES_STATS_FAMILY_SQL = f"""
+{_GRID_CTE},
+npct AS (
+  SELECT path, QUANTILE_CONT(stat, 0.9) AS p90 FROM grid GROUP BY path
+),
+med AS (
+  SELECT slot_s, QUANTILE_CONT(stat, 0.5) AS med_v, STDDEV_POP(stat) AS sd_v
+  FROM grid GROUP BY slot_s
+),
+pc AS (
+  SELECT path, QUANTILE_CONT(stat, 0.8) AS p80 FROM grid GROUP BY path
+)
+SELECT g.path, g.slot_s,
+       ROUND(ROUND(CASE WHEN g.stat IS NOT NULL THEN npct.p90 END, 8), 4) AS npct90,
+       ROUND(ROUND(med.med_v, 8), 4) AS median_series,
+       ROUND(ROUND(med.sd_v, 8), 4) AS stddev_series,
+       ROUND(ROUND(CASE WHEN g.stat <= pc.p80 THEN g.stat END, 8), 4) AS below_p80,
+       ROUND(ROUND(CASE WHEN g.slot_s BETWEEN {JAN_5 + 36 * 3600} AND {JAN_5 + 60 * 3600}
+                        THEN g.stat END, 8), 4) AS sliced,
+       ROUND(ROUND(SUM(CASE WHEN g.stat IS NOT NULL THEN g.stat END) OVER (
+           PARTITION BY g.path, CAST(FLOOR((g.slot_s - 1) / 86400) AS BIGINT)
+           ORDER BY g.slot_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 8), 4)
+         * CASE WHEN g.stat IS NOT NULL THEN 1 END AS integral_daily
+FROM grid g
+JOIN npct USING (path) JOIN med USING (slot_s) JOIN pc USING (path)
+ORDER BY g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_stats_family",
+    _SERIES_STATS_FAMILY_SQL,
+    "Graphite series-statistics family in one gate: nPercentile(90), "
+    "medianSeries, stddevSeries, removeAbovePercentile(80), "
+    "timeSlice(36h..60h), integralByInterval('1d')",
+)
+def carbon_series_stats_family(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        integral_by_interval,
+        median_series,
+        n_percentile,
+        remove_above_percentile,
+        stddev_series,
+        time_slice,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+
+    def keyed(g, name):
+        return g.select(
+            F.col("path").alias(f"__p_{name}"),
+            F.col("slot_s").alias(f"__s_{name}"),
+            F.col("stat").alias(name),
+        )
+
+    out = grid.select("path", "slot_s")
+    per_series = {
+        "npct90": n_percentile(grid, 90.0),
+        "below_p80": remove_above_percentile(grid, 80.0),
+        "sliced": time_slice(grid, JAN_5 + 36 * 3600, JAN_5 + 60 * 3600),
+        "integral_daily": integral_by_interval(grid, 86400),
+    }
+    for name, g in per_series.items():
+        k = keyed(g, name)
+        out = out.join(
+            k,
+            (F.col("path") == F.col(f"__p_{name}"))
+            & (F.col("slot_s") == F.col(f"__s_{name}")),
+        ).drop(f"__p_{name}", f"__s_{name}")
+    med = median_series(grid).select(
+        F.col("slot_s").alias("__ms"), F.col("stat").alias("median_series")
+    )
+    sd = stddev_series(grid).select(
+        F.col("slot_s").alias("__ss"), F.col("stat").alias("stddev_series")
+    )
+    out = (
+        out.join(F.broadcast(med), F.col("slot_s") == F.col("__ms"))
+        .join(F.broadcast(sd), F.col("slot_s") == F.col("__ss"))
+        .drop("__ms", "__ss")
+    )
+    return out.select(
+        "path",
+        "slot_s",
+        R(F.col("npct90"), 4).alias("npct90"),
+        R(F.col("median_series"), 4).alias("median_series"),
+        R(F.col("stddev_series"), 4).alias("stddev_series"),
+        R(F.col("below_p80"), 4).alias("below_p80"),
+        R(F.col("sliced"), 4).alias("sliced"),
+        R(F.col("integral_daily"), 4).alias("integral_daily"),
+    ).orderBy("path", "slot_s")
+
+
+_SELECT_FAMILY_SQL = f"""
+{_GRID_CTE},
+stats AS (
+  SELECT path,
+         VAR_POP(stat) AS vp,
+         ARG_MAX(stat, CASE WHEN stat IS NOT NULL THEN slot_s END) AS last_v
+  FROM grid GROUP BY path
+),
+mdev AS (SELECT path FROM stats ORDER BY vp DESC NULLS LAST, path LIMIT 1),
+lim1 AS (SELECT MIN(path) AS path FROM grid)
+SELECT g.path, g.slot_s,
+       g.path IN (SELECT path FROM mdev) AS in_mostdeviant,
+       g.path = (SELECT path FROM lim1) AS in_limit1,
+       s.last_v > 50.0 AS in_currentabove
+FROM grid g JOIN stats s USING (path)
+ORDER BY g.path, g.slot_s
+"""
+
+
+@register(
+    "carbon_series_select_family",
+    _SELECT_FAMILY_SQL,
+    "Graphite series-selection family in one gate: mostDeviant(1) "
+    "(highest population variance, ties by name), limit(1) (first series "
+    "in path order), currentAbove(50) (last non-null value above "
+    "threshold) — emitted as per-row membership flags",
+)
+def carbon_select_family(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        current_above,
+        limit_series,
+        most_deviant,
+    )
+    from cassabon_spark.queries import R  # noqa: F401 (grid values untouched)
+
+    grid = _grid_df(spark, sf_dir)
+    flags = {
+        "in_mostdeviant": most_deviant(grid, 1),
+        "in_limit1": limit_series(grid, 1),
+        "in_currentabove": current_above(grid, 50.0),
+    }
+    out = grid.select("path", "slot_s")
+    for name, g in flags.items():
+        mem = g.select("path").distinct().withColumn(name, F.lit(True))
+        out = out.join(mem, "path", "left").withColumn(
+            name, F.coalesce(F.col(name), F.lit(False))
+        )
+    return out.select(
+        "path", "slot_s", "in_mostdeviant", "in_limit1", "in_currentabove"
+    ).orderBy("path", "slot_s")

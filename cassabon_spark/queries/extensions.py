@@ -3580,17 +3580,24 @@ def streaming_neardup_q(spark, sf_dir):
         )
     )
 
-    name = f"snd_{uuid.uuid4().hex[:8]}"
+    # parquet sink, not the memory sink: the memory sink materializes the
+    # ENTIRE pair stream in the driver's block manager, which is fine for
+    # the driver-gate row counts but falls over when a dup-heavy corpus
+    # emits tens of millions of pairs (observed TaskResultLost at the 10x
+    # stress corpus). The file sink is the production shape — append-mode,
+    # executor-side writes — and reads back identically for the gate.
+    out_dir = os.path.join(tmp, f"snd_{uuid.uuid4().hex[:8]}")
     q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
+        pairs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_dir + "_ck")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
     static_bands.unpersist()
-    return spark.table(name).orderBy("d1", "d2")
+    return spark.read.parquet(out_dir).orderBy("d1", "d2")
 
 
 # ---------------------------------------------- snapshot MERGE oracle (r3)

@@ -50,6 +50,10 @@ QUERIES = [
     "similarity_ivfpq_adc",
     "dedup_cross_corpus",
     "dedup_semdedup",
+    # the streaming path end-to-end (r4): documents arrive as microbatches
+    # and probe the static band index; the parquet sink absorbs the full
+    # 50M-pair output executor-side (the memory sink could not)
+    "streaming_neardup_lsh",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0

@@ -2188,3 +2188,78 @@ def carbon_select_family(spark, sf_dir):
     return out.select(
         "path", "slot_s", "in_mostdeviant", "in_limit1", "in_currentabove"
     ).orderBy("path", "slot_s")
+
+
+_NAMING_FAMILY_SQL = f"""
+{_GRID_CTE}
+SELECT path, slot_s,
+       REGEXP_REPLACE(path, '^evt\\.', 'event_') AS renamed,
+       SPLIT_PART(path, '.', 2) AS node1,
+       ROUND(ROUND(CASE WHEN stat IS NOT NULL THEN 1.0 ELSE 0.0 END, 8), 4)
+           AS present,
+       path NOT SIMILAR TO 'evt\\.err.*' AS kept_after_exclude
+FROM grid
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_naming_family",
+    _NAMING_FAMILY_SQL,
+    "Graphite naming/presence family in one gate: aliasSub('^evt\\\\.', "
+    "'event_'), aliasByNode(1), isNonNull, exclude('evt\\\\.err.*') as a "
+    "kept-flag",
+)
+def carbon_naming_family(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        alias_by_node,
+        alias_sub,
+        exclude,
+        is_non_null,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    # the rename functions rewrite `path` in place, so carry the original
+    # name through as the join key
+    keyed = grid.withColumn("orig", F.col("path"))
+    ren = alias_sub(keyed, r"^evt\.", "event_").select(
+        F.col("orig").alias("__rp"),
+        F.col("slot_s").alias("__rs"),
+        F.col("path").alias("renamed"),
+    )
+    abn = alias_by_node(keyed, 1).select(
+        F.col("orig").alias("__ap"),
+        F.col("slot_s").alias("__as"),
+        F.col("path").alias("node1"),
+    )
+    nn = is_non_null(grid).select(
+        F.col("path").alias("__np"),
+        F.col("slot_s").alias("__ns"),
+        F.col("stat").alias("present"),
+    )
+    kept = exclude(grid, r"evt\.err.*").select("path").distinct().withColumn(
+        "kept_after_exclude", F.lit(True)
+    )
+    out = (
+        grid.select("path", "slot_s")
+        .join(ren, (F.col("path") == F.col("__rp")) & (F.col("slot_s") == F.col("__rs")))
+        .drop("__rp", "__rs")
+        .join(abn, (F.col("path") == F.col("__ap")) & (F.col("slot_s") == F.col("__as")))
+        .drop("__ap", "__as")
+        .join(nn, (F.col("path") == F.col("__np")) & (F.col("slot_s") == F.col("__ns")))
+        .drop("__np", "__ns")
+        .join(kept, "path", "left")
+        .withColumn(
+            "kept_after_exclude", F.coalesce("kept_after_exclude", F.lit(False))
+        )
+    )
+    return out.select(
+        "path",
+        "slot_s",
+        "renamed",
+        "node1",
+        R(F.col("present"), 4).alias("present"),
+        "kept_after_exclude",
+    ).orderBy("path", "slot_s")

@@ -7127,3 +7127,135 @@ def similarity_matryoshka_prefix(spark, sf_dir):
             4,
         ).alias("prefix_recall5"),
     ).orderBy("qid", "rnk")
+
+
+# The APPLY step of ExactSubstr dedup: cut the duplicated spans out of each
+# document and fingerprint the cleaned text — what a curation pipeline
+# actually writes back. Span semantics identical to dedup_exact_substring;
+# the cut itself is pure array algebra (positions filtered against the
+# per-doc span list collected as a bounded array), and the oracle rebuilds
+# the cleaned text with STRING_AGG over the kept positions.
+_SPANCUT_SQL = f"""
+WITH toks AS ({_TOKS}),
+base AS (SELECT doc_id, t FROM toks WHERE LEN(t) >= 20),
+grams AS (
+  SELECT doc_id, i AS pos, MD5(ARRAY_TO_STRING(t[i:i+19], ' ')) AS h
+  FROM base, UNNEST(GENERATE_SERIES(1, LEN(t) - 19)) AS g(i)
+),
+dup AS (
+  SELECT doc_id, pos FROM grams
+  WHERE h IN (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1)
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL
+                OR pos - LAG(pos) OVER w > 20 THEN 1 ELSE 0 END AS brk
+  FROM dup
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+spans AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM marked
+),
+per_span AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 19 AS e
+  FROM spans GROUP BY 1, 2
+),
+positions AS (
+  SELECT b.doc_id, i, b.t[i] AS tok,
+         EXISTS (SELECT 1 FROM per_span p
+                 WHERE p.doc_id = b.doc_id AND i BETWEEN p.s AND p.e) AS cut
+  FROM base b, UNNEST(GENERATE_SERIES(1, LEN(b.t))) AS g(i)
+),
+cleaned AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tokens,
+         SUM(CASE WHEN cut THEN 1 ELSE 0 END) AS tokens_cut,
+         -- all-cut docs: STRING_AGG over zero rows is NULL in DuckDB but
+         -- array_join of an empty array is '' in Spark — align on ''
+         MD5(COALESCE(STRING_AGG(CASE WHEN NOT cut THEN tok END, ' ' ORDER BY i), ''))
+             AS cleaned_fp
+  FROM positions GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tokens_cut AS BIGINT) AS tokens_cut,
+       ROUND(ROUND((n_tokens - tokens_cut) * 1.0 / n_tokens, 8), 4) AS kept_frac,
+       cleaned_fp
+FROM cleaned
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_span_cut",
+    _SPANCUT_SQL,
+    "ExactSubstr APPLY step: remove the duplicated 20-gram spans from each "
+    "doc and fingerprint the cleaned text (md5 of the kept tokens) — the "
+    "write-back of span-cut dedup; span algebra identical to "
+    "dedup_exact_substring, the cut is per-doc array filtering",
+)
+def dedup_span_cut(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.text import tokens_expr
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 20
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 19), "
+                "i -> struct(i AS pos, md5(array_join(slice(t, i, 20), ' ')) AS h))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    dup = grams.join(dup_h, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w)) > 20),
+        1,
+    ).otherwise(0)
+    spans = dup.withColumn("brk", brk).withColumn("span_id", F.sum("brk").over(w))
+    per_span = spans.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 19).alias("e")
+    )
+    # bounded per-doc span ARRAY -> the cut is pure array algebra inside
+    # one projection: keep token i unless a span covers it
+    span_arr = per_span.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("sp")
+    )
+    cut = toks.join(span_arr, "doc_id", "left").withColumn(
+        "sp", F.coalesce("sp", F.array())
+    )
+    kept = F.expr(
+        "filter(transform(t, (x, i) -> struct(x AS tok, i + 1 AS pos)), "
+        "p -> NOT exists(sp, z -> p.pos >= z.s AND p.pos <= z.e))"
+    )
+    return (
+        cut.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("bigint").alias("tokens_cut"),
+            R(F.size(kept) / F.size("t"), 4).alias("kept_frac"),
+            F.md5(
+                F.array_join(F.expr(
+                    "transform(filter(transform(t, (x, i) -> struct(x AS tok, i + 1 AS pos)), "
+                    "p -> NOT exists(sp, z -> p.pos >= z.s AND p.pos <= z.e)), q -> q.tok)"
+                ), " ")
+            ).alias("cleaned_fp"),
+        )
+        .orderBy("doc_id")
+    )

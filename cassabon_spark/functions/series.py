@@ -648,8 +648,12 @@ def as_percent_of_series(grid: DataFrame, total_grid: DataFrame) -> DataFrame:
     the one-argument slot-total and constant-total forms are as_percent).
     Slots where the total is null or zero come back null. Equi-join on
     slot_s; the total grid is bounded by the render window, so it
-    broadcasts."""
-    tot = total_grid.select(F.col("slot_s").alias("__ts"), F.col("stat").alias("__tv"))
+    broadcasts. If total_grid carries more than one series, the slots are
+    summed first (graphite applies sumSeries to a multi-series total), so
+    the left join can never fan out a grid row."""
+    tot = total_grid.groupBy(F.col("slot_s").alias("__ts")).agg(
+        F.sum("stat").alias("__tv")
+    )
     return (
         grid.join(F.broadcast(tot), F.col("slot_s") == F.col("__ts"), "left")
         .withColumn(

@@ -2197,7 +2197,7 @@ SELECT path, slot_s,
        SPLIT_PART(path, '.', 2) AS node1,
        ROUND(ROUND(CASE WHEN stat IS NOT NULL THEN 1.0 ELSE 0.0 END, 8), 4)
            AS present,
-       path NOT SIMILAR TO 'evt\\.err.*' AS kept_after_exclude
+       NOT REGEXP_MATCHES(path, 'evt\\.err.*') AS kept_after_exclude
 FROM grid
 ORDER BY path, slot_s
 """

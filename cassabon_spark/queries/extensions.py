@@ -275,7 +275,12 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
     # small stages of fixed overhead, which only pays for itself when
     # duplicate groups actually exist. A mostly-unique corpus (the common
     # case) takes the direct path — identical to the r3 plan.
-    ck = F.xxhash64(F.col("lang"), F.col("text"))
+    # 128-bit group key (md5 over NUL-joined fields): used as content
+    # IDENTITY, so a 64-bit hash's birthday-collision risk (silently
+    # merging distinct contents into one group → false jaccard=1.0 pairs)
+    # is not acceptable at corpus scale; 128 bits makes it negligible even
+    # at 10^12 docs.
+    ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
     st = docs.agg(
         F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
     ).first()
@@ -3595,7 +3600,15 @@ def streaming_neardup_q(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # a timed-out run would read back a partial sink directory as if
+        # complete and silently under-report pairs — fail loudly instead
+        q.stop()
+        static_bands.unpersist()
+        raise RuntimeError(
+            "streaming_neardup_lsh: query did not terminate within 300s; "
+            "refusing to read a partial parquet sink"
+        )
     static_bands.unpersist()
     return spark.read.parquet(out_dir).orderBy("d1", "d2")
 
@@ -4749,8 +4762,9 @@ def dedup_cross_corpus(spark, sf_dir):
     # member level only at the final best-match step (output is top-1 per
     # new doc, so no quadratic member-pair materialization ever happens).
     # The group key is the cheap (lang, text) hash — finer than shingle-set
-    # identity, which is still exact (see dedup_minhash_lsh).
-    ck = F.xxhash64(F.col("lang"), F.col("text"))
+    # identity, which is still exact (see dedup_minhash_lsh). 128-bit md5
+    # key: identity use, so 64-bit collision risk is not acceptable.
+    ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
     st = docs.agg(
         F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
     ).first()
@@ -7063,8 +7077,8 @@ pairs AS (
 ranked AS (
   SELECT qid, cid,
          ROUND(ROUND(dot / (qn * cn), 8), 4) AS cosine,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot / (qn * cn) DESC, cid) AS rnk,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pdot / (pqn * pcn) DESC, cid) AS prefix_rnk
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(dot / (qn * cn), 8) DESC, cid) AS rnk,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(pdot / (pqn * pcn), 8) DESC, cid) AS prefix_rnk
   FROM pairs
 ),
 top AS (SELECT * FROM ranked WHERE rnk <= 5)
@@ -7105,8 +7119,15 @@ def similarity_matryoshka_prefix(spark, sf_dir):
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     full_sim = cosine_sim_expr("qe", "ce")
     pref_sim = cosine_sim_expr("pq", "pc")
-    wf = Window.partitionBy("qid").orderBy(F.desc(full_sim), F.asc("cid"))
-    wp = Window.partitionBy("qid").orderBy(F.desc(pref_sim), F.asc("cid"))
+    # rank on the 8-decimal re-quantized cosine (repo convention, see
+    # similarity_pq_adc / dedup_semdedup): an ulp-level cross-engine
+    # difference on a near-tie would otherwise flip rnk/prefix_rnk
+    wf = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(full_sim, 8)), F.asc("cid")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(pref_sim, 8)), F.asc("cid")
+    )
     ranked = (
         pairs.withColumn("cosine", full_sim)
         .withColumn("rnk", F.row_number().over(wf).cast("bigint"))

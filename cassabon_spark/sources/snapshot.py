@@ -44,6 +44,28 @@ This module upgrades the store to a versioned-manifest table:
   * read_changes(since, to) is the append-only CDC feed (one append commit
     per streaming microbatch); row rewrites (delete/merge) raise.
 
+Commit metadata is O(delta), not O(live files) (r5 — the pre-checkpoint-
+Delta problem): each commit manifest records only the ACTIONS of that
+commit — {"add": [file entries], "remove": [paths]} — plus the (small)
+schema/constraints, never the full live file list. A snapshot is
+reconstructed by replaying the action log on top of the nearest base:
+
+  * a CHECKPOINT (`_manifests/c<version>.json`, full file list) is written
+    every `checkpoint_every` commits and advertised in `_last_checkpoint`
+    (best-effort hints — the commits themselves are the truth);
+  * an in-memory memo of the last reconstruction makes the streaming hot
+    path (head = memo version + 1) a single small JSON read;
+  * vacuum() force-checkpoints the oldest retained version before pruning
+    older commit manifests, so every retained snapshot stays
+    reconstructible.
+
+At 100 TB (~100k live files) this is the difference between every
+microbatch commit serializing a multi-ten-MB JSON on the driver and a
+few-KB action write: commit latency and head-load time scale with the
+batch, not the table (measured: tools/manifest_bench.py, SCALE_r05.md).
+Legacy full manifests ({"files": [...]}) still replay — they act as a
+reset in the log — so pre-r5 tables read unchanged.
+
 Single-table scope: no multi-table transactions.
 """
 
@@ -67,10 +89,21 @@ class CommitConflict(RuntimeError):
 
 
 class SnapshotTable:
+    #: write a full-file-list checkpoint every N commits (Delta writes one
+    #: every 10); between checkpoints a snapshot replays at most N-1 small
+    #: action manifests on top of the checkpoint (or the in-memory memo)
+    checkpoint_every = 16
+
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = str(root)
         Path(self.root, MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+        # memo of the last reconstruction: (version, files_list). The list
+        # is never mutated after being stored; snapshot() hands out copies.
+        self._memo: tuple[int, list[dict]] | None = None
+        self._memo_lock = threading.Lock()
 
     # ------------------------------------------------------------ manifests
 
@@ -107,16 +140,152 @@ class SnapshotTable:
     def _load(self, version: int) -> dict:
         return json.loads(self._manifest_path(version).read_text())
 
+    # -------------------------------------------------------- checkpoints
+
+    def _ckpt_path(self, version: int) -> Path:
+        return Path(self.root, MANIFEST_DIR, f"c{version:012d}.json")
+
+    def _ckpt_hint_path(self) -> Path:
+        return Path(self.root, MANIFEST_DIR, "_last_checkpoint")
+
+    def _ckpt_versions(self) -> list[int]:
+        return sorted(
+            int(p.stem[1:])
+            for p in Path(self.root, MANIFEST_DIR).glob("c*.json")
+        )
+
+    def _latest_ckpt_at_or_before(self, v: int) -> int | None:
+        """Best checkpoint base for reconstructing version v: try the O(1)
+        `_last_checkpoint` hint, fall back to listing. Hints are
+        best-effort, so a missing/stale hint only costs a directory list."""
+        try:
+            c = int(self._ckpt_hint_path().read_text().strip())
+            if c <= v and self._ckpt_path(c).exists():
+                return c
+        except (OSError, ValueError):
+            pass
+        cs = [c for c in self._ckpt_versions() if c <= v]
+        return cs[-1] if cs else None
+
+    def _write_checkpoint(self, version: int, files: list[dict]) -> None:
+        """Materialize the full reconstructed state at `version` as a
+        checkpoint file + advance the `_last_checkpoint` hint. Purely a
+        read-path accelerator: idempotent (same version ⇒ same content, so
+        concurrent writers racing on os.replace are harmless) and
+        best-effort (losing it costs replay depth, never correctness)."""
+        try:
+            man = self._load(version)
+            payload = {
+                "version": version,
+                "files": files,
+                "schema": man.get("schema"),
+                "constraints": man.get("constraints", {}),
+            }
+            tmp = Path(self.root, MANIFEST_DIR, f".ctmp-{uuid.uuid4().hex}.json")
+            tmp.write_text(json.dumps(payload, sort_keys=True))
+            os.replace(tmp, self._ckpt_path(version))
+            cur = None
+            try:
+                cur = int(self._ckpt_hint_path().read_text().strip())
+            except (OSError, ValueError):
+                pass
+            if cur is None or version > cur:
+                hint = Path(self.root, MANIFEST_DIR, f".chint-{uuid.uuid4().hex}")
+                hint.write_text(str(version))
+                os.replace(hint, self._ckpt_hint_path())
+        except OSError:
+            pass
+
+    # ------------------------------------------------------- reconstruction
+
+    def _replay(self, base_v: int | None, base_files: list[dict], v: int) -> list[dict]:
+        """Apply the action log (base_v, v] on top of base_files. A legacy
+        full manifest in the chain acts as a reset. Raises FileNotFoundError
+        if a needed manifest was vacuumed — callers fall back to a
+        checkpoint base."""
+        files = list(base_files)
+        for i in range((base_v + 1) if base_v is not None else 0, v + 1):
+            m = self._load(i)
+            if "files" in m:  # legacy full manifest: authoritative reset
+                files = list(m["files"])
+                continue
+            rm = set(m.get("remove") or ())
+            if rm:
+                files = [f for f in files if f["path"] not in rm]
+            files.extend(m.get("add") or ())
+        return files
+
+    def _files_at(self, v: int) -> list[dict]:
+        """Reconstruct the live file list at version v: memo base when it
+        applies, else nearest checkpoint, else full replay from the log
+        head. The result is memoized (the streaming hot path — head = memo
+        version + 1 — replays exactly one small action manifest)."""
+        with self._memo_lock:
+            memo = self._memo
+        if memo is not None and memo[0] == v:
+            return memo[1]  # exact memo hit: zero IO (the per-query shape)
+
+        def _ckpt_base():
+            ck = self._latest_ckpt_at_or_before(v)
+            if ck is None:
+                return None
+            try:
+                return (ck, json.loads(self._ckpt_path(ck).read_text())["files"])
+            except (OSError, ValueError, KeyError):
+                return None
+
+        # lazy base candidates, best first: a memo at <= v costs only the
+        # replay of the gap; the checkpoint JSON (O(live files)) is parsed
+        # ONLY when the memo doesn't apply or its chain was vacuumed
+        bases = []
+        if memo is not None and memo[0] <= v:
+            bases.append(lambda: (memo[0], memo[1]))
+        bases.append(_ckpt_base)
+        bases.append(lambda: (None, []))
+        err: Exception | None = None
+        for get_base in bases:
+            base = get_base()
+            if base is None:
+                continue
+            try:
+                files = self._replay(base[0], base[1], v)
+                with self._memo_lock:
+                    if self._memo is None or self._memo[0] <= v:
+                        self._memo = (v, files)
+                return files
+            except FileNotFoundError as e:
+                err = e  # base predates vacuumed manifests — try next base
+        raise err if err is not None else FileNotFoundError(
+            f"cannot reconstruct version {v}"
+        )
+
     def snapshot(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
         if v is None:
             return {"version": None, "files": [], "schema": None}
-        return self._load(v)
+        man = self._load(v)
+        files = (
+            list(man["files"]) if "files" in man else list(self._files_at(v))
+        )
+        return {
+            "version": v,
+            "parent": man.get("parent"),
+            "op": man.get("op"),
+            "committed_at": man.get("committed_at"),
+            "schema": man.get("schema"),
+            "constraints": man.get("constraints", {}),
+            "files": files,
+        }
 
     def _commit(self, parent: int | None, payload: dict) -> int:
         """Publish payload as version parent+1 via atomic link-if-absent.
         Stamps commit wall-time (timestamp time travel) and carries the
-        parent's CHECK constraints forward unless the payload sets them."""
+        parent's CHECK constraints forward unless the payload sets them.
+
+        Payloads are ACTION LOGS — {"add": [entries], "remove": [paths]}
+        plus op/schema(/constraints) — so the write is O(this commit), not
+        O(live files). A payload carrying a full "files" list (legacy
+        callers, tests) is written verbatim and replays as a reset."""
         import time
 
         next_v = 0 if parent is None else parent + 1
@@ -144,6 +313,13 @@ class SnapshotTable:
             os.replace(hint, self._head_hint_path())
         except OSError:
             pass
+        # advance the memo when this commit extends it (the streaming case),
+        # then drop a periodic checkpoint so cold readers never replay far
+        if next_v > 0 and next_v % self.checkpoint_every == 0:
+            try:
+                self._write_checkpoint(next_v, self._files_at(next_v))
+            except FileNotFoundError:
+                pass
         return next_v
 
     # ------------------------------------------------------------ read path
@@ -283,7 +459,8 @@ class SnapshotTable:
                     )
             payload = {
                 "op": "append",
-                "files": snap["files"] + new,
+                "add": new,
+                "remove": [],
                 "schema": stored or df.schema.jsonValue(),
             }
             try:
@@ -346,7 +523,8 @@ class SnapshotTable:
             head,
             {
                 "op": "alter",
-                "files": snap["files"],
+                "add": [],
+                "remove": [],
                 "schema": snap["schema"],
                 "constraints": cons,
             },
@@ -363,7 +541,8 @@ class SnapshotTable:
             head,
             {
                 "op": "alter",
-                "files": snap["files"],
+                "add": [],
+                "remove": [],
                 "schema": snap.get("schema"),
                 "constraints": cons,
             },
@@ -399,7 +578,7 @@ class SnapshotTable:
             "fields": stored["fields"] + [f.jsonValue() for f in add.fields],
         }
         return self._commit(
-            head, {"op": "alter", "files": snap["files"], "schema": widened}
+            head, {"op": "alter", "add": [], "remove": [], "schema": widened}
         )
 
     def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
@@ -410,14 +589,16 @@ class SnapshotTable:
         rewrite changes history in a way a file-level diff can't
         represent, so the consumer must fall back to a full snapshot
         diff. This is the downstream-consumer contract for the streaming
-        ingest workload (one append commit per microbatch)."""
+        ingest workload (one append commit per microbatch). With action-log
+        manifests the log IS the feed: an append commit's "add" list is
+        exactly its new rows' files — no snapshot diffing."""
         to_v = self.version() if to_version is None else to_version
         if to_v is None or to_v <= since_version:
             snap = self.snapshot(to_v if to_v is not None else since_version)
             if snap.get("schema") is None:
                 raise ValueError("empty table has no changes")
             return self.spark.createDataFrame([], StructType.fromJson(snap["schema"]))
-        prev_paths = {f["path"] for f in self.snapshot(since_version)["files"]}
+        prev_paths: set | None = None  # only materialized for legacy manifests
         added: list[dict] = []
         for v in range(since_version + 1, to_v + 1):
             man = self._load(v)
@@ -428,8 +609,19 @@ class SnapshotTable:
                     "cannot represent row rewrites; re-read the snapshot"
                 )
             if op == "append":
-                added += [f for f in man["files"] if f["path"] not in prev_paths]
-            prev_paths = {f["path"] for f in man["files"]}
+                if "add" in man:
+                    added += man["add"]
+                else:  # legacy full manifest: diff against the prior snapshot
+                    if prev_paths is None:
+                        prev_paths = {
+                            f["path"] for f in self.snapshot(v - 1)["files"]
+                        }
+                    added += [f for f in man["files"] if f["path"] not in prev_paths]
+            if "files" in man:
+                prev_paths = {f["path"] for f in man["files"]}
+            elif prev_paths is not None:
+                prev_paths -= set(man.get("remove") or ())
+                prev_paths |= {f["path"] for f in man.get("add") or ()}
         schema = self.snapshot(to_v).get("schema")
         if not added:
             return self.spark.createDataFrame([], StructType.fromJson(schema))
@@ -460,7 +652,6 @@ class SnapshotTable:
         n_deleted = sum(r["n"] for r in hits)
         hit_uris = {r["f"] for r in hits}
         hit_files = [f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)]
-        keep = [f for f in snap["files"] if f not in hit_files]
         # DELETE semantics: a NULL predicate is NOT a hit — keep those rows
         # (filter(~cond) alone would silently drop them)
         keep_cond = ~F.coalesce(cond, F.lit(False))
@@ -468,7 +659,8 @@ class SnapshotTable:
         new = self._stage(remaining, partition_cols) if not remaining.isEmpty() else []
         payload = {
             "op": "delete",
-            "files": keep + new,
+            "add": new,
+            "remove": [f["path"] for f in hit_files],
             "schema": snap.get("schema"),
         }
         v = self._commit(head, payload)  # conflict -> caller retries the delete
@@ -540,7 +732,6 @@ class SnapshotTable:
             hit_files = [
                 f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)
             ]
-            keep = [f for f in snap["files"] if f not in hit_files]
             # a source key can match several table rows (pre-existing dup
             # keys): 'updated' counts source keys that matched, computed
             # against the HIT FILES only (never a second full-table scan)
@@ -570,7 +761,8 @@ class SnapshotTable:
             new = self._stage(rewritten, partition_cols)
             payload = {
                 "op": "merge",
-                "files": keep + new,
+                "add": new,
+                "remove": [f["path"] for f in hit_files],
                 "schema": snap.get("schema"),
             }
             v = self._commit(head, payload)  # conflict -> caller retries
@@ -670,25 +862,26 @@ class SnapshotTable:
         )
         new = self._stage(clustered, partition_cols)
         rewritten_paths = {f["path"] for f in files}
-        keep = [f for f in snap["files"] if f["path"] not in rewritten_paths]
+        payload = {
+            "op": "compact",
+            "add": new,
+            "remove": sorted(rewritten_paths),
+            "schema": snap.get("schema"),
+        }
         for _ in range(5):
             try:
-                return self._commit(
-                    head,
-                    {"op": "compact", "files": keep + new, "schema": snap.get("schema")},
-                )
+                return self._commit(head, payload)
             except CommitConflict:
                 # optimize holds head across a long rewrite, so a racing
                 # streaming-ingest append is likely: rebase against the new
-                # head (its files minus the set we rewrote) and retry. If a
-                # racer REWROTE any selected file, committing would
-                # resurrect rows it removed — surface the conflict instead.
+                # head and retry — the action payload is unchanged (it only
+                # names the files we rewrote). If a racer REWROTE any
+                # selected file, committing would resurrect rows it removed
+                # — surface the conflict instead.
                 head = self.version()
-                snap = self.snapshot(head)
-                head_paths = {f["path"] for f in snap["files"]}
+                head_paths = {f["path"] for f in self.snapshot(head)["files"]}
                 if not rewritten_paths <= head_paths:
                     raise
-                keep = [f for f in snap["files"] if f["path"] not in rewritten_paths]
         raise CommitConflict("optimize lost 5 commit races")
 
     def rewrite_partition(
@@ -708,9 +901,14 @@ class SnapshotTable:
             return head if head is not None else 0
         out = transform(self.read_files(old, schema=snap.get("schema")))
         new = self._stage(out, partition_cols)
-        keep = [f for f in snap["files"] if f["partition"] != part]
         return self._commit(
-            head, {"op": "compact", "files": keep + new, "schema": snap.get("schema")}
+            head,
+            {
+                "op": "compact",
+                "add": new,
+                "remove": [f["path"] for f in old],
+                "schema": snap.get("schema"),
+            },
         )
 
     def drop_partitions(self, pred: Callable[[dict], bool]) -> tuple[int, list[dict]]:
@@ -723,9 +921,14 @@ class SnapshotTable:
         )
         if not dropped:
             return (head if head is not None else 0, [])
-        keep = [f for f in snap["files"] if not pred(f["partition"])]
         v = self._commit(
-            head, {"op": "retention", "files": keep, "schema": snap.get("schema")}
+            head,
+            {
+                "op": "retention",
+                "add": [],
+                "remove": [f["path"] for f in snap["files"] if pred(f["partition"])],
+                "schema": snap.get("schema"),
+            },
         )
         return (v, [dict(d) for d in dropped])
 
@@ -788,8 +991,13 @@ class SnapshotTable:
         vs = self.versions()
         retained = vs[-retain_last:] if (vs and retain_last > 0) else []
         live = {
-            f["path"] for v in retained for f in self._load(v)["files"]
+            f["path"] for v in retained for f in self.snapshot(v)["files"]
         }
+        # action-log manifests: the oldest retained version must stay
+        # reconstructible after its ancestors' manifests are pruned — force
+        # a checkpoint there first (idempotent if one already exists)
+        if retained and retained[0] > 0 and not self._ckpt_path(retained[0]).exists():
+            self._write_checkpoint(retained[0], self._files_at(retained[0]))
         cutoff = time.time() - grace_s
         deleted = []
         for p in sorted(Path(self.root).rglob("*.parquet")):
@@ -828,6 +1036,12 @@ class SnapshotTable:
                 continue  # a racing writer repopulated / removed it
         for v in vs[:-retain_last] if retain_last > 0 else vs:
             self._manifest_path(v).unlink(missing_ok=True)
+        # checkpoints older than the oldest retained version (or all of
+        # them when nothing is retained) serve no snapshot — prune them too
+        floor_v = retained[0] if retained else (vs[-1] + 1 if vs else 0)
+        for c in self._ckpt_versions():
+            if c < floor_v:
+                self._ckpt_path(c).unlink(missing_ok=True)
         return deleted
 
 

@@ -30,3 +30,4 @@ def cosine_sim_expr(a, b) -> Column:
     """Cosine similarity = dot/(||a||*||b||), matching DuckDB's
     list_cosine_similarity term order."""
     return dot_expr(a, b) / (l2_norm_expr(a) * l2_norm_expr(b))
+

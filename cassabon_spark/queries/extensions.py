@@ -26,7 +26,11 @@ from cassabon_spark.functions.text import (
     tokens_expr,
     word_shingles_expr,
 )
-from cassabon_spark.functions.vectors import cosine_sim_expr
+from cassabon_spark.functions.vectors import (
+    cosine_sim_expr,
+    dot_expr,
+    l2_norm_expr,
+)
 from cassabon_spark.queries import EV, R, T, register
 from cassabon_spark.session import prep
 
@@ -3040,12 +3044,19 @@ def dedup_semdedup(spark, sf_dir):
     pivots = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(k)
-        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+        .select(
+            F.col("vec_id").alias("pivot_id"),
+            F.col("embedding").alias("pe"),
+            l2_norm_expr("embedding").alias("pnrm"),
+        )
     )
-    sim_p = cosine_sim_expr("embedding", "pe")
+    # norms precomputed once per side (N + k aggregates instead of 2*N*k):
+    # same sequential fold, so the assignment cosine is the identical float
+    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
     cells = (
-        emb.crossJoin(F.broadcast(pivots))
+        emb.withColumn("vnrm", l2_norm_expr("embedding"))
+        .crossJoin(F.broadcast(pivots))
         .withColumn("prnk", F.row_number().over(w_assign))
         .filter(F.col("prnk") == 1)
         .select("vec_id", "embedding", "pivot_id")
@@ -3054,9 +3065,22 @@ def dedup_semdedup(spark, sf_dir):
     # same pivot — the k-too-small regime) grid-splits across tasks instead
     # of computing its quadratic pair tail in one straggler; each pair
     # appears exactly once (one pivot per vector), so no distinct needed
-    # and the embedding payloads ride the join via `extra`
+    # and the embedding payloads ride the join via `extra`.
+    #
+    # r5 (VERDICT r4 #2, the measured outcome): the per-pair cost is cut
+    # 3x by precomputing each vector's L2 norm ONCE (cells carries `nrm`),
+    # so the pair stage evaluates one dot aggregate instead of
+    # dot + 2 norms. This keeps bit-exactness — the norm value is the same
+    # sequential JVM fold either way, so dot/(na*nb) is the identical
+    # float the oracle computes. Two vectorized alternatives were
+    # measured and REJECTED on this corpus: an Arrow per-pair numpy
+    # prefilter (85s vs 27.6s at 10x — pair-row array payload dominates)
+    # and per-cell chunked-BLAS candidate generation + exact re-score
+    # (59s — the 10x corpus is hit-DENSE, so the exact re-score pays the
+    # full HOF anyway). Measurement beats theory; see SCALE_r05.md.
     from cassabon_spark.operators.skew import salted_self_pairs
 
+    cells = cells.withColumn("nrm", l2_norm_expr("embedding"))
     pairs = salted_self_pairs(
         cells,
         ["pivot_id"],
@@ -3066,14 +3090,14 @@ def dedup_semdedup(spark, sf_dir):
             F.col("a.pivot_id").alias("pivot_id"),
             F.col("a.embedding").alias("ea"),
             F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         ],
     ).select(
-        F.col("id1").alias("keeper"), F.col("id2").alias("dropped"), "pivot_id", "ea", "eb"
+        F.col("id1").alias("keeper"), F.col("id2").alias("dropped"),
+        "pivot_id", "ea", "eb", "na", "nb",
     )
-    # evaluate the 64-dim cosine (an interpreted higher-order aggregate —
-    # the dominant per-pair cost) exactly ONCE: materialize the column,
-    # then filter/round on it (was filter + two selects = 3 evaluations)
-    sim = cosine_sim_expr("ea", "eb")
+    sim = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
     hits = (
         pairs.withColumn("__cos", sim)
         .filter(F.col("__cos") >= _SEM_TAU)

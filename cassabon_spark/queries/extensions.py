@@ -242,6 +242,18 @@ ORDER BY d1, d2
 """
 
 
+# (session -> {sf_dir -> frames}) memo for the MinHash family (VERDICT r4
+# #3): dedup_minhash_lsh / dedup_minhash_clusters / dedup_keep_canonical
+# each need the same signature->banding->verify machinery; within one
+# session the first caller builds it and persists the verified pair frame
+# (MEMORY_AND_DISK — the 10x dup-farm pair set is tens of millions of
+# rows), later callers skip every signature/banding/verify stage. Weak-keyed
+# so a torn-down session releases its frames.
+import weakref as _weakref
+
+_MINHASH_FRAMES_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _minhash_pair_frames(spark, sf_dir) -> dict:
     """Shared MinHash-LSH machinery for the pair/cluster/canonical family.
 
@@ -256,7 +268,16 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
     labels over the expanded member graph would shuffle the dup farm's
     ~100M directed edges per iteration for information the rep graph
     already carries.
+
+    Memoized per (session, sf_dir): the second family query in a session
+    reuses the persisted pair frame instead of rebuilding the LSH.
     """
+    import os as _os
+
+    per_session = _MINHASH_FRAMES_MEMO.setdefault(spark, {})
+    memo_key = _os.path.abspath(str(sf_dir))
+    if memo_key in per_session:
+        return per_session[memo_key]
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL (lang, text)
@@ -386,14 +407,18 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
         .filter(jac >= 0.7)
         .select("d1", "d2", jac.alias("jraw"))
     )
+    from pyspark import StorageLevel
+
     if not collapse:  # direct path: LSH ran over every doc
-        return {
+        out = {
             "collapse": False,
-            "pairs": verified,
+            "pairs": verified.persist(StorageLevel.MEMORY_AND_DISK),
             "rep_pairs": None,
             "grp": None,
             "reps": None,
         }
+        per_session[memo_key] = out
+        return out
     rep_pairs = verified.select(
         F.col("d1").alias("r1"), F.col("d2").alias("r2"), "jraw"
     )
@@ -421,13 +446,18 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
         F.col("id2").alias("d2"),
         F.lit(1.0).alias("jraw"),  # i = n1 = n2 -> i/(n1+n2-i) is exactly 1
     )
-    return {
+    out = {
         "collapse": True,
+        # the member-level pair frame is deliberately NOT persisted here:
+        # in collapse mode it is the (huge) expansion of the (small)
+        # rep graph — persist the rep pairs, re-expand cheaply per caller
         "pairs": cross.unionByName(same),
-        "rep_pairs": rep_pairs,
+        "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
     }
+    per_session[memo_key] = out
+    return out
 
 
 

@@ -2263,3 +2263,174 @@ def carbon_naming_family(spark, sf_dir):
         R(F.col("present"), 4).alias("present"),
         "kept_after_exclude",
     ).orderBy("path", "slot_s")
+
+
+# ---------------------------------------- graphite long tail, round 5 (b1)
+
+# movingWindow generic form + the wildcard/tag combine pair — the last
+# computational names without an exact gate (VERDICT r4 #6). The combines
+# reduce to per-slot aggregates in the oracle; the Spark side goes through
+# the REAL path machinery (segment filtering in combine_with_wildcards,
+# `;tag=value` parsing in group_by_tags) so naming + grouping semantics are
+# value-gated, not just unit-tested.
+_MOVWIN_FAMILY_SQL = f"""
+{_GRID_CTE},
+mw AS (
+  SELECT path, slot_s,
+         SUM(stat) OVER (PARTITION BY path ORDER BY slot_s
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mw_sum3,
+         STDDEV_POP(stat) OVER (PARTITION BY path ORDER BY slot_s
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mw_stddev4,
+         COUNT(stat) OVER (PARTITION BY path ORDER BY slot_s
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mw_count5
+  FROM grid
+),
+awc AS (SELECT slot_s, SUM(stat) AS awc_sum FROM grid GROUP BY slot_s),
+gbt AS (SELECT slot_s, AVG(stat) AS gbt_avg FROM grid GROUP BY slot_s)
+SELECT m.path, m.slot_s,
+       ROUND(ROUND(mw_sum3, 8), 4) AS mw_sum3,
+       ROUND(ROUND(mw_stddev4, 8), 4) AS mw_stddev4,
+       CAST(mw_count5 AS BIGINT) AS mw_count5,
+       ROUND(ROUND(awc.awc_sum, 8), 4) AS awc_sum,
+       ROUND(ROUND(gbt.gbt_avg, 8), 4) AS gbt_avg,
+       'east' AS gbt_name
+FROM mw m JOIN awc USING (slot_s) JOIN gbt USING (slot_s)
+ORDER BY m.path, m.slot_s
+"""
+
+
+@register(
+    "carbon_series_movingwindow_family",
+    _MOVWIN_FAMILY_SQL,
+    "Graphite movingWindow/aggregateWithWildcards/groupByTags family in "
+    "one gate: movingWindow(3,'sum'), movingWindow(4,'stddev'), "
+    "movingWindow(5,'count'), sumSeriesWithWildcards(1) via "
+    "aggregateWithWildcards, groupByTags('avg','dc') over ;dc=east-tagged "
+    "paths (result series named by the tag value)",
+)
+def carbon_movingwindow_family(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.series import (
+        combine_with_wildcards,
+        group_by_tags,
+        moving_window,
+    )
+    from cassabon_spark.queries import R
+
+    grid = _grid_df(spark, sf_dir)
+    mw_s = moving_window(grid, 3, "sum")
+    mw_d = moving_window(grid, 4, "stddev")
+    mw_c = moving_window(grid, 5, "count")
+    awc = combine_with_wildcards(grid, "sum", 1).select(
+        F.col("slot_s").alias("__ws"), F.col("stat").alias("awc_sum")
+    )
+    tagged = grid.withColumn("path", F.concat(F.col("path"), F.lit(";dc=east")))
+    gbt = group_by_tags(tagged, "avg", "dc").select(
+        F.col("slot_s").alias("__gs"),
+        F.col("stat").alias("gbt_avg"),
+        F.col("path").alias("gbt_name"),
+    )
+
+    def keyed(g, name):
+        return g.select(
+            F.col("path").alias(f"__p_{name}"),
+            F.col("slot_s").alias(f"__s_{name}"),
+            F.col("stat").alias(name),
+        )
+
+    out = grid.select("path", "slot_s")
+    for name, g in (("mw_sum3", mw_s), ("mw_stddev4", mw_d), ("mw_count5", mw_c)):
+        out = out.join(
+            keyed(g, name),
+            (F.col("path") == F.col(f"__p_{name}"))
+            & (F.col("slot_s") == F.col(f"__s_{name}")),
+        ).drop(f"__p_{name}", f"__s_{name}")
+    return (
+        out.join(F.broadcast(awc), F.col("slot_s") == F.col("__ws"))
+        .drop("__ws")
+        .join(F.broadcast(gbt), F.col("slot_s") == F.col("__gs"))
+        .drop("__gs")
+        .select(
+            "path",
+            "slot_s",
+            R(F.col("mw_sum3"), 4).alias("mw_sum3"),
+            R(F.col("mw_stddev4"), 4).alias("mw_stddev4"),
+            F.col("mw_count5").cast("bigint").alias("mw_count5"),
+            R(F.col("awc_sum"), 4).alias("awc_sum"),
+            R(F.col("gbt_avg"), 4).alias("gbt_avg"),
+            "gbt_name",
+        )
+        .orderBy("path", "slot_s")
+    )
+
+
+# Holt-Winters confidence bands + aberration, EXACT-oracled: the forecast
+# comes from the same RECURSIVE CTE replay as carbon_series_holtwinters
+# (bit-identical on the 4-decimal-quantized grid), the deviation is a
+# trailing 24-slot mean of |residual| quantized to the same lattice before
+# the window (the r4 oracle-float lesson: DuckDB's windowed aggregates are
+# segment trees, so feed them lattice values and absorb last-ulp jitter in
+# the double-round), and the aberration is pure CASE algebra on top.
+_HW_BANDS_SQL = f"""
+{_HW_SQL.rsplit("SELECT hw.path", 1)[0]},
+fc AS (
+  SELECT hw.path AS path, g.slot_s AS slot_s, g.stat AS stat, hw.fc AS fc
+  FROM hw JOIN idx g ON g.path = hw.path AND g.i = hw.i
+),
+dev AS (
+  SELECT path, slot_s, stat, fc,
+         AVG(ROUND(ROUND(ABS(stat - fc), 8), 4)) OVER (
+             PARTITION BY path ORDER BY slot_s
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS dv
+  FROM fc
+)
+SELECT path, slot_s,
+       ROUND(ROUND(fc + 3.0 * dv, 8), 4) AS hw_upper,
+       ROUND(ROUND(fc - 3.0 * dv, 8), 4) AS hw_lower,
+       ROUND(ROUND(CASE WHEN stat > fc + 3.0 * dv THEN stat - (fc + 3.0 * dv)
+                        WHEN stat < fc - 3.0 * dv THEN stat - (fc - 3.0 * dv)
+                        ELSE CASE WHEN stat IS NOT NULL THEN 0.0 END
+                   END, 8), 4) AS hw_aberration
+FROM dev
+ORDER BY path, slot_s
+"""
+
+
+@register(
+    "carbon_series_hw_bands",
+    _HW_BANDS_SQL,
+    "Graphite holtWintersConfidenceBands(3) + holtWintersAberration(): "
+    "bands = recursive-CTE-replayed forecast +- 3 x trailing-24 mean "
+    "|residual| (lattice-quantized), aberration = excess outside the band",
+)
+def carbon_hw_bands(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.series import holt_winters_forecast
+    from cassabon_spark.queries import R
+
+    quantized = _grid_df(spark, sf_dir).withColumn(
+        "stat", F.round(F.round("stat", 8), 4)
+    )
+    fc = holt_winters_forecast(quantized, season_slots=24).withColumnRenamed(
+        "stat", "fc"
+    )
+    joined = quantized.join(fc, ["path", "slot_s"])
+    w = Window.partitionBy("path").orderBy("slot_s").rowsBetween(-23, 0)
+    resid = F.round(F.round(F.abs(F.col("stat") - F.col("fc")), 8), 4)
+    dv = F.avg(resid).over(w)
+    upper = F.col("fc") + 3.0 * dv
+    lower = F.col("fc") - 3.0 * dv
+    ab = (
+        F.when(F.col("stat") > upper, F.col("stat") - upper)
+        .when(F.col("stat") < lower, F.col("stat") - lower)
+        .otherwise(F.when(F.col("stat").isNotNull(), F.lit(0.0)))
+    )
+    return joined.select(
+        "path",
+        "slot_s",
+        R(upper, 4).alias("hw_upper"),
+        R(lower, 4).alias("hw_lower"),
+        R(ab, 4).alias("hw_aberration"),
+    ).orderBy("path", "slot_s")

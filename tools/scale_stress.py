@@ -196,7 +196,7 @@ def main():
     ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
 
     registry = load_registry()
-    print(f"# SCALE_r04 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
+    print(f"# SCALE_r05 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
     print("| query | wall s | rows | worst stage max/median | straggler (>10x)? |")
@@ -219,6 +219,60 @@ def main():
         )
         print(f"| {name} | {wall:.1f} | {n} | {wtxt} | {'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |")
         details.append((name, stages))
+
+    # carbon-ingest slot (VERDICT r4 #5): the full parse -> route -> all
+    # rollup tiers -> SNAPSHOT-table sink path at 10x the ingest-bench line
+    # volume (20M lines), under the same straggler criterion. The snapshot
+    # sink also exercises the r5 action-log commit path at stress volume.
+    import shutil
+    import tempfile
+
+    from cassabon_spark.config import RollupConfig
+    from cassabon_spark.engine import Engine
+    from cassabon_spark.session import prep as _prep
+
+    _prep(spark)
+    n_lines, n_paths = 20_000_000, 500
+    lines = spark.range(n_lines).select(
+        F.format_string(
+            "svc.host%d.metric%d %d %d",
+            (F.col("id") % n_paths) % 50,
+            F.floor((F.col("id") % n_paths) / 50).cast("long"),
+            (F.col("id") % 100) + 1,
+            F.lit(1_700_000_000) + (F.col("id") / n_paths).cast("long"),
+        ).alias("line")
+    )
+    lines.count()  # materialize the generator before timing the engine
+    cfg = RollupConfig.from_dict(
+        {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
+    )
+    d = tempfile.mkdtemp(prefix="scale_ingest_")
+    try:
+        eng = Engine(
+            spark, cfg, os.path.join(d, "store"), os.path.join(d, "idx"),
+            table_format="snapshot",
+        )
+        t0_ms = time.time() * 1000 - 1000
+        t0 = time.time()
+        counters = eng.ingest_lines(lines)
+        wall = time.time() - t0
+        stages = stage_straggler_report(spark, t0_ms)
+        worst = max(stages, key=lambda s: s["ratio"], default=None)
+        bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
+        failures += len(bad)
+        wtxt = (
+            f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
+            if worst
+            else "n/a"
+        )
+        rate = round(counters["received"] / wall)
+        print(
+            f"| carbon_ingest_20M_snapshot | {wall:.1f} | {counters['received']} "
+            f"({rate}/s) | {wtxt} | {'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
+        )
+        details.append(("carbon_ingest_20M_snapshot", stages))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     print()
     for name, stages in details:
         print(f"## {name} — stages with median >= {MEDIAN_FLOOR_MS:.0f}ms\n")

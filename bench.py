@@ -108,6 +108,11 @@ def main():
             {
                 "metric": "headline_query_wall_seconds",
                 "value": round(total, 3),
+                # cross-round continuity (VERDICT r4 #7): subtotal of the
+                # original 17 names, comparable verbatim back to BENCH_r01
+                "value_original17": round(
+                    sum(times[n] for n in HEADLINE[:17]), 3
+                ),
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

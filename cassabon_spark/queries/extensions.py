@@ -7349,3 +7349,240 @@ def dedup_span_cut(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------- DSIR importance resampling (round 5)
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling"): score every raw document by the log-likelihood ratio of its
+# hashed n-gram features under a TARGET-domain unigram bucket model vs the
+# RAW-corpus model, keep the top fraction — the standard
+# select-pretraining-data-that-looks-like-the-target op.
+#
+# Spark shape: word-bigram features hashed into 64 buckets with the
+# md5-portable h48 (one HOF transform per doc -> explode), the two bucket
+# models are 64-row broadcast aggregates (add-1 smoothed), the per-doc
+# score is one groupBy-sum of per-occurrence log ratios (same plan family
+# as text_bm25_search: SUM of LN terms, 8-then-4 double-round absorbs ulp).
+# Everything is a pure function of the text, so retries/repartitions can't
+# change the selection. Target domain here: the odd-numbered sources
+# (deterministic fixture split); keep fraction 25%, ranked on the
+# 8-decimal requantized score with doc_id tiebreak (repo convention).
+_DSIR_B = 64
+_DSIR_KEEP = 0.25
+_DSIR_TARGET = "('src1','src3','src5','src7','src9')"
+
+_DSIR_SQL = f"""
+WITH t AS ({_TOKS}),
+big AS (
+  SELECT doc_id, source,
+         {_sql_h48("t[i] || ' ' || t[i+1]", "'dsir:'")} % {_DSIR_B} AS b
+  FROM t, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS g(i)
+  WHERE LEN(t) >= 2
+),
+tgt AS (
+  SELECT b, COUNT(*) AS c FROM big WHERE source IN {_DSIR_TARGET} GROUP BY b
+),
+raw AS (
+  SELECT b, COUNT(*) AS c FROM big WHERE source NOT IN {_DSIR_TARGET} GROUP BY b
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM tgt) AS nt, (SELECT SUM(c) FROM raw) AS nr
+),
+scored AS (
+  SELECT big.doc_id,
+         COUNT(*) AS n_feat,
+         SUM(LN((COALESCE(tg.c, 0) + 1.0) / (tot.nt + {_DSIR_B}))
+             - LN((COALESCE(rw.c, 0) + 1.0) / (tot.nr + {_DSIR_B}))) AS logw
+  FROM big
+  LEFT JOIN tgt tg ON tg.b = big.b
+  LEFT JOIN raw rw ON rw.b = big.b
+  CROSS JOIN tot
+  WHERE big.source NOT IN {_DSIR_TARGET}
+  GROUP BY big.doc_id
+),
+ranked AS (
+  SELECT doc_id, n_feat, logw,
+         ROW_NUMBER() OVER (ORDER BY ROUND(logw, 8) DESC, doc_id) AS rnk,
+         COUNT(*) OVER () AS n_docs
+  FROM scored
+)
+SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+       ROUND(ROUND(logw, 8), 4) AS logw,
+       rnk <= CEIL({_DSIR_KEEP} * n_docs) AS kept
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register(
+    "pipeline_dsir_select",
+    _DSIR_SQL,
+    "DSIR importance resampling (Xie et al. 2023): hashed word-bigram "
+    "bucket models (64 buckets, add-1 smoothing) for target sources vs the "
+    "raw rest; per-doc log-likelihood-ratio score, top 25% of raw docs "
+    "kept — deterministic, retry-stable, broadcast models",
+)
+def pipeline_dsir_select(spark, sf_dir):
+    prep(spark)
+    import math
+
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.text import md5_bucket_expr, tokens_expr
+
+    target = {"src1", "src3", "src5", "src7", "src9"}
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "source", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_bucket_expr(F.col("bg"), prefix="dsir:") % _DSIR_B).alias("b"),
+    )
+    is_tgt = F.col("source").isin(*target)
+    tgt = big.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = big.filter(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tgt.agg(F.sum("ct")).first()[0] or 0
+    nr = raw.agg(F.sum("cr")).first()[0] or 0
+    ratio = F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (nt + _DSIR_B)) - F.log(
+        (F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (nr + _DSIR_B)
+    )
+    scored = (
+        big.filter(~is_tgt)
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feat"),
+            F.sum(ratio).alias("logw"),
+        )
+    )
+    w = Window.orderBy(F.desc(F.round("logw", 8)), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy()))
+        .select(
+            "doc_id",
+            "n_feat",
+            R(F.col("logw"), 4).alias("logw"),
+            (F.col("rnk") <= F.ceil(_DSIR_KEEP * F.col("n_docs"))).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------- contrastive hard-negative mining (round 5)
+
+# Hard-negative mining for contrastive/embedding training data: for each
+# anchor vector, the top-3 most-similar corpus vectors with a DIFFERENT
+# label (the "hard" negatives a triplet/InfoNCE batch builder wants) plus
+# the hardest same-label positive's cosine for the margin diagnostic
+# (neg_cosine - pos_cosine > 0 flags label noise / impossible anchors).
+#
+# Spark shape: anchors broadcast against the corpus (same deliberate
+# baseline scan as similarity_topk_cosine — at 100 TB the candidate pool
+# comes from the bucketed ANN family instead, this entry pins the label
+# semantics); per-vector norms precomputed once (the r5 SemDeDup lesson);
+# ranked on the 8-decimal requantized cosine with cid tiebreak.
+_HARDNEG_K = 3
+
+_HARDNEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, label AS ql,
+         {_IVF_NORM.format(a="embedding")} AS qn
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS cid, embedding AS ce, label AS cl,
+         {_IVF_NORM.format(a="embedding")} AS cn
+  FROM embeddings
+),
+pairs AS (
+  SELECT qid, ql, cid, cl,
+         {_IVF_DOT.format(a="qe", b="ce")} / (qn * cn) AS cos
+  FROM q, c WHERE qid <> cid
+),
+neg AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cos, 8) DESC, cid) AS rnk
+  FROM pairs WHERE ql <> cl
+),
+pos AS (
+  SELECT qid, MAX(ROUND(cos, 8)) AS best_pos FROM pairs WHERE ql = cl GROUP BY qid
+)
+SELECT n.qid, n.cid AS neg_id, CAST(n.rnk AS BIGINT) AS rnk,
+       ROUND(ROUND(n.cos, 8), 4) AS neg_cosine,
+       ROUND(ROUND(p.best_pos, 8), 4) AS best_pos_cosine,
+       ROUND(n.cos, 8) > p.best_pos AS harder_than_positive
+FROM neg n JOIN pos p USING (qid)
+WHERE n.rnk <= {_HARDNEG_K}
+ORDER BY n.qid, n.rnk
+"""
+
+
+@register(
+    "similarity_hard_negatives",
+    _HARDNEG_SQL,
+    "contrastive hard-negative mining: per anchor, top-3 most-similar "
+    "DIFFERENT-label vectors + hardest same-label positive cosine and the "
+    "harder-than-positive flag (label-noise diagnostic); norms precomputed, "
+    "8-decimal requantized ranking",
+)
+def similarity_hard_negatives(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True).withColumn(
+        "nrm", l2_norm_expr("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cl"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = dot_expr("qe", "ce") / (F.col("qn") * F.col("cn"))
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cos)
+    )
+    wn = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos", 8)), F.asc("cid")
+    )
+    neg = (
+        pairs.filter(F.col("ql") != F.col("cl"))
+        .withColumn("rnk", F.row_number().over(wn).cast("bigint"))
+        .filter(F.col("rnk") <= _HARDNEG_K)
+    )
+    pos = (
+        pairs.filter(F.col("ql") == F.col("cl"))
+        .groupBy("qid")
+        .agg(F.max(F.round("cos", 8)).alias("best_pos"))
+    )
+    return (
+        neg.join(pos, "qid")
+        .select(
+            "qid",
+            F.col("cid").alias("neg_id"),
+            "rnk",
+            R(F.col("cos"), 4).alias("neg_cosine"),
+            R(F.col("best_pos"), 4).alias("best_pos_cosine"),
+            (F.round("cos", 8) > F.col("best_pos")).alias("harder_than_positive"),
+        )
+        .orderBy("qid", "rnk")
+    )

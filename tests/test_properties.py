@@ -369,3 +369,61 @@ def test_zorder_key_bijective_and_local(spark):
 
     for r in rows:
         assert (r.z >> 4) == morton2(r.a >> 2, r.b >> 2, 2)
+
+
+# --------------------------------------------- snapshot action-log replay (r5)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_action_log_replay_matches_naive_accumulation(tmp_path_factory, data):
+    """r5 manifest format: for ANY sequence of add/remove/legacy-full
+    commits, snapshot(v) reconstructed through the memo/checkpoint/replay
+    machinery must equal the naive in-Python accumulation of the same
+    actions — at every historical version, from a cold instance, and
+    after a mid-history checkpoint."""
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    root = tmp_path_factory.mktemp("alog")
+    t = SnapshotTable(spark=None, root=str(root))
+    t.checkpoint_every = data.draw(st.integers(min_value=2, max_value=5))
+
+    def entry(i):
+        return {"path": f"p/{i:05d}.parquet", "partition": {}, "bytes": 1,
+                "stats": {"rows": 1}}
+
+    schema = {"type": "struct", "fields": []}
+    naive: list[list[str]] = []  # per-version live path lists
+    live: list[dict] = []
+    next_id = 0
+    parent = None
+    n_commits = data.draw(st.integers(min_value=1, max_value=12))
+    for _ in range(n_commits):
+        kind = data.draw(st.sampled_from(["add", "remove", "mixed", "legacy"]))
+        n_add = data.draw(st.integers(min_value=0, max_value=3))
+        adds = [entry(next_id + j) for j in range(n_add)]
+        next_id += n_add
+        rm = []
+        if kind in ("remove", "mixed") and live:
+            rm = [f["path"] for f in data.draw(
+                st.lists(st.sampled_from(live), max_size=2, unique_by=lambda f: f["path"])
+            )]
+        if kind == "legacy":
+            live = [f for f in live if f["path"] not in rm] + adds
+            parent = t._commit(parent, {"op": "append", "files": list(live),
+                                        "schema": schema})
+        else:
+            live = [f for f in live if f["path"] not in rm] + adds
+            parent = t._commit(parent, {"op": "append", "add": adds,
+                                        "remove": rm, "schema": schema})
+        naive.append([f["path"] for f in live])
+
+    # warm instance, every version
+    for v, expect in enumerate(naive):
+        assert [f["path"] for f in t.snapshot(v)["files"]] == expect
+    # cold instance (no memo), head and a random historical version
+    cold = SnapshotTable(spark=None, root=str(root))
+    cold.checkpoint_every = t.checkpoint_every
+    assert [f["path"] for f in cold.snapshot()["files"]] == naive[-1]
+    v = data.draw(st.integers(min_value=0, max_value=len(naive) - 1))
+    assert [f["path"] for f in cold.snapshot(v)["files"]] == naive[v]

@@ -7586,3 +7586,126 @@ def similarity_hard_negatives(spark, sf_dir):
         )
         .orderBy("qid", "rnk")
     )
+
+
+# ------------------------------------ D4 prototype pruning (round 5)
+
+# The second half of D4 (Tirumala et al. 2023: SemDeDup then "SSL
+# prototypes" pruning): after near-duplicates are removed, drop the most
+# PROTOTYPICAL points — those closest to their cluster's centroid — which
+# carry the least marginal information for training. Clusters are the same
+# deterministic md5-pivot cells as dedup_semdedup/similarity_ivf_topk, the
+# centroid is the cell's mean vector, and the bottom 20% by (requantized)
+# centroid cosine per cell is marked pruned. Everything is mean/cosine
+# arithmetic in fixed association order, so the whole op sits under the
+# exact gate; norms precomputed once per side (r5 SemDeDup lesson).
+_D4_K = 8
+_D4_PRUNE = 0.20
+
+_D4_SQL = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
+    FROM embeddings
+  ) WHERE prn <= {_D4_K}
+),
+cells AS (
+  SELECT vec_id, embedding, pivot_id FROM (
+    SELECT e.vec_id, e.embedding, p.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+  ) WHERE prnk = 1
+),
+cent AS (
+  SELECT pivot_id, LIST(s ORDER BY i) AS ce FROM (
+    SELECT pivot_id, i, SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS s
+    FROM cells, UNNEST(GENERATE_SERIES(1, 64)) AS g(i)
+    GROUP BY pivot_id, i
+  ) GROUP BY pivot_id
+),
+prox AS (
+  SELECT c.vec_id, c.pivot_id,
+         {_IVF_DOT.format(a="c.embedding", b="ct.ce")}
+           / ({_IVF_NORM.format(a="c.embedding")} * {_IVF_NORM.format(a="ct.ce")}) AS proto_cos
+  FROM cells c JOIN cent ct USING (pivot_id)
+),
+ranked AS (
+  SELECT vec_id, pivot_id, proto_cos,
+         ROW_NUMBER() OVER (PARTITION BY pivot_id
+                            ORDER BY ROUND(proto_cos, 8) DESC, vec_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY pivot_id) AS n_cell
+  FROM prox
+)
+SELECT vec_id, CAST(pivot_id AS BIGINT) AS pivot_id,
+       ROUND(ROUND(proto_cos, 8), 4) AS proto_cos,
+       rnk <= CEIL({_D4_PRUNE} * n_cell) AS pruned
+FROM ranked
+ORDER BY vec_id
+"""
+
+
+@register(
+    "pipeline_d4_prototype_prune",
+    _D4_SQL,
+    "D4 prototype pruning (Tirumala et al. 2023): md5-pivot cells, "
+    "per-cell mean centroid, the 20% most-prototypical (highest centroid "
+    "cosine) marked pruned — the drop-the-least-informative companion to "
+    "dedup_semdedup; deterministic, fully under the exact gate",
+)
+def pipeline_d4_prototype_prune(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_D4_K)
+        .select(
+            F.col("vec_id").alias("pivot_id"),
+            F.col("embedding").alias("pe"),
+            l2_norm_expr("embedding").alias("pnrm"),
+        )
+    )
+    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    cells = (
+        emb.withColumn("vnrm", l2_norm_expr("embedding"))
+        .crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_assign))
+        .filter(F.col("prnk") == 1)
+        .select("vec_id", "embedding", "pivot_id", "vnrm")
+    )
+    # centroid = element-wise mean: aggregate each dim with SUM/COUNT in
+    # the same association order DuckDB's LIST_TRANSFORM-of-SUM uses
+    cent = cells.groupBy("pivot_id").agg(
+        F.array(
+            *[
+                (F.sum(F.element_at("embedding", i + 1).cast("double")) / F.count(F.lit(1)))
+                for i in range(64)
+            ]
+        ).alias("ce")
+    )
+    proto_cos = dot_expr("embedding", "ce") / (F.col("vnrm") * l2_norm_expr("ce"))
+    wr = Window.partitionBy("pivot_id").orderBy(
+        F.desc(F.round("proto_cos", 8)), F.asc("vec_id")
+    )
+    wc = Window.partitionBy("pivot_id")
+    return (
+        cells.join(F.broadcast(cent), "pivot_id")
+        .withColumn("proto_cos", proto_cos)
+        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("n_cell", F.count(F.lit(1)).over(wc))
+        .select(
+            "vec_id",
+            F.col("pivot_id").cast("bigint").alias("pivot_id"),
+            R(F.col("proto_cos"), 4).alias("proto_cos"),
+            (F.col("rnk") <= F.ceil(_D4_PRUNE * F.col("n_cell"))).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )

@@ -389,3 +389,23 @@ def test_series_conservation_properties(spark):
         if v is not None:
             assert prev is None or v >= prev - 1e-9
             prev = v
+
+
+def test_as_percent_of_series_multi_series_total_sums_not_fans_out(spark):
+    """ADVICE r4: a multi-series total grid must be aggregated per slot
+    (graphite sums a multi-series total via sumSeries) — a raw left join
+    would fan out and duplicate every grid row."""
+    from cassabon_spark.functions.series import as_percent_of_series
+
+    g = spark.createDataFrame(
+        [("a", 10, 5.0), ("a", 20, 2.0)], "path string, slot_s bigint, stat double"
+    )
+    tot = spark.createDataFrame(
+        [("t1", 10, 10.0), ("t2", 10, 40.0), ("t1", 20, None)],
+        "path string, slot_s bigint, stat double",
+    )
+    out = {(r["path"], r["slot_s"]): r["stat"]
+           for r in as_percent_of_series(g, tot).collect()}
+    assert len(out) == 2  # no fan-out: one row per input grid row
+    assert out[("a", 10)] == 5.0 * 100.0 / 50.0  # total summed across series
+    assert out[("a", 20)] is None  # all-null total slot -> null, not zero

@@ -7709,3 +7709,232 @@ def pipeline_d4_prototype_prune(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------- CCNet perplexity-bucket mix (round 5)
+
+# CCNet (Wenzek et al. 2020) quality bucketing: rank documents per lang by
+# their LM surprisal (here the corpus's own unigram model, the same score
+# text_unigram_surprisal gates), split into head/middle/tail terciles, and
+# downsample each bucket at a different rate (head kept, tail mostly
+# dropped) — the classic perplexity-filtered pretraining mix. NTILE on the
+# requantized score with doc_id tiebreak makes the bucket assignment
+# deterministic in both engines; the keep decision is the md5-hash
+# keep-rate pattern (retry-stable, partition-invariant).
+_CCNET_RATES = {1: 1.0, 2: 0.5, 3: 0.1}  # head, middle, tail
+
+_CCNET_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok AS tok
+  FROM (
+    SELECT doc_id, lang,
+           STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS tt
+    FROM documents
+    WHERE LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) > 0
+  ), UNNEST(tt) AS t(tok)
+),
+vocab AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok),
+tot AS (SELECT lang, SUM(cnt) AS n FROM vocab GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, t.lang, AVG(-LN(v.cnt * 1.0 / o.n)) AS surprisal
+  FROM toks t JOIN vocab v ON v.lang = t.lang AND v.tok = t.tok
+              JOIN tot o ON o.lang = t.lang
+  GROUP BY t.doc_id, t.lang
+),
+bucketed AS (
+  SELECT doc_id, lang, surprisal,
+         NTILE(3) OVER (PARTITION BY lang
+                        ORDER BY ROUND(surprisal, 8), doc_id) AS bucket
+  FROM scored
+),
+decided AS (
+  SELECT lang, bucket, surprisal,
+         CASE WHEN {_sql_h48("CAST(doc_id AS VARCHAR)", "'ccnet:'")} % 1000000
+                   < CAST(FLOOR(1000000.0 * CASE bucket
+                       WHEN 1 THEN {_CCNET_RATES[1]}
+                       WHEN 2 THEN {_CCNET_RATES[2]}
+                       ELSE {_CCNET_RATES[3]} END) AS BIGINT)
+              THEN 1 ELSE 0 END AS kept
+  FROM bucketed
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       ROUND(ROUND(AVG(surprisal), 8), 4) AS avg_surprisal
+FROM decided
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register(
+    "pipeline_ccnet_buckets",
+    _CCNET_SQL,
+    "CCNet perplexity bucketing (Wenzek et al. 2020): per-lang surprisal "
+    "terciles (head/middle/tail), bucket keep-rates 1.0/0.5/0.1 via the "
+    "deterministic md5 keep-rate pattern — the perplexity-filtered "
+    "pretraining mix, retry-stable",
+)
+def pipeline_ccnet_buckets(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.functions.text import md5_bucket_expr, tokens_expr
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("tok")
+    )
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("surprisal"))
+    )
+    wb = Window.partitionBy("lang").orderBy(F.round("surprisal", 8), F.asc("doc_id"))
+    rate = (
+        F.when(F.col("bucket") == 1, F.lit(_CCNET_RATES[1]))
+        .when(F.col("bucket") == 2, F.lit(_CCNET_RATES[2]))
+        .otherwise(F.lit(_CCNET_RATES[3]))
+    )
+    kept = (
+        md5_bucket_expr(F.col("doc_id").cast("string"), prefix="ccnet:") % 1000000
+        < F.floor(1000000.0 * rate).cast("bigint")
+    ).cast("int")
+    return (
+        scored.withColumn("bucket", F.ntile(3).over(wb).cast("bigint"))
+        .withColumn("kept", kept)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            R(F.avg("surprisal"), 4).alias("avg_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# ------------------------------- MinHash containment dedup (round 5)
+
+# Containment C(A,B) = |A ∩ B| / |A| over shingle sets: near-SUPERSET
+# detection — a doc whose shingles are mostly contained in another (quoted
+# article, boilerplate-wrapped copy) has high containment but can sit far
+# below any symmetric-Jaccard threshold, so plain near-dup dedup misses
+# it. Candidates come from the SAME LSH band index as dedup_minhash_lsh
+# (mirrored in the oracle, so the gate is exact regardless of band
+# recall); verification reports both directions plus jaccard and flags
+# pure supersets (max containment >= 0.9 while jaccard < 0.7).
+_CONTAIN_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (SELECT doc_id, lang, {_mh_cols_sql} FROM sh GROUP BY doc_id, lang),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1
+              JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       ROUND(ROUND(i * 1.0 / x.n, 8), 4) AS contain_1in2,
+       ROUND(ROUND(i * 1.0 / y.n, 8), 4) AS contain_2in1,
+       ROUND(ROUND(i * 1.0 / (x.n + y.n - i), 8), 4) AS jaccard,
+       GREATEST(i * 1.0 / x.n, i * 1.0 / y.n) >= 0.9
+         AND i * 1.0 / (x.n + y.n - i) < 0.7 AS superset_only
+FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+WHERE GREATEST(i * 1.0 / x.n, i * 1.0 / y.n) >= 0.5
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_containment",
+    _CONTAIN_SQL,
+    "MinHash containment dedup: |A∩B|/|A| both directions over shingle "
+    "sets for LSH band candidates — near-SUPERSET detection (quoted/"
+    "boilerplate-wrapped copies that symmetric Jaccard misses); "
+    "superset_only flags containment >= 0.9 with jaccard < 0.7",
+)
+def dedup_containment(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import (
+        md5_chunk_hash_expr,
+        tokens_expr,
+        word_shingles_expr,
+    )
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
+    ).cache()
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2*b}").cast("string"),
+                    F.col(f"h{2*b+1}").cast("string"),
+                )
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    bands = mh.select("doc_id", "lang", band_keys.alias("bks")).select(
+        "doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")
+    )
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1)
+            != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    cand = salted_self_pairs(
+        bands, ["band", "bkey", "lang"], "doc_id",
+        pair_cond=first_match, unique_pairs=True,
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
+    inter = (
+        cand.join(s1, F.col("d1") == F.col("sd1"))
+        .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    c1 = F.col("i") / F.col("x.n")
+    c2 = F.col("i") / F.col("y.n")
+    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    return (
+        inter.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(y, F.col("d2") == F.col("y.doc_id"))
+        .filter(F.greatest(c1, c2) >= 0.5)
+        .select(
+            "d1",
+            "d2",
+            R(c1, 4).alias("contain_1in2"),
+            R(c2, 4).alias("contain_2in1"),
+            R(jac, 4).alias("jaccard"),
+            ((F.greatest(c1, c2) >= 0.9) & (jac < 0.7)).alias("superset_only"),
+        )
+        .orderBy("d1", "d2")
+    )

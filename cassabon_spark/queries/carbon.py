@@ -1977,8 +1977,15 @@ def carbon_linreg(spark, sf_dir):
     )
 
 
+# transforms run on the LATTICE-QUANTIZED grid (SURVEY §10 rule 3): the
+# raw grid stat is vsum/cnt whose SUM association order is engine-specific
+# (one last-ulp difference surfaced at sf0.1 exactly on persec's 4-decimal
+# rounding boundary, 0.52965); quantizing the input first makes every
+# downstream transform the same double op on the same double in both
+# engines.
 _TRANSFORM_FAMILY_SQL = f"""
-{_GRID_CTE}
+{_GRID_CTE},
+q AS (SELECT path, slot_s, ROUND(ROUND(stat, 8), 4) AS stat FROM grid)
 SELECT path, slot_s,
        ROUND(ROUND(ABS(stat), 8), 4) AS abs_v,
        ROUND(ROUND(CASE WHEN stat <> 0 THEN 1.0 / stat END, 8), 4) AS inv_v,
@@ -1989,8 +1996,14 @@ SELECT path, slot_s,
        ROUND(ROUND(COALESCE(stat, 0), 8), 4) AS tnull_v,
        ROUND(ROUND(LAG(stat, 2) OVER (PARTITION BY path ORDER BY slot_s), 8), 4)
            AS delay_v,
-       ROUND(ROUND(stat * 60 / 3600, 8), 4) AS persec_min_v
-FROM grid
+       -- stat/60 on the 4-decimal lattice terminates at the 5th decimal,
+       -- so EXACT .xxxx5 halves are systematic here — and the two engines
+       -- round them differently (DuckDB rounds the true binary double,
+       -- which sits a hair BELOW the half; Spark rounds the shortest
+       -- decimal repr HALF_UP). Mirror Spark by rounding in decimal:
+       CAST(ROUND(CAST(ROUND(stat * 60 / 3600, 8) AS DECIMAL(18, 8)), 4)
+            AS DOUBLE) AS persec_min_v
+FROM q
 ORDER BY path, slot_s
 """
 
@@ -2017,7 +2030,11 @@ def carbon_transform_family(spark, sf_dir):
     )
     from cassabon_spark.queries import R
 
-    grid = _grid_df(spark, sf_dir)
+    # lattice-quantized input (see the oracle comment): the raw grid's
+    # SUM association order is engine-specific
+    grid = _grid_df(spark, sf_dir).withColumn(
+        "stat", F.round(F.round("stat", 8), 4)
+    )
     fams = {
         "abs_v": absolute(grid),
         "inv_v": invert(grid),

@@ -7938,3 +7938,57 @@ def dedup_containment(spark, sf_dir):
         )
         .orderBy("d1", "d2")
     )
+
+
+# ----------------------------------- snapshot CDC feed under the gate (r5)
+
+# The action-log CDC contract (sources/snapshot.py read_changes) end to
+# end through the REAL table machinery, value-gated: three commits build a
+# lang-partitioned snapshot (base append, incremental append, retention
+# drop), and the consumer reads the changes SINCE the base version. With
+# r5 manifests the feed is literally the commit log's "add" lists — the
+# oracle states the relational definition (exactly the second batch's
+# rows, minus nothing: a retention commit removes files but appends no
+# rows, so it must contribute NOTHING to an append-diff feed even though
+# it changes the table).
+_CDC_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+WHERE doc_id % 3 = 1
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "snapshot_cdc_feed",
+    _CDC_SQL,
+    "snapshot-table CDC: base append -> incremental append -> retention "
+    "drop, then read_changes(base) — the action-log 'add' lists ARE the "
+    "feed; the retention commit (remove-only) contributes nothing; "
+    "aggregated per lang and value-gated against the relational definition",
+)
+def snapshot_cdc_feed(spark, sf_dir):
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    docs = T(spark, sf_dir, "documents")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="cassabon_cdc_"))
+    base_v = t.append(docs.filter(F.col("doc_id") % 3 == 0), partition_cols=("lang",))
+    t.append(docs.filter(F.col("doc_id") % 3 == 1), partition_cols=("lang",))
+    # remove-only commit: drops a whole lang partition from the TABLE but
+    # must not surface in the append-diff feed
+    t.drop_partitions(lambda p: p["lang"] == "en")
+    return (
+        t.read_changes(base_v)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )

@@ -23,6 +23,7 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassabon_spark import get_spark  # noqa: E402
+from cassabon_spark.plans.window_audit import audit_windows  # noqa: E402
 from cassabon_spark.queries import load_registry  # noqa: E402
 from cassabon_spark.session import prep  # noqa: E402
 
@@ -106,6 +107,10 @@ def main():
                 flags.append("CARTESIAN!")
             if a["scans"] and a["scans_with_pushdown"] == 0 and "carbon" not in name:
                 flags.append("no-pushdown")
+            # r6 (VERDICT r5 #2): single-task / low-cardinality sort
+            # windows — the scale-killer class the exchange/BNLJ counts
+            # missed in round 5
+            flags.extend(audit_windows(plan))
             print(
                 f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
                 + ("  " + ",".join(flags) if flags else "")

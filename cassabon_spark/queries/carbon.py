@@ -2338,11 +2338,26 @@ def carbon_movingwindow_family(spark, sf_dir):
     mw_s = moving_window(grid, 3, "sum")
     mw_d = moving_window(grid, 4, "stddev")
     mw_c = moving_window(grid, 5, "count")
-    awc = combine_with_wildcards(grid, "sum", 1).select(
+    awc_full = combine_with_wildcards(grid, "sum", 1)
+    tagged = grid.withColumn("path", F.concat(F.col("path"), F.lit(";dc=east")))
+    gbt_full = group_by_tags(tagged, "avg", "dc")
+    # fixture-drift guard (ADVICE r5): the slot_s-only joins below are
+    # fan-out-free ONLY because dropping path segment 1 (and grouping on
+    # the dc tag) collapses ALL fixture paths into exactly one series —
+    # fail loudly if a future fixture breaks that, instead of silently
+    # multiplying rows into an oracle diff
+    for nm, fr in (("aggregateWithWildcards", awc_full), ("groupByTags", gbt_full)):
+        n_series = fr.select("path").distinct().count()
+        if n_series != 1:
+            raise ValueError(
+                f"carbon_series_movingwindow_family: {nm} yielded {n_series} "
+                "series (expected 1) — fixture paths no longer fully "
+                "collapse; join on the combined path as well as slot_s"
+            )
+    awc = awc_full.select(
         F.col("slot_s").alias("__ws"), F.col("stat").alias("awc_sum")
     )
-    tagged = grid.withColumn("path", F.concat(F.col("path"), F.lit(";dc=east")))
-    gbt = group_by_tags(tagged, "avg", "dc").select(
+    gbt = gbt_full.select(
         F.col("slot_s").alias("__gs"),
         F.col("stat").alias("gbt_avg"),
         F.col("path").alias("gbt_name"),

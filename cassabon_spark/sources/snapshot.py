@@ -289,14 +289,18 @@ class SnapshotTable:
         import time
 
         next_v = 0 if parent is None else parent + 1
-        if "constraints" not in payload and parent is not None:
-            payload["constraints"] = self._load(parent).get("constraints", {})
+        # copy BEFORE filling defaults: mutating the caller's dict would make
+        # a commit-conflict retry against a NEW parent reuse the constraint
+        # set captured from the ORIGINAL parent, silently reverting a racer's
+        # add_constraint/drop_constraint (ADVICE r5)
         payload = {
             **payload,
             "version": next_v,
             "parent": parent,
             "committed_at": time.time(),
         }
+        if "constraints" not in payload and parent is not None:
+            payload["constraints"] = self._load(parent).get("constraints", {})
         tmp = Path(self.root, MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
         final = self._manifest_path(next_v)
@@ -995,9 +999,18 @@ class SnapshotTable:
         }
         # action-log manifests: the oldest retained version must stay
         # reconstructible after its ancestors' manifests are pruned — force
-        # a checkpoint there first (idempotent if one already exists)
-        if retained and retained[0] > 0 and not self._ckpt_path(retained[0]).exists():
-            self._write_checkpoint(retained[0], self._files_at(retained[0]))
+        # a checkpoint there first (idempotent if one already exists).
+        # _write_checkpoint is best-effort by design everywhere ELSE (losing
+        # a periodic checkpoint only costs replay depth); HERE its absence
+        # would make every retained snapshot unreconstructible once the
+        # ancestor manifests are unlinked, so verify it actually landed and
+        # keep the ancestors if it did not (ADVICE r5).
+        prune_manifests = True
+        if retained and retained[0] > 0:
+            if not self._ckpt_path(retained[0]).exists():
+                self._write_checkpoint(retained[0], self._files_at(retained[0]))
+            if not self._ckpt_path(retained[0]).exists():
+                prune_manifests = False
         cutoff = time.time() - grace_s
         deleted = []
         for p in sorted(Path(self.root).rglob("*.parquet")):
@@ -1034,14 +1047,15 @@ class SnapshotTable:
                     d.rmdir()
             except OSError:
                 continue  # a racing writer repopulated / removed it
-        for v in vs[:-retain_last] if retain_last > 0 else vs:
-            self._manifest_path(v).unlink(missing_ok=True)
-        # checkpoints older than the oldest retained version (or all of
-        # them when nothing is retained) serve no snapshot — prune them too
-        floor_v = retained[0] if retained else (vs[-1] + 1 if vs else 0)
-        for c in self._ckpt_versions():
-            if c < floor_v:
-                self._ckpt_path(c).unlink(missing_ok=True)
+        if prune_manifests:
+            for v in vs[:-retain_last] if retain_last > 0 else vs:
+                self._manifest_path(v).unlink(missing_ok=True)
+            # checkpoints older than the oldest retained version (or all of
+            # them when nothing is retained) serve no snapshot — prune too
+            floor_v = retained[0] if retained else (vs[-1] + 1 if vs else 0)
+            for c in self._ckpt_versions():
+                if c < floor_v:
+                    self._ckpt_path(c).unlink(missing_ok=True)
         return deleted
 
 

@@ -866,3 +866,82 @@ def test_vacuum_checkpoints_oldest_retained_before_pruning(spark, tmp_path):
     cold = SnapshotTable(spark, t.root)
     assert cold.read(version=3).count() == 4 + 3
     assert cold.read().count() == 4 + 4
+
+
+# ------------------------------------------------- r6: ADVICE r5 fixes
+
+
+def test_optimize_retry_preserves_racer_constraints(spark, tmp_path):
+    """ADVICE r5 (medium): a commit-conflict retry must re-read the
+    constraint set from the NEW parent. _commit used to fill the default
+    into the CALLER'S payload dict, so optimize's retry carried the stale
+    set captured from the original parent and silently reverted a racing
+    add_constraint."""
+    t = _mk(spark, tmp_path, ROWS)
+    t2 = SnapshotTable(spark, t.root)
+    orig = t._commit
+    state = {"raced": False}
+
+    def racing_commit(parent, payload):
+        if not state["raced"]:
+            state["raced"] = True
+            t2.add_constraint("v_positive", "v > 0")
+        return orig(parent, payload)
+
+    t._commit = racing_commit
+    t.optimize(zorder_by=["v"])
+    assert t.snapshot().get("constraints") == {"v_positive": "v > 0"}
+    # and the constraint is live: a violating append is rejected
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(
+            spark.createDataFrame(
+                [("z", -1, 10, "2020-01-09")],
+                "k string, v bigint, res bigint, day string",
+            ),
+            partition_cols=("res", "day"),
+        )
+
+
+def test_commit_does_not_mutate_caller_payload(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.add_constraint("v_positive", "v > 0")
+    payload = {"op": "retention", "add": [], "remove": []}
+    t._commit(t.version(), payload)
+    assert payload == {"op": "retention", "add": [], "remove": []}
+    # the default was still applied to the WRITTEN manifest
+    assert t.snapshot().get("constraints") == {"v_positive": "v > 0"}
+
+
+def test_vacuum_keeps_ancestors_when_checkpoint_write_fails(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): vacuum force-checkpoints the oldest retained
+    version before unlinking ancestor manifests. If that write silently
+    fails (disk full — _write_checkpoint is best-effort by design), the
+    ancestors must SURVIVE or every retained snapshot becomes permanently
+    unreconstructible."""
+    t = _mk(spark, tmp_path, ROWS)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [("c", 5 + i, 10, "2020-01-03")],
+                "k string, v bigint, res bigint, day string",
+            ),
+            partition_cols=("res", "day"),
+        )
+    head = t.version()
+    assert head > 0 and not t._ckpt_path(head).exists()
+
+    monkeypatch.setattr(
+        SnapshotTable, "_write_checkpoint", lambda self, v, files: None
+    )
+    t.vacuum(retain_last=1)
+    # ancestor manifests survived; the head snapshot still reconstructs
+    assert t._manifest_path(0).exists()
+    assert t.read().count() == 7
+
+    monkeypatch.undo()
+    fresh = SnapshotTable(spark, t.root)
+    fresh.vacuum(retain_last=1)
+    # now the checkpoint landed and the ancestors are pruned
+    assert fresh._ckpt_path(head).exists()
+    assert not fresh._manifest_path(0).exists()
+    assert fresh.read().count() == 7

@@ -222,3 +222,24 @@ def test_unknown_source_rejected(spark):
 
     with _pytest.raises(ValueError, match="unknown ingest source"):
         lines_reader(spark, source="carrier-pigeon")
+
+
+def test_await_or_raise_guards_partial_sinks(spark):
+    # VERDICT r5 #4: every streaming entry funnels through _await_or_raise;
+    # a query that cannot finish within the timeout must raise (and be
+    # stopped), never let the caller read a partial sink.
+    import pytest as _pytest
+
+    from cassabon_spark.queries.extensions import _await_or_raise
+
+    stream = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("neg_await_guard")
+        .outputMode("append")
+        .start()  # processing-time trigger: never terminates on its own
+    )
+    with _pytest.raises(RuntimeError, match="did not terminate"):
+        _await_or_raise(q, "neg_await_guard", timeout_s=2)
+    q.awaitTermination(10)
+    assert not q.isActive

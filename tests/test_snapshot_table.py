@@ -810,6 +810,7 @@ def test_checkpoint_allows_reconstruction_after_ancestor_loss(spark, tmp_path, m
             ),
             partition_cols=("res", "day"),
         )
+    t._ckpt_flush()  # checkpoint writes are async since r6 — land them
     assert (Path(t.root) / "_manifests" / "c000000000003.json").exists()
     # simulate vacuum's manifest pruning below the checkpoint
     for v in (0, 1, 2):

@@ -103,6 +103,9 @@ def bench_delta(root: str, n_files: int, batch: int) -> dict:
     return {
         "build_s": round(build_s, 3),
         "commit_p50_s": round(sorted(commit_times)[len(commit_times) // 2], 5),
+        "commit_p99_s": round(
+            sorted(commit_times)[max(0, int(len(commit_times) * 0.99) - 1)], 5
+        ),
         "commit_max_s": round(max(commit_times), 5),
         "hot_commit_s": round(hot_commit_s, 5),
         "cold_head_load_s": round(cold_load_s, 4),

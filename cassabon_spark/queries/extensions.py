@@ -292,7 +292,20 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
     per_session = _MINHASH_FRAMES_MEMO.setdefault(spark, {})
     memo_key = _os.path.abspath(str(sf_dir))
     if memo_key in per_session:
-        return per_session[memo_key]
+        out = per_session[memo_key]
+        # LAZY persist of the direct-path pair frame (r6, VERDICT r5 #6):
+        # the verified pair frame can be tens of millions of rows on a
+        # near-dup-heavy corpus even when the exact-content collapse probe
+        # stays low (near-dup mass is not exact-dup mass), so the FIRST
+        # caller never pays the cache write — the frame is persisted only
+        # when a second family query actually asks for it. Upstream sh/mh
+        # caches carry most of the follower speedup either way.
+        if not out["collapse"] and not out.get("_pairs_persisted"):
+            from pyspark import StorageLevel
+
+            out["pairs"] = out["pairs"].persist(StorageLevel.MEMORY_AND_DISK)
+            out["_pairs_persisted"] = True
+        return out
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     # CONTENT COLLAPSE (r4 scale fix): docs with IDENTICAL (lang, text)
@@ -427,10 +440,14 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
     if not collapse:  # direct path: LSH ran over every doc
         out = {
             "collapse": False,
-            "pairs": verified.persist(StorageLevel.MEMORY_AND_DISK),
+            # not persisted on first build — see the lazy persist at the
+            # memo hit above (a single-query session never materializes
+            # a potentially pair-heavy cache it will not reuse)
+            "pairs": verified,
             "rep_pairs": None,
             "grp": None,
             "reps": None,
+            "_pairs_persisted": False,
         }
         per_session[memo_key] = out
         return out
@@ -8066,4 +8083,331 @@ def snapshot_cdc_feed(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("chars_total"),
         )
         .orderBy("lang")
+    )
+
+
+# ------------------------------------ edit-distance near-dup verify (r6)
+
+# Edit-distance verification over the SAME LSH band candidates as
+# dedup_minhash_lsh: token-shingle Jaccard is blind to the CHARACTER
+# structure of an edit (a one-word substitution in a 3-shingle window
+# perturbs 3 shingles but only a few characters), so curation pipelines
+# that quote an "edit similarity" dedup bar (e.g. the near-dup analyses
+# in Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better") verify candidates with normalized Levenshtein instead.
+# Candidate generation is the banded index (never all-pairs); the O(L^2)
+# DP runs ONLY on candidate pairs, JVM-side via the built-in levenshtein
+# (at 100 TB the threshold-bounded variant levenshtein(l, r, bound)
+# caps the DP band — same builtin, one extra arg). near_dup compares the
+# RAW ratio in both engines (int/int division — bit-identical), so the
+# 0.8 boundary cannot straddle.
+_EDITDIST_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (SELECT doc_id, lang, {_mh_cols_sql} FROM sh GROUP BY doc_id, lang),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT c.d1, c.d2,
+       CAST(LEVENSHTEIN(x.text, y.text) AS BIGINT) AS lev,
+       ROUND(ROUND(1.0 - LEVENSHTEIN(x.text, y.text) * 1.0
+                         / GREATEST(LEN(x.text), LEN(y.text)), 8), 4) AS edit_sim,
+       1.0 - LEVENSHTEIN(x.text, y.text) * 1.0
+             / GREATEST(LEN(x.text), LEN(y.text)) >= 0.8 AS near_dup
+FROM cand c
+JOIN documents x ON x.doc_id = c.d1
+JOIN documents y ON y.doc_id = c.d2
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_edit_distance",
+    _EDITDIST_SQL,
+    "edit-distance near-dup verify: LSH band candidates scored with "
+    "normalized Levenshtein (1 - lev/max_len), near_dup at >= 0.8 — the "
+    "character-level dedup bar shingle Jaccard is blind to; DP runs only "
+    "on banded candidates, never all-pairs",
+)
+def dedup_edit_distance(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import (
+        md5_chunk_hash_expr,
+        tokens_expr,
+        word_shingles_expr,
+    )
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
+    )
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2*b}").cast("string"),
+                    F.col(f"h{2*b+1}").cast("string"),
+                )
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    bands = mh.select("doc_id", "lang", band_keys.alias("bks")).select(
+        "doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")
+    )
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1)
+            != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    cand = salted_self_pairs(
+        bands, ["band", "bkey", "lang"], "doc_id",
+        pair_cond=first_match, unique_pairs=True,
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+    x = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
+    y = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
+    lev = F.levenshtein("t1", "t2")
+    sim_raw = 1.0 - lev / F.greatest(F.length("t1"), F.length("t2"))
+    return (
+        cand.join(x, "d1")
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            lev.cast("bigint").alias("lev"),
+            R(sim_raw, 4).alias("edit_sim"),
+            (sim_raw >= 0.8).alias("near_dup"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# ------------------------------------- MATTR lexical diversity (r6)
+
+# Moving-Average Type-Token Ratio (Covington & McFall 2010): plain TTR
+# falls with document length (longer texts repeat), so corpus-quality
+# scoring uses the mean TTR over a sliding token window — a standard
+# lexical-diversity quality signal next to the Gopher rules. Everything
+# is row-LOCAL higher-order-function arithmetic over the token array
+# (windows -> distinct counts -> integer sum), so the op is map-only at
+# any scale: no shuffle, no window function, no UDF. The per-window
+# distinct counts are INTEGERS and the mean is one int-sum divided by
+# (W * n_windows), so both engines produce the identical double.
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH toks AS ({_TOKS}),
+per_doc AS (
+  SELECT doc_id, lang, t, LEN(t) AS n, LEN(LIST_DISTINCT(t)) AS n_distinct
+  FROM toks WHERE LEN(t) > 0
+)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_tokens,
+       -- int/int ratios TERMINATE in decimal, so exact .xxxx5 halves are
+       -- systematic (S/800 ends at the 5th decimal) — mirror Spark's
+       -- decimal HALF_UP via the DECIMAL cast (SURVEY §10 rule 8)
+       CAST(ROUND(CAST(ROUND(n_distinct * 1.0 / n, 8) AS DECIMAL(18, 8)), 4)
+            AS DOUBLE) AS ttr,
+       CAST(ROUND(CAST(ROUND(CASE WHEN n <= {_MATTR_W} THEN n_distinct * 1.0 / n
+            ELSE LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, n - {_MATTR_W} + 1),
+                     i -> LEN(LIST_DISTINCT(t[i:i+{_MATTR_W}-1])))) * 1.0
+                 / ({_MATTR_W} * (n - {_MATTR_W} + 1)) END, 8) AS DECIMAL(18, 8)),
+            4) AS DOUBLE) AS mattr
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_mattr_diversity",
+    _MATTR_SQL,
+    "MATTR lexical diversity (Covington & McFall 2010): mean type-token "
+    "ratio over a sliding 25-token window (plain TTR for shorter docs) — "
+    "the length-robust diversity quality signal; fully row-local HOF "
+    "arithmetic, map-only at any scale",
+)
+def text_mattr_diversity(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import tokens_expr
+
+    w = _MATTR_W
+    docs = (
+        T(spark, sf_dir, "documents", wide=True)
+        .select("doc_id", "lang", tokens_expr("text").alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", "lang", "t", F.size("t").alias("n"),
+                F.size(F.array_distinct("t")).alias("n_distinct"))
+    )
+    win_sum = F.expr(
+        f"aggregate(transform(sequence(1, n - {w} + 1), "
+        f"i -> size(array_distinct(slice(t, i, {w})))), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    mattr = F.when(
+        F.col("n") <= w, F.col("n_distinct") / F.col("n")
+    ).otherwise(win_sum / (w * (F.col("n") - w + 1)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        R(F.col("n_distinct") / F.col("n"), 4).alias("ttr"),
+        R(mattr, 4).alias("mattr"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------- margin-based bitext mining (r6)
+
+# Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+# LASER/CCMatrix bitext-mining criterion): raw cosine is a bad mining
+# score because some vectors are "hubs" that are near everything, so each
+# candidate pair (x, y) is scored by its cosine RELATIVE to the mean
+# cosine of each side's k nearest neighbors in the other side:
+#   margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+# Sides here are the embedding fixture's label halves (label<=4 vs >=5 —
+# the same role the lang pair plays in CCMatrix). Spark shape: the
+# deliberate bounded-anchor baseline of similarity_hard_negatives (<=8
+# anchors broadcast against the corpus; the ANN family is the scale path
+# for candidate generation), and the y-side normalization runs ONLY for
+# the <=8*k distinct candidate ys — linear in corpus size, never
+# all-pairs. Float exactness: ranking and averaging use the 8-decimal
+# requantized cosine, and each k-NN mean sums its k values in SORTED
+# order (array_sort fold here, LIST_SORT fold in the oracle) so both
+# engines associate identically; the accept flag compares the identical
+# raw ratio, the printed margin is double-rounded.
+_BITEXT_K = 4
+_BITEXT_TAU = 1.02
+
+_BITEXT_SQL = f"""
+WITH a_side AS (
+  SELECT vec_id AS aid, embedding AS ae, {_IVF_NORM.format(a="embedding")} AS an
+  FROM embeddings WHERE label <= 4
+),
+b_side AS (
+  SELECT vec_id AS bid, embedding AS be, {_IVF_NORM.format(a="embedding")} AS bn
+  FROM embeddings WHERE label >= 5
+),
+anchors AS (SELECT aid, ae, an FROM a_side ORDER BY aid LIMIT 8),
+axb AS (
+  SELECT x.aid, y.bid,
+         ROUND({_IVF_DOT.format(a="x.ae", b="y.be")} / (x.an * y.bn), 8) AS cos8
+  FROM anchors x, b_side y
+),
+topk AS (
+  SELECT aid, bid, cos8, rnk FROM (
+    SELECT aid, bid, cos8,
+           ROW_NUMBER() OVER (PARTITION BY aid ORDER BY cos8 DESC, bid) AS rnk
+    FROM axb
+  ) WHERE rnk <= {_BITEXT_K}
+),
+avgx AS (
+  SELECT aid, LIST_SUM(LIST_SORT(LIST(cos8))) / COUNT(*) AS ax
+  FROM topk GROUP BY aid
+),
+candy AS (SELECT DISTINCT bid FROM topk),
+yxa AS (
+  SELECT y.bid, z.aid,
+         ROUND({_IVF_DOT.format(a="y.be", b="z.ae")} / (y.bn * z.an), 8) AS c8
+  FROM (SELECT b.* FROM b_side b JOIN candy USING (bid)) y, a_side z
+),
+avgy AS (
+  SELECT bid, LIST_SUM(LIST_SORT(LIST(c8))) / COUNT(*) AS ay FROM (
+    SELECT bid, c8,
+           ROW_NUMBER() OVER (PARTITION BY bid ORDER BY c8 DESC, aid) AS r
+    FROM yxa
+  ) WHERE r <= {_BITEXT_K} GROUP BY bid
+)
+SELECT t.aid AS qid, t.bid AS cid, CAST(t.rnk AS BIGINT) AS rnk,
+       ROUND(t.cos8, 4) AS cosine,
+       ROUND(ROUND(t.cos8 / ((x.ax + y.ay) / 2), 8), 4) AS margin,
+       t.cos8 / ((x.ax + y.ay) / 2) >= {_BITEXT_TAU} AS accepted
+FROM topk t JOIN avgx x USING (aid) JOIN avgy y USING (bid)
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_margin_bitext",
+    _BITEXT_SQL,
+    "margin-based bitext mining (Artetxe & Schwenk 2019): candidate "
+    "cross-side pairs scored by cosine over the mean of both sides' "
+    "k-NN cosines (hub correction); bounded-anchor baseline, y-side "
+    "normalization only for candidate ys — linear in corpus, never "
+    "all-pairs",
+)
+def similarity_margin_bitext(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    k = _BITEXT_K
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    a_side = emb.filter(F.col("label") <= 4).select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ae"),
+        l2_norm_expr("embedding").alias("an"),
+    )
+    b_side = emb.filter(F.col("label") >= 5).select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("be"),
+        l2_norm_expr("embedding").alias("bn"),
+    )
+    anchors = a_side.orderBy("aid").limit(8)
+    cos8 = F.round(dot_expr("ae", "be") / (F.col("an") * F.col("bn")), 8)
+    wx = Window.partitionBy("aid").orderBy(F.desc("cos8"), F.asc("bid"))
+    topk = (
+        b_side.crossJoin(F.broadcast(anchors))
+        .select("aid", "bid", cos8.alias("cos8"))
+        .withColumn("rnk", F.row_number().over(wx))
+        .filter(F.col("rnk") <= k)
+    )
+    # k-NN means fold the SORTED requantized cosines so both engines
+    # associate identically (SURVEY §10 lattice rule)
+    def _sorted_avg(col_list, cnt):
+        return F.expr(
+            f"aggregate(array_sort({col_list}), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        ) / cnt
+
+    avgx = topk.groupBy("aid").agg(
+        F.collect_list("cos8").alias("cs"), F.count(F.lit(1)).alias("nc")
+    ).select("aid", _sorted_avg("cs", F.col("nc")).alias("ax"))
+    candy = topk.select("bid").distinct()
+    c8 = F.round(dot_expr("be", "ae") / (F.col("bn") * F.col("an")), 8)
+    wy = Window.partitionBy("bid").orderBy(F.desc("c8"), F.asc("aid"))
+    yxa = (
+        a_side.crossJoin(F.broadcast(b_side.join(candy, "bid", "left_semi")))
+        .select("bid", "aid", c8.alias("c8"))
+        .withColumn("r", F.row_number().over(wy))
+        .filter(F.col("r") <= k)
+    )
+    avgy = yxa.groupBy("bid").agg(
+        F.collect_list("c8").alias("cs"), F.count(F.lit(1)).alias("nc")
+    ).select("bid", _sorted_avg("cs", F.col("nc")).alias("ay"))
+    margin_raw = F.col("cos8") / ((F.col("ax") + F.col("ay")) / 2)
+    return (
+        topk.join(F.broadcast(avgx), "aid")
+        .join(F.broadcast(avgy), "bid")
+        .select(
+            F.col("aid").alias("qid"),
+            F.col("bid").alias("cid"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            R(F.col("cos8"), 4).alias("cosine"),
+            R(margin_raw, 4).alias("margin"),
+            (margin_raw >= _BITEXT_TAU).alias("accepted"),
+        )
+        .orderBy("qid", "rnk")
     )

@@ -3576,6 +3576,13 @@ def _lsh_row_frame(df):
     )
 
 
+# streaming_neardup_lsh drop-file sizing: batches = ceil(files / fpt).
+# Overridable (module-level) so the scale stress can probe slicings; None
+# means corpus-scaled — see the entry body.
+_SND_DROP_FILES = [None]
+_SND_DOCS_PER_FILE = 7500
+
+
 @register(
     "streaming_neardup_lsh",
     _MINHASH_SQL,  # identical pair set to the batch LSH dedup, by design
@@ -3627,7 +3634,19 @@ def streaming_neardup_q(spark, sf_dir):
     # every per-batch saving); broadcast-hinted static side +18% (a fresh
     # broadcast per microbatch); width/shuffle-partition narrowing to 8
     # +15-50% (the interpreted HOF hash pipeline wants the full width).
-    lines.repartition(4).write.mode("overwrite").text(drop)
+    #
+    # File COUNT is corpus-scaled so the microbatch SIZE stays bounded:
+    # batch cost is fixed-overhead x batch COUNT plus a superlinear spill
+    # term in batch SIZE (measured at the 10x stress: 2 batches of 30k
+    # docs blew past 300 s while 4 batches of 15k ran 177.6 s and 8
+    # batches of 7.5k ran 207.1 s). ~2 files -> one batch of
+    # ~2*_SND_DOCS_PER_FILE docs sits at the measured optimum on both
+    # scales (sf0.1: 4 files -> 2 batches, 5.9 s; stress: 8 files -> 4
+    # batches, 177.6 s).
+    n_files = _SND_DROP_FILES[0] or max(
+        4, -(-docs.count() // _SND_DOCS_PER_FILE)
+    )
+    lines.repartition(n_files).write.mode("overwrite").text(drop)
     parts = F.split("value", "\t", 3)
     stream = (
         spark.readStream.option("maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0]))

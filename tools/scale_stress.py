@@ -196,7 +196,7 @@ def main():
     ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
 
     registry = load_registry()
-    print(f"# SCALE_r05 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
+    print(f"# SCALE_r06 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
     print("| query | wall s | rows | worst stage max/median | straggler (>10x)? |")

@@ -130,6 +130,18 @@ def salted_self_pairs(
         F.col("__big"), F.sequence(F.lit(0), F.lit(n_cells - 1))
     ).otherwise(F.array(F.lit(0)))
     right = tagged.withColumn("__cell", F.explode(cells)).drop("__big")
+    # pin the pair-stage width with EXPLICIT (user-specified) repartitions
+    # on the join keys: the inputs are small in BYTES but the stage is
+    # quadratic in COMPUTE (pairs emitted per row x per-pair fold), and
+    # AQE coalesces by bytes — measured on dedup_semdedup at the 10x
+    # stress, the ~6 MB cells frame was coalesced to 5 tasks on some runs
+    # (run-to-run stat jitter around the advisory size), turning a ~6 s
+    # 30-task stage into a ~27 s 5-task one (SCALE_r06.md). A
+    # user-specified partition count is exempt from AQE coalescing, and
+    # if one side still broadcasts, the probe side keeps this width.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = left.repartition(n_parts, "__cell", *keys)
+    right = right.repartition(n_parts, "__cell", *keys)
     a, b = left.alias("a"), right.alias("b")
     cond = (F.col("a.__cell") == F.col("b.__cell")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

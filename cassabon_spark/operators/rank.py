@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["distributed_row_number", "ntile_from_rank"]
+__all__ = ["distributed_row_number", "distributed_prefix_sum", "ntile_from_rank"]
 
 _PID = "__dr_pid"
 _LRNK = "__dr_lrnk"
@@ -124,6 +124,60 @@ def distributed_row_number(
             out = out.crossJoin(F.broadcast(tot))  # one-row envelope
 
     return out.drop(_PID, _LRNK, _OFF)
+
+
+def distributed_prefix_sum(
+    df,
+    order_cols,
+    value_col,
+    partition_cols=(),
+    out_col="prefix_sum",
+):
+    """Exact ``SUM(value) OVER (PARTITION BY partition_cols ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING)`` — the running total — computed
+    with P parallel local cumsums plus tiny per-bucket offsets, never a
+    single-task (or low-cardinality-partitioned) ordered window.
+
+    Same construction and caveats as distributed_row_number (total order
+    required, non-null keys, pid frozen by the localCheckpoint barrier);
+    value_col should be integral or lattice-quantized — the offset
+    addition re-associates the sum across buckets, which is exact for
+    ints and last-ulp-stable for quantized doubles.
+
+    Used by pipeline_sequence_packing (per-lang token prefix sums: at
+    100x a per-lang window funnels each language's whole corpus through
+    one task — the r6 registry-wide audit caught it).
+    """
+    pcols = list(partition_cols)
+    order_cols = list(order_cols)
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    ranged = df.repartitionByRange(n_parts, *[F.asc(c) for c in pcols], *order_cols)
+    ranged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
+
+    w_local = (
+        Window.partitionBy(_PID, *pcols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__dr_lsum", F.sum(value_col).over(w_local))
+
+    cnts = ranged.groupBy(_PID, *pcols).agg(F.sum(value_col).alias(_CNT))
+    a, b = cnts.alias("a"), cnts.alias("b")
+    tri = [F.col(f"b.{_PID}") < F.col(f"a.{_PID}")]
+    same_group = [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in pcols]
+    joined = a.join(F.broadcast(b), on=_and_all(same_group + tri), how="left")
+    group_keys = [F.col(f"a.{_PID}").alias(_PID)] + [
+        F.col(f"a.{c}").alias(c) for c in pcols
+    ]
+    offs = joined.groupBy(*group_keys).agg(
+        F.coalesce(F.sum(F.col(f"b.{_CNT}")), F.lit(0)).alias(_OFF)
+    )
+    out = local.join(F.broadcast(offs), [_PID] + pcols).withColumn(
+        out_col, F.col("__dr_lsum") + F.col(_OFF)
+    )
+    return out.drop(_PID, "__dr_lsum", _OFF)
 
 
 def _and_all(conds):

@@ -2225,18 +2225,28 @@ ORDER BY lang
     "first token lands in — no concatenated stream is ever materialized",
 )
 def pipeline_sequence_packing(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     prep(spark)
+    from cassabon_spark.operators.rank import distributed_prefix_sum
+
     docs = T(spark, sf_dir, "documents", wide=True)
     counted = docs.select(
         "doc_id", "lang", F.size(tokens_expr("text")).alias("n_tok")
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, 0
+    # per-lang running token total WITHOUT the low-cardinality-partitioned
+    # window (r6 registry-wide audit catch): languages are few, so
+    # SUM OVER (PARTITION BY lang ORDER BY doc_id) funnels each
+    # language's whole corpus through one task at 100x. The distributed
+    # prefix sum computes the identical integer cumsum across the full
+    # cluster width; the oracle's window form is unchanged.
+    placed = distributed_prefix_sum(
+        counted,
+        [F.asc("doc_id")],
+        "n_tok",
+        partition_cols=["lang"],
+        out_col="csum",
     )
-    before = F.sum("n_tok").over(w) - F.col("n_tok")
-    placed = counted.select(
+    before = F.col("csum") - F.col("n_tok")
+    placed = placed.select(
         "lang", "n_tok", F.floor(before / 2048.0).cast("bigint").alias("chunk")
     )
     return (
@@ -8430,3 +8440,183 @@ def similarity_margin_bitext(spark, sf_dir):
         )
         .orderBy("qid", "rnk")
     )
+
+
+# ------------------------------------- n-gram novelty scoring (r6)
+
+# Corpus-novelty scoring (the n-gram novelty metric of the memorization /
+# text-overlap literature, e.g. McCoy et al. 2023 "How much do language
+# models copy?" — RAVEN): per document, the fraction of its distinct
+# word 3-grams that occur in NO other document. Low novelty = the doc is
+# assembled from corpus-common n-grams (boilerplate, near-copies missed
+# by pair dedup); high novelty = fresh text. Spark shape: one hash
+# aggregation over the corpus shingle stream for document frequency,
+# joined back — linear, the same class as tf-idf/BM25, no pairs anywhere.
+# Ratio outputs are int/int and can terminate on the half lattice
+# (k/32 = .03125), so the oracle mirrors Spark's decimal HALF_UP
+# (SURVEY §10 rule 8).
+_NOVELTY_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+per_doc AS (
+  SELECT sh.doc_id, sh.lang,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_novel,
+         SUM(df.df) AS df_total
+  FROM sh JOIN df USING (s)
+  GROUP BY sh.doc_id, sh.lang
+)
+SELECT doc_id, lang,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(ROUND(CAST(ROUND(n_novel * 1.0 / n_grams, 8) AS DECIMAL(18, 8)), 4)
+            AS DOUBLE) AS novel_frac,
+       CAST(ROUND(CAST(ROUND(df_total * 1.0 / n_grams, 8) AS DECIMAL(18, 8)), 4)
+            AS DOUBLE) AS mean_df
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    _NOVELTY_SQL,
+    "n-gram novelty scoring (RAVEN-style): per doc, fraction of its "
+    "distinct word 3-grams occurring in NO other document, plus mean "
+    "document frequency — the corpus-boilerplate signal pair dedup "
+    "misses; one linear hash aggregation over the shingle stream",
+)
+def text_ngram_novelty(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import tokens_expr, word_shingles_expr
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
+    )
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df, "s")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+            F.sum("df").alias("df_total"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_novel").cast("bigint").alias("n_novel"),
+        R(F.col("n_novel") / F.col("n_grams"), 4).alias("novel_frac"),
+        R(F.col("df_total") / F.col("n_grams"), 4).alias("mean_df"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------- Zipf slope per lang (r6)
+
+# Zipf power-law fit of the token frequency distribution (ln freq vs
+# ln rank OLS over the per-language top-200 terms) — natural text tracks
+# slope ~ -1 (Zipf 1949; Piantadosi 2014 review); generated/templated or
+# keyword-stuffed corpora deviate, making the slope a corpus-level
+# quality diagnostic next to the per-doc Gopher/MATTR signals.
+#
+# Spark shape: this entry deliberately exercises
+# operators/rank.py::distributed_row_number as a REUSABLE operator — the
+# per-lang frequency rank is exactly the corpus-wide grouped ranking the
+# helper exists for (a per-lang window would single-task ~vocab/lang
+# rows at 100x; the helper ranks across the full cluster width and the
+# rnk <= 200 filter prunes after). Float exactness: ln values are
+# quantized to the 8-decimal lattice, and ALL four OLS sums fold SORTED
+# lists (array_sort aggregate here, LIST_SORT in the oracle) so both
+# engines associate identically; outputs double-rounded.
+_ZIPF_TOP = 200
+
+_ZIPF_SQL = f"""
+WITH toks AS ({_TOKS}),
+vocab AS (
+  SELECT lang, tok, COUNT(*) AS cnt
+  FROM toks, UNNEST(t) AS u(tok)
+  GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, tok, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rnk
+  FROM vocab
+),
+top AS (
+  SELECT lang, ROUND(LN(rnk), 8) AS x, ROUND(LN(cnt), 8) AS y
+  FROM ranked WHERE rnk <= {_ZIPF_TOP}
+),
+sums AS (
+  SELECT lang, COUNT(*) AS n,
+         LIST_SUM(LIST_SORT(LIST(x))) AS sx,
+         LIST_SUM(LIST_SORT(LIST(y))) AS sy,
+         LIST_SUM(LIST_SORT(LIST(x * y))) AS sxy,
+         LIST_SUM(LIST_SORT(LIST(x * x))) AS sxx
+  FROM top GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_terms,
+       ROUND(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8), 4) AS zipf_slope,
+       ROUND(ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 8), 4)
+           AS intercept
+FROM sums
+ORDER BY lang
+"""
+
+
+@register(
+    "text_zipf_slope",
+    _ZIPF_SQL,
+    "Zipf power-law fit per language: OLS slope of ln(freq) on ln(rank) "
+    "over the top-200 terms (natural text ~ -1; generated/templated "
+    "corpora deviate) — frequency ranks via the distributed exact "
+    "ranker, never a per-lang single-task window",
+)
+def text_zipf_slope(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import tokens_expr
+    from cassabon_spark.operators.rank import distributed_row_number
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    vocab = (
+        docs.select("lang", F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = distributed_row_number(
+        vocab,
+        [F.desc("cnt"), F.asc("tok")],
+        partition_cols=["lang"],
+        rank_col="rnk",
+    )
+    top = ranked.filter(F.col("rnk") <= _ZIPF_TOP).select(
+        "lang",
+        F.round(F.log("rnk"), 8).alias("x"),
+        F.round(F.log("cnt"), 8).alias("y"),
+    )
+
+    def _sorted_sum(expr):
+        return F.expr(
+            f"aggregate(array_sort(collect_list({expr})), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+        )
+
+    sums = top.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        _sorted_sum("x").alias("sx"),
+        _sorted_sum("y").alias("sy"),
+        _sorted_sum("x * y").alias("sxy"),
+        _sorted_sum("x * x").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_terms"),
+        R(slope, 4).alias("zipf_slope"),
+        R((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
+    ).orderBy("lang")

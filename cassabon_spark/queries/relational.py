@@ -988,23 +988,32 @@ LIMIT 100
 )
 def win_ntile(spark, sf_dir):
     prep(spark)
+    from cassabon_spark.operators.rank import distributed_row_number, ntile_from_rank
+
     o = T(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
-    # GLOBAL window by construction (VERDICT r2 note #3): ntile/cume_dist
-    # over the WHOLE ranking is the query's semantics — any engine pays one
-    # global sort for a global quantile assignment. The input is already
-    # pre-aggregated to one row per customer (|customers|, not |orders|);
-    # the scale form is per-group framing (partitionBy), which win_topk /
-    # win_nth demonstrate. Do not "fix" this to a partitioned window — that
-    # changes the answer.
-    w = Window.orderBy(F.desc("total"), F.asc("o_custkey"))
+    # ntile/cume_dist/percent_rank over the WHOLE ranking is the query's
+    # semantics (VERDICT r2 note #3) — but with a UNIQUE ordering key
+    # (total, o_custkey) every distribution function is an exact function
+    # of (row_number, count): cume_dist = rnk/n (no peers), percent_rank
+    # = (rnk-1)/(n-1), ntile via the standard remainder rule. r6: computed
+    # through the distributed ranker, so the global sort runs at cluster
+    # width instead of Exchange SinglePartition -> Sort -> Window (the
+    # registry-wide audit caught this one; one row per CUSTOMER still
+    # scales with the corpus). Identical output to the oracle's windows.
+    ranked = distributed_row_number(
+        spend,
+        [F.desc("total"), F.asc("o_custkey")],
+        rank_col="rnk",
+        total_col="n",
+    )
     return (
-        spend.select(
+        ranked.select(
             "o_custkey",
             "total",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            R(F.cume_dist().over(w), 4).alias("cume"),
-            R(F.percent_rank().over(w), 4).alias("pct_rank"),
+            ntile_from_rank("rnk", "n", 4).cast("bigint").alias("quartile"),
+            R(F.col("rnk") / F.col("n"), 4).alias("cume"),
+            R((F.col("rnk") - 1) / (F.col("n") - 1), 4).alias("pct_rank"),
         )
         .orderBy(F.desc("total"), F.asc("o_custkey"))
         .limit(100)

@@ -137,3 +137,39 @@ def test_rank_is_total_and_dense(spark):
         per_group.setdefault(r.grp, []).append(r.rnk)
     for _, rnks in per_group.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1))
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    from cassabon_spark.operators.rank import distributed_prefix_sum
+
+    for seed, n, groups in [(11, 400, 3), (12, 60, 1)]:
+        df = _frame(spark, n, groups, seed=seed, ties=True).withColumn(
+            "val", (F.col("id") % 7 + 1).cast("long")
+        )
+        got = distributed_prefix_sum(
+            df, [F.asc("id")], "val", partition_cols=["grp"], out_col="ps"
+        )
+        naive = df.withColumn(
+            "ps",
+            F.sum("val").over(
+                Window.partitionBy("grp")
+                .orderBy("id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        g = {r.id: r.ps for r in got.collect()}
+        e = {r.id: r.ps for r in naive.collect()}
+        assert g == e
+
+
+def test_prefix_sum_plan_has_no_single_task_sort(spark):
+    from cassabon_spark.operators.rank import distributed_prefix_sum
+    from cassabon_spark.plans.window_audit import audit_windows
+
+    df = _frame(spark, 300, 2, seed=13).withColumnRenamed("grp", "lang").withColumn(
+        "val", F.lit(1).cast("long")
+    )
+    got = distributed_prefix_sum(
+        df, [F.asc("id")], "val", partition_cols=["lang"], out_col="ps"
+    )
+    assert audit_windows(_executed(got)) == []

@@ -27,6 +27,21 @@ from cassabon_spark.plans.window_audit import audit_windows  # noqa: E402
 from cassabon_spark.queries import load_registry  # noqa: E402
 from cassabon_spark.session import prep  # noqa: E402
 
+# Documented window-flag adjudications (the no-pushdown discipline): the
+# detector cannot statically see that a window's INPUT is bounded by
+# construction. Each entry here names the flag it waives and why; the flag
+# still prints, prefixed `adjudicated:`, so a plan change that introduces a
+# NEW unbounded window in these entries still surfaces (the adjudication is
+# per-flag, not per-entry silence).
+ADJUDICATED_WINDOWS = {
+    # window input is one row per SOURCE (post-aggregation, config-scale)
+    "pipeline_token_budget_mix": "single-task-sort-window",
+    # window input is one row per DECILE (exactly 10 rows)
+    "pipeline_quality_prune_curve": "single-task-sort-window",
+    # window input is one row per requested QUANTILE (7 rows)
+    "sketch_range_bounds": "single-task-sort-window",
+}
+
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "win_topk_per_group", "agg_rollup", "asof_join_last_order", "sessionize_30m",
@@ -83,6 +98,12 @@ def main():
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--full", default=None)
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="audit EVERY registered entry (one executed run each) — the "
+        "registry-wide window-flag sweep; run at sf0.001 for speed",
+    )
     args = ap.parse_args()
 
     registry = load_registry()
@@ -94,7 +115,10 @@ def main():
         print(formatted_plan(registry[args.full].fn(spark, args.sf)))
         return
 
-    names = args.only.split(",") if args.only else HEADLINE
+    if args.all:
+        names = sorted(registry)
+    else:
+        names = args.only.split(",") if args.only else HEADLINE
     cols = ["exchanges", "scans", "scans_with_pushdown", "read_cols",
             "bhj", "smj", "bnlj", "codegen_spans", "python_nodes", "cartesian"]
     print(f"{'query':32} " + " ".join(f"{c:>9}" for c in cols))
@@ -110,7 +134,12 @@ def main():
             # r6 (VERDICT r5 #2): single-task / low-cardinality sort
             # windows — the scale-killer class the exchange/BNLJ counts
             # missed in round 5
-            flags.extend(audit_windows(plan))
+            waived = ADJUDICATED_WINDOWS.get(name)
+            for wf in audit_windows(plan):
+                if waived and wf.startswith(waived):
+                    flags.append(f"adjudicated:{wf}")
+                else:
+                    flags.append(wf)
             print(
                 f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
                 + ("  " + ",".join(flags) if flags else "")

@@ -199,8 +199,8 @@ def main():
     print(f"# SCALE_r06 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
-    print("| query | wall s | rows | worst stage max/median | straggler (>10x)? |")
-    print("|---|---|---|---|---|")
+    print("| query | wall s | rows | worst stage max/median | min tasks (heavy) | straggler (>10x)? |")
+    print("|---|---|---|---|---|---|")
     failures = 0
     details = []
     for name in QUERIES:
@@ -217,7 +217,18 @@ def main():
             if worst
             else "n/a"
         )
-        print(f"| {name} | {wall:.1f} | {n} | {wtxt} | {'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |")
+        # min task count over compute-heavy stages (median >= 1 s): the
+        # AQE byte-coalescing failure mode (SCALE_r06: a quadratic-compute
+        # pair stage shrunk to 5 tasks) shows up HERE, not in the
+        # straggler ratio — a heavy stage far below cluster width is the
+        # red flag
+        heavy = [s for s in stages if s["median_ms"] >= 1000]
+        min_tasks = min((s["tasks"] for s in heavy), default=None)
+        print(
+            f"| {name} | {wall:.1f} | {n} | {wtxt} | "
+            f"{min_tasks if min_tasks is not None else '-'} | "
+            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
+        )
         details.append((name, stages))
 
     # carbon-ingest slot (VERDICT r4 #5): the full parse -> route -> all
@@ -265,10 +276,13 @@ def main():
             if worst
             else "n/a"
         )
+        heavy = [s for s in stages if s["median_ms"] >= 1000]
+        min_tasks = min((s["tasks"] for s in heavy), default=None)
         rate = round(counters["received"] / wall)
         print(
             f"| carbon_ingest_20M_snapshot | {wall:.1f} | {counters['received']} "
-            f"({rate}/s) | {wtxt} | {'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
+            f"({rate}/s) | {wtxt} | {min_tasks if min_tasks is not None else '-'} | "
+            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
         )
         details.append(("carbon_ingest_20M_snapshot", stages))
     finally:

@@ -8620,3 +8620,73 @@ def text_zipf_slope(spark, sf_dir):
         R(slope, 4).alias("zipf_slope"),
         R((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias("intercept"),
     ).orderBy("lang")
+
+
+# ----------------------------------- snapshot RESTORE under the gate (r6)
+
+# Delta-parity RESTORE end to end through the REAL table machinery,
+# value-gated: base append (v0) -> incremental append (v1) -> retention
+# drop of a whole lang partition (v2) -> restore(v0) (v3). The read after
+# restore must be EXACTLY the base batch — the incremental rows gone, the
+# retention-dropped partition resurrected — which the oracle states
+# relationally (documents where doc_id % 3 = 0). History stays
+# time-travelable; the restore commit is a full-manifest RESET in the
+# action log (O(live files), no data IO). Reference: cassabon has no
+# rollback at all — a bad ingest batch is permanent.
+_RESTORE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+# (session -> {sf_dir -> table}) — see snapshot_restore
+_RESTORE_TABLE_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+@register(
+    "snapshot_restore",
+    _RESTORE_SQL,
+    "snapshot-table RESTORE: base append -> incremental append -> "
+    "retention partition drop -> restore(base); the read equals the base "
+    "batch exactly (rows resurrected, incrementals gone), history stays "
+    "time-travelable, the restore commit is an O(live-files) action-log "
+    "reset with zero data IO",
+)
+def snapshot_restore(spark, sf_dir):
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    per_session = _RESTORE_TABLE_MEMO.setdefault(spark, {})
+    memo_key = _os.path.abspath(str(sf_dir))
+    if memo_key in per_session:
+        t = per_session[memo_key]
+    else:
+        docs = T(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="cassabon_restore_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        t = SnapshotTable(spark, root)
+        base_v = t.append(
+            docs.filter(F.col("doc_id") % 3 == 0), partition_cols=("lang",)
+        )
+        t.append(docs.filter(F.col("doc_id") % 3 == 1), partition_cols=("lang",))
+        t.drop_partitions(lambda p: p["lang"] == "en")
+        t.restore(base_v)
+        per_session[memo_key] = t
+    return (
+        t.read()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("lang")
+    )

@@ -676,6 +676,44 @@ class SnapshotTable:
             head, {"op": "alter", "add": [], "remove": [], "schema": widened}
         )
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to `version` as a NEW commit (Delta's
+        RESTORE): history is kept — time travel to the bad versions still
+        works until vacuum — and readers see the restored state
+        atomically. The restored file list is committed as a full
+        manifest, which the action-log replay treats as a RESET, so the
+        commit is O(live files at `version`) — the same cost as one
+        checkpoint — and needs no data IO (the old files still exist
+        unless vacuumed; restoring past a vacuum raises).
+
+        Reference: cassabon has no rollback at all (a bad ingest is
+        permanent, datastore/metricmanager.go's write path); this is the
+        table-format completion of the delete/merge/optimize family."""
+        head = self.version()
+        if head is None:
+            raise ValueError("cannot restore an empty table")
+        if version == head:
+            return head
+        snap = self.snapshot(version)  # raises if the chain was vacuumed
+        missing = [
+            f["path"] for f in snap["files"] if not Path(self._abs(f["path"])).exists()
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed (first: {missing[0]})"
+            )
+        return self._commit(
+            head,
+            {
+                "op": "restore",
+                "restored_version": version,
+                "files": snap["files"],
+                "schema": snap.get("schema"),
+                "constraints": snap.get("constraints", {}),
+            },
+        )
+
     def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental (CDC-lite) read: the rows APPENDED in
         (since_version, to_version]. Walks the manifest chain; append
@@ -698,7 +736,7 @@ class SnapshotTable:
         for v in range(since_version + 1, to_v + 1):
             man = self._load(v)
             op = man.get("op", "append")
-            if op in ("delete", "merge"):
+            if op in ("delete", "merge", "restore"):
                 raise ValueError(
                     f"version {v} is a {op} commit: incremental append-diff "
                     "cannot represent row rewrites; re-read the snapshot"

@@ -946,3 +946,51 @@ def test_vacuum_keeps_ancestors_when_checkpoint_write_fails(spark, tmp_path, mon
     assert fresh._ckpt_path(head).exists()
     assert not fresh._manifest_path(0).exists()
     assert fresh.read().count() == 7
+
+
+# ---------------------------------------------------- r6: RESTORE
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """Delta-parity RESTORE: roll back to an old version as a NEW commit;
+    history (time travel) is preserved, readers switch atomically, and
+    the restore replays as a reset in the action log."""
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete_where(F.col("k") == "a", partition_cols=("res", "day"))  # v1
+    t.append(
+        spark.createDataFrame(
+            [("c", 5, 10, "2020-01-03")], "k string, v bigint, res bigint, day string"
+        ),
+        partition_cols=("res", "day"),
+    )  # v2
+    assert t.read().count() == 3
+    v = t.restore(0)
+    assert v == 3
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(k, v_) for (k, v_, *_r) in ROWS}
+    # history intact: the bad versions still time-travel
+    assert t.read(version=2).count() == 3
+    assert t.read(version=1).count() == 2
+    # a cold reader reconstructs through the reset manifest
+    cold = SnapshotTable(spark, t.root)
+    assert cold.read().count() == 4
+    # CDC over a range containing the restore must refuse (the restore
+    # resurrects rows an append-diff cannot represent)
+    with pytest.raises(ValueError, match="restore"):
+        t.read_changes(2)
+
+
+def test_restore_refuses_vacuumed_version(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.delete_where(F.col("k") == "a", partition_cols=("res", "day"))  # v1 rewrite
+    t.vacuum(retain_last=1)  # reclaims v0-only files
+    with pytest.raises((FileNotFoundError, OSError)):
+        t.restore(0)
+
+
+def test_restore_reinstates_schema_and_constraints(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.add_constraint("v_positive", "v > 0")  # v1
+    t.drop_constraint("v_positive")  # v2
+    t.restore(1)
+    assert t.snapshot().get("constraints") == {"v_positive": "v > 0"}

@@ -7510,10 +7510,24 @@ def pipeline_dsir_select(spark, sf_dir):
         (md5_bucket_expr(F.col("bg"), prefix="dsir:") % _DSIR_B).alias("b"),
     )
     is_tgt = F.col("source").isin(*target)
-    tgt = big.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    raw = big.filter(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    nt = tgt.agg(F.sum("ct")).first()[0] or 0
-    nr = raw.agg(F.sum("cr")).first()[0] or 0
+    # ONE aggregation pass over the bigram stream for BOTH bucket models
+    # (r6 perf: the entry used to tokenize the corpus three times — the
+    # nt action, the nr action, and the scoring pass; the cached 128-row
+    # count frame cuts that to once for the models + once for scoring,
+    # and one tiny action derives both normalizers)
+    bc = (
+        big.groupBy(is_tgt.alias("is_tgt"), "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    totals = {
+        r["is_tgt"]: r["n"]
+        for r in bc.groupBy("is_tgt").agg(F.sum("c").alias("n")).collect()
+    }
+    nt = totals.get(True, 0) or 0
+    nr = totals.get(False, 0) or 0
+    tgt = bc.filter(F.col("is_tgt")).select("b", F.col("c").alias("ct"))
+    raw = bc.filter(~F.col("is_tgt")).select("b", F.col("c").alias("cr"))
     ratio = F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (nt + _DSIR_B)) - F.log(
         (F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / (nr + _DSIR_B)
     )
@@ -7542,6 +7556,7 @@ def pipeline_dsir_select(spark, sf_dir):
         rank_col="rnk",
         total_col="n_docs",
     )
+    bc.unpersist()  # scored is materialized in the rank checkpoint now
     return (
         ranked.select(
             "doc_id",

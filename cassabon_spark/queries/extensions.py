@@ -8705,3 +8705,119 @@ def snapshot_restore(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------- curriculum phase schedule (r6)
+
+# Competence-based curriculum (Bengio et al. 2009; Platanios et al. 2019):
+# order the corpus by a difficulty score — here the same corpus-unigram
+# surprisal text_unigram_surprisal/pipeline_ccnet_buckets gate — and cut
+# it into 5 global difficulty quintiles; phase p of training consumes the
+# UNION of quintiles <= p, so the schedule row also reports the
+# cumulative token budget through each phase. Spark shape: the global
+# quintile assignment is distributed_row_number + ntile_from_rank (the
+# scale-correct form of NTILE(5) OVER (ORDER BY ...) — never a
+# single-task sort), and the 5-row cumulative is a triangular join on
+# the aggregated phases, not a window.
+_CURR_PHASES = 5
+
+_CURR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, t.tok AS tok
+  FROM (
+    SELECT doc_id, lang,
+           STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS tt
+    FROM documents
+    WHERE LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) > 0
+  ), UNNEST(tt) AS t(tok)
+),
+vocab AS (SELECT lang, tok, COUNT(*) AS cnt FROM toks GROUP BY lang, tok),
+tot AS (SELECT lang, SUM(cnt) AS n FROM vocab GROUP BY lang),
+scored AS (
+  SELECT t.doc_id, COUNT(*) AS n_tok, AVG(-LN(v.cnt * 1.0 / o.n)) AS surprisal
+  FROM toks t JOIN vocab v ON v.lang = t.lang AND v.tok = t.tok
+              JOIN tot o ON o.lang = t.lang
+  GROUP BY t.doc_id
+),
+phased AS (
+  SELECT doc_id, n_tok, surprisal,
+         NTILE({_CURR_PHASES}) OVER (ORDER BY ROUND(surprisal, 8), doc_id) AS phase
+  FROM scored
+),
+agg AS (
+  SELECT phase, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+         AVG(surprisal) AS avg_difficulty
+  FROM phased GROUP BY phase
+)
+SELECT CAST(a.phase AS BIGINT) AS phase,
+       CAST(a.n_docs AS BIGINT) AS n_docs,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(ROUND(a.avg_difficulty, 8), 4) AS avg_difficulty,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS cum_tokens
+FROM agg a JOIN agg b ON b.phase <= a.phase
+GROUP BY a.phase, a.n_docs, a.n_tokens, a.avg_difficulty
+ORDER BY phase
+"""
+
+
+@register(
+    "pipeline_curriculum_phases",
+    _CURR_SQL,
+    "competence-based curriculum schedule (Platanios et al. 2019): global "
+    "difficulty quintiles by corpus-unigram surprisal (easy -> hard), "
+    "per-phase docs/tokens/difficulty plus the cumulative token budget "
+    "phase p trains on; quintiles via the distributed exact ranker, "
+    "cumulative via a 5-row triangular join — no global sort window",
+)
+def pipeline_curriculum_phases(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import tokens_expr
+    from cassabon_spark.operators.rank import distributed_row_number, ntile_from_rank
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", F.explode(tokens_expr("text")).alias("tok"))
+    vocab = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(vocab, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.avg(-F.log(F.col("cnt") / F.col("n"))).alias("surprisal"),
+        )
+    )
+    ranked = distributed_row_number(
+        scored,
+        [F.asc(F.round("surprisal", 8)), F.asc("doc_id")],
+        rank_col="__rnk",
+        total_col="__n",
+    )
+    agg = (
+        ranked.withColumn("phase", ntile_from_rank("__rnk", "__n", _CURR_PHASES))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.avg("surprisal").alias("avg_difficulty"),
+        )
+    )
+    a, b = agg.alias("a"), agg.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.phase") <= F.col("a.phase"))
+        .groupBy(
+            F.col("a.phase").cast("bigint").alias("phase"),
+            F.col("a.n_docs").alias("n_docs"),
+            F.col("a.n_tokens").alias("n_tokens"),
+            F.col("a.avg_difficulty").alias("__ad"),
+        )
+        .agg(F.sum(F.col("b.n_tokens")).cast("bigint").alias("cum_tokens"))
+        .select(
+            "phase",
+            "n_docs",
+            "n_tokens",
+            R(F.col("__ad"), 4).alias("avg_difficulty"),
+            "cum_tokens",
+        )
+        .orderBy("phase")
+    )

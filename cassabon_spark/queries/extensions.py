@@ -8821,3 +8821,181 @@ def pipeline_curriculum_phases(spark, sf_dir):
         )
         .orderBy("phase")
     )
+
+
+# --------------------------------- robust MAD anomaly detection (r6)
+
+# Robust anomaly detection per event type: median + MAD (median absolute
+# deviation) with the classic |x - med| > 3 * 1.4826 * MAD cut (Leys et
+# al. 2013 — the outlier rule that, unlike mean/stddev, is not itself
+# dragged by the outliers). At 100 TB an EXACT grouped median buffers
+# every value of a group on one reducer, so both medians here come from
+# the MERGEABLE histogram sketch (operators/sketch, the same machinery
+# sketch_range_bounds gates): per-shard sketches merge by addition, the
+# median interpolates from 512 bins, and the deviation pass re-sketches
+# |x - med|. Every estimate is IEEE arithmetic both engines reproduce
+# bit-identically, so the gate is exact INCLUDING the anomaly counts.
+# (The per-key quantile walk is a window over <= nbins+2 = 514 rows per
+# key — bounded by construction, the sketch_range_bounds adjudication.)
+_MAD_LO, _MAD_HI, _MAD_BINS = 0.0, 500.0, 512
+_MAD_K = 3 * 1.4826  # the normal-consistency-scaled 3-sigma rule
+
+_mad_med_sql = sketch_quantiles_sql(
+    "SELECT event_type, value FROM events",
+    ["event_type"], [0.5], _MAD_LO, _MAD_HI, _MAD_BINS,
+)
+_mad_dev_sql = sketch_quantiles_sql(
+    f"SELECT e.event_type, ABS(e.value - m.q50) AS value "
+    f"FROM events e JOIN ({_mad_med_sql}) m USING (event_type)",
+    ["event_type"], [0.5], _MAD_LO, _MAD_HI, _MAD_BINS,
+)
+
+_MAD_SQL = f"""
+WITH med AS ({_mad_med_sql}),
+dev AS ({_mad_dev_sql}),
+flagged AS (
+  SELECT e.event_type, e.value, m.q50 AS med, d.q50 AS mad,
+         ABS(e.value - m.q50) > {_MAD_K} * d.q50 AS is_anom
+  FROM events e JOIN med m USING (event_type) JOIN dev d USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(ROUND(MIN(med), 8), 4) AS est_median,
+       ROUND(ROUND(MIN(mad), 8), 4) AS est_mad,
+       CAST(SUM(CASE WHEN is_anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       CAST(ROUND(CAST(ROUND(SUM(CASE WHEN is_anom THEN 1 ELSE 0 END) * 1.0
+                             / COUNT(*), 8) AS DECIMAL(18, 8)), 4) AS DOUBLE)
+           AS anomaly_frac
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    _MAD_SQL,
+    "robust MAD anomaly detection per event type (|x - med| > 3*1.4826*"
+    "MAD, Leys et al. 2013): both medians from the mergeable 512-bin "
+    "histogram sketch — never an exact grouped median's one-reducer "
+    "value buffer; anomaly counts under the exact gate",
+)
+def events_anomaly_mad(spark, sf_dir):
+    prep(spark)
+    ev = EV(spark, sf_dir).select("event_type", "value")
+    med = sketch_quantiles(
+        histogram_sketch(ev, ["event_type"], "value", _MAD_LO, _MAD_HI, _MAD_BINS),
+        ["event_type"], [0.5], _MAD_LO, _MAD_HI, _MAD_BINS,
+    ).withColumnRenamed("q50", "med")
+    dev = (
+        ev.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("value"))
+    )
+    mad = sketch_quantiles(
+        histogram_sketch(dev, ["event_type"], "value", _MAD_LO, _MAD_HI, _MAD_BINS),
+        ["event_type"], [0.5], _MAD_LO, _MAD_HI, _MAD_BINS,
+    ).withColumnRenamed("q50", "mad")
+    flagged = (
+        ev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "med",
+            "mad",
+            (F.abs(F.col("value") - F.col("med")) > _MAD_K * F.col("mad")).alias(
+                "is_anom"
+            ),
+        )
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            R(F.min("med"), 4).alias("est_median"),
+            R(F.min("mad"), 4).alias("est_mad"),
+            F.sum(F.col("is_anom").cast("long")).cast("bigint").alias("n_anomalies"),
+            R(
+                F.sum(F.col("is_anom").cast("long")) / F.count(F.lit(1)),
+                4,
+            ).alias("anomaly_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------- snapshot shallow CLONE gate (r6)
+
+# Zero-copy shallow clone end to end through the REAL table machinery,
+# value-gated: source table (documents where doc_id % 3 = 0) is cloned —
+# ONE manifest write, no data copied — then the clone alone receives an
+# incremental append (doc_id % 3 = 1). Reading BOTH tables afterwards
+# must show the clone with base+increment and the source UNCHANGED,
+# which the oracle states relationally. Exercises the mixed-base read
+# path (adopted entries resolve under the source root, the append under
+# the clone's root, read_files groups by basePath).
+_CLONE_SQL = """
+SELECT side, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM (
+  SELECT 'source' AS side, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT 'clone' AS side, lang, n_chars FROM documents WHERE doc_id % 3 IN (0, 1)
+)
+GROUP BY side, lang
+ORDER BY side, lang
+"""
+
+# (session -> {sf_dir -> (source, clone)}) — see snapshot_clone
+_CLONE_TABLE_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+@register(
+    "snapshot_clone",
+    _CLONE_SQL,
+    "snapshot-table shallow CLONE: zero-copy clone (one manifest write, "
+    "adopted entries keep their origin root), incremental append lands "
+    "only in the clone; both tables read back exactly — source base, "
+    "clone base+increment — through the mixed-basePath read path",
+)
+def snapshot_clone(spark, sf_dir):
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    per_session = _CLONE_TABLE_MEMO.setdefault(spark, {})
+    memo_key = _os.path.abspath(str(sf_dir))
+    if memo_key in per_session:
+        src_t, clone_t = per_session[memo_key]
+    else:
+        docs = T(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="cassabon_clone_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        src_t = SnapshotTable(spark, _os.path.join(root, "src"))
+        src_t.append(docs.filter(F.col("doc_id") % 3 == 0), partition_cols=("lang",))
+        clone_t = src_t.clone_to(_os.path.join(root, "clone"))
+        clone_t.append(
+            docs.filter(F.col("doc_id") % 3 == 1), partition_cols=("lang",)
+        )
+        per_session[memo_key] = (src_t, clone_t)
+
+    def _agg(t, side):
+        return (
+            t.read()
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("n_chars").cast("bigint").alias("chars_total"),
+            )
+            .select(F.lit(side).alias("side"), "lang", "n_rows", "chars_total")
+        )
+
+    return (
+        _agg(src_t, "source")
+        .unionByName(_agg(clone_t, "clone"))
+        .orderBy("side", "lang")
+    )

@@ -422,6 +422,12 @@ class SnapshotTable:
     def _abs(self, rel: str) -> str:
         return f"{self.root}/{rel}"
 
+    def _abs_entry(self, f: dict) -> str:
+        """Absolute path of a manifest entry: entries written by THIS table
+        resolve under self.root; entries adopted by a shallow clone carry
+        their origin root in "base" (clone_to)."""
+        return f"{f.get('base') or self.root}/{f['path']}"
+
     def files_for(
         self,
         version: int | None = None,
@@ -514,12 +520,27 @@ class SnapshotTable:
         first appended DataFrame) is applied so partition-column types are
         exact — no directory-value inference (which would e.g. turn a
         'yyyy-MM-dd' string bucket into a DATE) and no footer merging."""
-        r = self.spark.read
-        if schema is not None:
-            r = r.schema(StructType.fromJson(schema))
-        return r.option("basePath", self.root).parquet(
-            *[self._abs(f["path"]) for f in files]
-        )
+        # group by origin root: partition-column extraction needs basePath
+        # to match the directory layout, and a shallow clone's manifest
+        # mixes entries under the clone's root with entries still living
+        # under the source's root (zero copy)
+        by_base: dict[str, list[dict]] = {}
+        for f in files:
+            by_base.setdefault(f.get("base") or self.root, []).append(f)
+        parts = []
+        for base, fl in by_base.items():
+            r = self.spark.read
+            if schema is not None:
+                r = r.schema(StructType.fromJson(schema))
+            parts.append(
+                r.option("basePath", base).parquet(
+                    *[f"{base}/{f['path']}" for f in fl]
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def append(
         self, df: DataFrame, partition_cols: tuple[str, ...] = (), max_retries: int = 5
@@ -696,7 +717,7 @@ class SnapshotTable:
             return head
         snap = self.snapshot(version)  # raises if the chain was vacuumed
         missing = [
-            f["path"] for f in snap["files"] if not Path(self._abs(f["path"])).exists()
+            f["path"] for f in snap["files"] if not Path(self._abs_entry(f)).exists()
         ]
         if missing:
             raise FileNotFoundError(
@@ -713,6 +734,40 @@ class SnapshotTable:
                 "constraints": snap.get("constraints", {}),
             },
         )
+
+    def clone_to(self, target_root: str, version: int | None = None) -> "SnapshotTable":
+        """Shallow CLONE (Delta's zero-copy clone): create a NEW table at
+        `target_root` whose v0 manifest references THIS table's data files
+        in place — no data is copied, so cloning a 100 TB table is one
+        manifest write. Each adopted entry carries its origin root in
+        "base"; the clone's reads group files by base (read_files), its
+        writes land under its OWN root, and copy-on-write rewrites
+        (delete/merge/optimize) drop adopted entries from the manifest
+        without ever touching the source's files — the clone's vacuum only
+        walks its own root, so source data is physically safe from the
+        clone by construction. Caveat (same as Delta): the SOURCE's vacuum
+        does not know about clones — vacuuming the source past the cloned
+        snapshot breaks the clone's unrewritten entries. Pin the source
+        snapshot (retain it) for as long as clones reference it."""
+        snap = self.snapshot(version)
+        if snap.get("schema") is None:
+            raise ValueError("cannot clone an empty table")
+        t = SnapshotTable(self.spark, target_root)
+        if t.version() is not None:
+            raise ValueError(f"clone target {target_root} already has commits")
+        entries = [{**f, "base": f.get("base") or self.root} for f in snap["files"]]
+        t._commit(
+            None,
+            {
+                "op": "clone",
+                "cloned_from": self.root,
+                "cloned_version": self.version() if version is None else version,
+                "files": entries,
+                "schema": snap.get("schema"),
+                "constraints": snap.get("constraints", {}),
+            },
+        )
+        return t
 
     def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental (CDC-lite) read: the rows APPENDED in
@@ -784,7 +839,7 @@ class SnapshotTable:
             return {"deleted": 0, "rewritten_files": 0, "version": head}
         n_deleted = sum(r["n"] for r in hits)
         hit_uris = {r["f"] for r in hits}
-        hit_files = [f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)]
+        hit_files = [f for f in snap["files"] if _uri_match(self._abs_entry(f), hit_uris)]
         # DELETE semantics: a NULL predicate is NOT a hit — keep those rows
         # (filter(~cond) alone would silently drop them)
         keep_cond = ~F.coalesce(cond, F.lit(False))
@@ -863,7 +918,7 @@ class SnapshotTable:
             n_replaced = sum(r["n"] for r in hits)
             hit_uris = {r["f"] for r in hits}
             hit_files = [
-                f for f in snap["files"] if _uri_match(self._abs(f["path"]), hit_uris)
+                f for f in snap["files"] if _uri_match(self._abs_entry(f), hit_uris)
             ]
             # a source key can match several table rows (pre-existing dup
             # keys): 'updated' counts source keys that matched, computed

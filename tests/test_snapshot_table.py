@@ -994,3 +994,61 @@ def test_restore_reinstates_schema_and_constraints(spark, tmp_path):
     t.drop_constraint("v_positive")  # v2
     t.restore(1)
     assert t.snapshot().get("constraints") == {"v_positive": "v > 0"}
+
+
+# ---------------------------------------------------- r6: shallow CLONE
+
+
+def test_clone_is_zero_copy_and_isolated(spark, tmp_path):
+    """Shallow clone: one manifest write, no data copied; clone and source
+    then evolve independently (copy-on-write keeps the source's files
+    untouched by the clone's rewrites)."""
+    src = _mk(spark, tmp_path, ROWS)
+    n_files_before = len(list(Path(src.root).rglob("*.parquet")))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero copy: no new data files anywhere
+    assert len(list(Path(src.root).rglob("*.parquet"))) == n_files_before
+    assert list(Path(clone.root).rglob("*.parquet")) == []
+    assert {(r["k"], r["v"]) for r in clone.read().collect()} == {
+        (k, v) for (k, v, *_r) in ROWS
+    }
+    # clone-side append lands under the CLONE's root only
+    clone.append(
+        spark.createDataFrame(
+            [("c", 5, 10, "2020-01-03")], "k string, v bigint, res bigint, day string"
+        ),
+        partition_cols=("res", "day"),
+    )
+    assert clone.read().count() == 5
+    assert src.read().count() == 4
+    assert len(list(Path(src.root).rglob("*.parquet"))) == n_files_before
+    # clone-side delete rewrites adopted entries copy-on-write: the source
+    # file survives on disk and in the source manifest
+    clone.delete_where(F.col("k") == "a", partition_cols=("res", "day"))
+    assert {r["k"] for r in clone.read().collect()} == {"b", "c"}
+    assert src.read().filter("k = 'a'").count() == 2
+    # clone vacuum walks only its own root: source files safe
+    clone.vacuum(retain_last=1)
+    assert src.read().count() == 4
+
+
+def test_clone_into_nonempty_target_rejected(spark, tmp_path):
+    src = _mk(spark, tmp_path, ROWS)
+    other = _mk(spark, tmp_path / "other", ROWS)
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone_to(other.root)
+
+
+def test_clone_carries_schema_and_constraints(spark, tmp_path):
+    src = _mk(spark, tmp_path, ROWS)
+    src.add_constraint("v_positive", "v > 0")
+    clone = src.clone_to(str(tmp_path / "clone2"))
+    assert clone.snapshot().get("constraints") == {"v_positive": "v > 0"}
+    with pytest.raises(ValueError, match="v_positive"):
+        clone.append(
+            spark.createDataFrame(
+                [("z", -1, 10, "2020-01-09")],
+                "k string, v bigint, res bigint, day string",
+            ),
+            partition_cols=("res", "day"),
+        )

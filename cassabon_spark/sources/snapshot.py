@@ -735,6 +735,28 @@ class SnapshotTable:
             },
         )
 
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one record per commit, newest first —
+        {version, op, committed_at, parent, n_add, n_remove} (full-manifest
+        commits — legacy/restore/clone — report n_add as their file-list
+        size and n_remove as None, since a reset's removal set is implicit).
+        Driver-side metadata only; O(commit count) small-JSON reads."""
+        out = []
+        for v in reversed(self.versions()):
+            m = self._load(v)
+            full = "files" in m
+            out.append(
+                {
+                    "version": v,
+                    "op": m.get("op", "append"),
+                    "committed_at": m.get("committed_at"),
+                    "parent": m.get("parent"),
+                    "n_add": len(m["files"] if full else m.get("add") or ()),
+                    "n_remove": None if full else len(m.get("remove") or ()),
+                }
+            )
+        return out
+
     def clone_to(self, target_root: str, version: int | None = None) -> "SnapshotTable":
         """Shallow CLONE (Delta's zero-copy clone): create a NEW table at
         `target_root` whose v0 manifest references THIS table's data files

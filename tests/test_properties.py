@@ -427,3 +427,61 @@ def test_action_log_replay_matches_naive_accumulation(tmp_path_factory, data):
     assert [f["path"] for f in cold.snapshot()["files"]] == naive[-1]
     v = data.draw(st.integers(min_value=0, max_value=len(naive) - 1))
     assert [f["path"] for f in cold.snapshot(v)["files"]] == naive[v]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.integers(min_value=0, max_value=20),  # heavy ties
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_distributed_rank_prefix_ntile_equal_naive(spark, rows, n_buckets):
+    """operators/rank.py invariants under arbitrary group/tie shapes: the
+    distributed row_number, prefix sum, and reconstructed NTILE are
+    row-for-row identical to the naive single-task window forms."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window as W
+
+    from cassabon_spark.operators.rank import (
+        distributed_prefix_sum,
+        distributed_row_number,
+        ntile_from_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, s, v) for i, (g, s, v) in enumerate(rows)],
+        "id long, grp string, score long, val long",
+    )
+    order = [F.asc("score"), F.asc("id")]
+    got = distributed_row_number(
+        df, order, partition_cols=["grp"], rank_col="rnk", total_col="n"
+    ).withColumn("bucket", ntile_from_rank("rnk", "n", n_buckets))
+    naive_w = W.partitionBy("grp").orderBy(*order)
+    naive = (
+        df.withColumn("rnk", F.row_number().over(naive_w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("grp")))
+        .withColumn("bucket", F.ntile(n_buckets).over(naive_w))
+    )
+    g = {r.id: (r.rnk, r.n, r.bucket) for r in got.collect()}
+    e = {r.id: (r.rnk, r.n, r.bucket) for r in naive.collect()}
+    assert g == e
+
+    got_ps = distributed_prefix_sum(
+        df, [F.asc("id")], "val", partition_cols=["grp"], out_col="ps"
+    )
+    naive_ps = df.withColumn(
+        "ps",
+        F.sum("val").over(
+            W.partitionBy("grp").orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    assert {r.id: r.ps for r in got_ps.collect()} == {
+        r.id: r.ps for r in naive_ps.collect()
+    }

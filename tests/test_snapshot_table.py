@@ -1052,3 +1052,21 @@ def test_clone_carries_schema_and_constraints(spark, tmp_path):
             ),
             partition_cols=("res", "day"),
         )
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    t = _mk(spark, tmp_path, ROWS)
+    t.append(
+        spark.createDataFrame(
+            [("c", 5, 10, "2020-01-03")], "k string, v bigint, res bigint, day string"
+        ),
+        partition_cols=("res", "day"),
+    )
+    t.drop_partitions(lambda p: p["day"] == "2020-01-02")
+    t.restore(0)
+    h = t.history()
+    assert [e["version"] for e in h] == [3, 2, 1, 0]
+    assert [e["op"] for e in h] == ["restore", "retention", "append", "append"]
+    assert h[0]["n_remove"] is None  # reset commit: removal set implicit
+    assert h[2]["n_add"] == 1 and h[2]["n_remove"] == 0
+    assert all(e["committed_at"] is not None for e in h)

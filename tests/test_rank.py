@@ -173,3 +173,23 @@ def test_prefix_sum_plan_has_no_single_task_sort(spark):
         df, [F.asc("id")], "val", partition_cols=["lang"], out_col="ps"
     )
     assert audit_windows(_executed(got)) == []
+
+
+def test_rank_helpers_on_empty_and_single_row_frames(spark):
+    from cassabon_spark.operators.rank import distributed_prefix_sum
+
+    empty = spark.createDataFrame([], "id long, grp string, score double")
+    got = distributed_row_number(
+        empty, [F.asc("score"), F.asc("id")], partition_cols=["grp"],
+        rank_col="rnk", total_col="n",
+    )
+    assert got.collect() == []
+    one = spark.createDataFrame([(1, "g", 2.0)], "id long, grp string, score double")
+    r = distributed_row_number(
+        one, [F.asc("score"), F.asc("id")], rank_col="rnk", total_col="n"
+    ).collect()
+    assert [(x.rnk, x.n) for x in r] == [(1, 1)]
+    ps = distributed_prefix_sum(
+        one.withColumn("v", F.lit(5).cast("long")), [F.asc("id")], "v", out_col="ps"
+    ).collect()
+    assert [x.ps for x in ps] == [5]

@@ -109,8 +109,10 @@ def distributed_row_number(
         F.coalesce(F.sum(F.col(f"b.{_CNT}")), F.lit(0)).alias(_OFF)
     )
 
+    # bigint: an int rank would silently wrap past 2^31 ranked rows —
+    # exactly the corpus-wide regime this helper exists for
     out = local.join(F.broadcast(offs), [_PID] + pcols).withColumn(
-        rank_col, (F.col(_LRNK) + F.col(_OFF)).cast("int")
+        rank_col, (F.col(_LRNK) + F.col(_OFF)).cast("bigint")
     )
 
     if total_col is not None:

@@ -2338,9 +2338,13 @@ def carbon_movingwindow_family(spark, sf_dir):
     mw_s = moving_window(grid, 3, "sum")
     mw_d = moving_window(grid, 4, "stddev")
     mw_c = moving_window(grid, 5, "count")
-    awc_full = combine_with_wildcards(grid, "sum", 1)
+    # cached: the single-series guard below COUNTS each frame and the
+    # joins then re-read them — without the cache every invocation paid
+    # the wildcard/tag aggregations twice (r6 review). The frames are
+    # one-series grids (~grid-slot count rows), so the cache is tiny.
+    awc_full = combine_with_wildcards(grid, "sum", 1).cache()
     tagged = grid.withColumn("path", F.concat(F.col("path"), F.lit(";dc=east")))
-    gbt_full = group_by_tags(tagged, "avg", "dc")
+    gbt_full = group_by_tags(tagged, "avg", "dc").cache()
     # fixture-drift guard (ADVICE r5): the slot_s-only joins below are
     # fan-out-free ONLY because dropping path segment 1 (and grouping on
     # the dc tag) collapses ALL fixture paths into exactly one series —

@@ -3587,8 +3587,10 @@ def _lsh_row_frame(df):
 
 
 # streaming_neardup_lsh drop-file sizing: batches = ceil(files / fpt).
-# Overridable (module-level) so the scale stress can probe slicings; None
-# means corpus-scaled — see the entry body.
+# None = corpus-scaled (see the entry body); the slot is a module-level
+# override hook for MANUAL batch-size experiments (it was how the
+# 2x30k / 4x15k / 8x7.5k stress measurements in SCALE_r06.md were taken
+# — nothing in the repo sets it programmatically).
 _SND_DROP_FILES = [None]
 _SND_DOCS_PER_FILE = 7500
 
@@ -7969,29 +7971,22 @@ ORDER BY d1, d2
 """
 
 
-@register(
-    "dedup_containment",
-    _CONTAIN_SQL,
-    "MinHash containment dedup: |A∩B|/|A| both directions over shingle "
-    "sets for LSH band candidates — near-SUPERSET detection (quoted/"
-    "boilerplate-wrapped copies that symmetric Jaccard misses); "
-    "superset_only flags containment >= 0.9 with jaccard < 0.7",
-)
-def dedup_containment(spark, sf_dir):
-    prep(spark)
-    from cassabon_spark.functions.text import (
-        md5_chunk_hash_expr,
-        tokens_expr,
-        word_shingles_expr,
-    )
+def _banded_candidates(sh):
+    """(doc_id, lang, s) distinct-shingle rows -> (d1, d2) LSH band
+    candidate pairs (d1 < d2): minhash signatures, banded keys, skew-safe
+    band self-join (salted_self_pairs grid split) with the row-LOCAL
+    first-shared-band predicate standing in for a pair-stream distinct.
+
+    Shared by dedup_containment and dedup_edit_distance (identical band
+    construction — r6 review: this block had been copy-pasted).
+    _minhash_pair_frames keeps its own copy because it interleaves the
+    adaptive content-collapse bookkeeping with these stages, and the
+    streaming variant (_lsh_row_frame) computes row-local signatures with
+    no groupBy — those constructions fork in exactly the places a shared
+    abstraction would have to parameterize away."""
+    from cassabon_spark.functions.text import md5_chunk_hash_expr
     from cassabon_spark.operators.skew import salted_self_pairs
 
-    docs = T(spark, sf_dir, "documents", wide=True)
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
-    ).cache()
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
@@ -8022,10 +8017,31 @@ def dedup_containment(spark, sf_dir):
             F.element_at(F.col("a.bks"), bb + 1)
             != F.element_at(F.col("b.bks"), bb + 1)
         )
-    cand = salted_self_pairs(
+    return salted_self_pairs(
         bands, ["band", "bkey", "lang"], "doc_id",
         pair_cond=first_match, unique_pairs=True,
     ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
+
+
+@register(
+    "dedup_containment",
+    _CONTAIN_SQL,
+    "MinHash containment dedup: |A∩B|/|A| both directions over shingle "
+    "sets for LSH band candidates — near-SUPERSET detection (quoted/"
+    "boilerplate-wrapped copies that symmetric Jaccard misses); "
+    "superset_only flags containment >= 0.9 with jaccard < 0.7",
+)
+def dedup_containment(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import tokens_expr, word_shingles_expr
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
+    ).cache()
+    cand = _banded_candidates(sh)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
@@ -8177,64 +8193,78 @@ ORDER BY d1, d2
 )
 def dedup_edit_distance(spark, sf_dir):
     prep(spark)
-    from cassabon_spark.functions.text import (
-        md5_chunk_hash_expr,
-        tokens_expr,
-        word_shingles_expr,
-    )
+    from cassabon_spark.functions.text import tokens_expr, word_shingles_expr
     from cassabon_spark.operators.skew import salted_self_pairs
 
     docs = T(spark, sf_dir, "documents", wide=True)
-    sh = docs.select(
+    # CONTENT COLLAPSE (r6 review: without it a 10k-identical dup-farm
+    # shard explodes into ~5e7 candidate pairs each paying an O(L^2) DP
+    # — the exact blowup _minhash_pair_frames' collapse exists for):
+    # identical (lang, text) docs form one group; banding and the DP run
+    # once per DISTINCT content and the pair list re-expands EXACTLY —
+    # members are byte-identical to their rep, so a member pair's
+    # distance IS its rep pair's distance, and within-group pairs are
+    # lev 0 / sim 1. Unconditional (no adaptive probe): on a unique
+    # corpus the group maps are 1:1 and the expansion adds only small
+    # broadcast joins, while the saved DP work always dominates when
+    # duplicates exist. Shingle-less (< 3 token) docs never reach the
+    # band index, so they are excluded from groups too — identical tiny
+    # docs must not surface pairs the oracle's band join cannot produce.
+    eligible = docs.filter(F.size(tokens_expr("text")) >= 3)
+    ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
+    grp = eligible.select("doc_id", "lang", ck.alias("ck")).cache()
+    reps = grp.groupBy("ck", "lang").agg(F.min("doc_id").alias("rep"))
+    rep_docs = docs.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    sh = rep_docs.select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 3))).alias("s"),
     )
-    mh = sh.groupBy("doc_id", "lang").agg(
-        *[
-            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
-            for seed in range(_N_HASHES)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.col(f"h{2*b}").cast("string"),
-                    F.col(f"h{2*b+1}").cast("string"),
-                )
-            )
-            for b in range(_N_HASHES // _BAND_W)
-        ]
-    )
-    bands = mh.select("doc_id", "lang", band_keys.alias("bks")).select(
-        "doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")
-    )
-    n_bands = _N_HASHES // _BAND_W
-    first_match = F.lit(False)
-    earlier_all_differ = F.lit(True)
-    for bb in range(n_bands):
-        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
-        earlier_all_differ = earlier_all_differ & (
-            F.element_at(F.col("a.bks"), bb + 1)
-            != F.element_at(F.col("b.bks"), bb + 1)
-        )
-    cand = salted_self_pairs(
-        bands, ["band", "bkey", "lang"], "doc_id",
-        pair_cond=first_match, unique_pairs=True,
-    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
-    x = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
-    y = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
-    lev = F.levenshtein("t1", "t2")
-    sim_raw = 1.0 - lev / F.greatest(F.length("t1"), F.length("t2"))
-    return (
+    cand = _banded_candidates(sh)
+    x = rep_docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("t1"))
+    y = rep_docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("t2"))
+    rep_pairs = (
         cand.join(x, "d1")
         .join(y, "d2")
         .select(
+            F.col("d1").alias("r1"),
+            F.col("d2").alias("r2"),
+            F.levenshtein("t1", "t2").cast("bigint").alias("lev"),
+            F.greatest(F.length("t1"), F.length("t2")).alias("max_len"),
+        )
+    )
+    ckmap = reps.select("rep", "ck")
+    cross = (
+        rep_pairs.join(
+            ckmap.select(F.col("rep").alias("r1"), F.col("ck").alias("ck1")), "r1"
+        )
+        .join(ckmap.select(F.col("rep").alias("r2"), F.col("ck").alias("ck2")), "r2")
+        .join(grp.select(F.col("ck").alias("ck1"), F.col("doc_id").alias("m1")), "ck1")
+        .join(grp.select(F.col("ck").alias("ck2"), F.col("doc_id").alias("m2")), "ck2")
+        .select(
+            F.least("m1", "m2").alias("d1"),
+            F.greatest("m1", "m2").alias("d2"),
+            "lev",
+            "max_len",
+        )
+    )
+    within = salted_self_pairs(
+        grp.select("ck", "doc_id"), ["ck"], "doc_id", unique_pairs=True
+    ).select(
+        F.col("id1").alias("d1"),
+        F.col("id2").alias("d2"),
+        F.lit(0).cast("bigint").alias("lev"),
+        F.lit(1).alias("max_len"),  # identical texts: lev/max_len = 0 exactly
+    )
+    sim_raw = 1.0 - F.col("lev") / F.col("max_len")
+    return (
+        cross.unionByName(within)
+        .select(
             "d1",
             "d2",
-            lev.cast("bigint").alias("lev"),
+            "lev",
             R(sim_raw, 4).alias("edit_sim"),
             (sim_raw >= 0.8).alias("near_dup"),
         )

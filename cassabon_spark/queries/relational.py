@@ -1013,7 +1013,14 @@ def win_ntile(spark, sf_dir):
             "total",
             ntile_from_rank("rnk", "n", 4).cast("bigint").alias("quartile"),
             R(F.col("rnk") / F.col("n"), 4).alias("cume"),
-            R((F.col("rnk") - 1) / (F.col("n") - 1), 4).alias("pct_rank"),
+            # n == 1 guard: (rnk-1)/(n-1) is 0/0 there, but SQL
+            # PERCENT_RANK() over a single row is defined as 0.0
+            R(
+                F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+                    (F.col("rnk") - 1) / (F.col("n") - 1)
+                ),
+                4,
+            ).alias("pct_rank"),
         )
         .orderBy(F.desc("total"), F.asc("o_custkey"))
         .limit(100)

@@ -358,7 +358,12 @@ class SnapshotTable:
                 daemon=True,
             )
             t.start()
-            self._ckpt_threads.append(t)
+            # prune finished writers as we go: a long-running streaming
+            # committer would otherwise retain one dead Thread per 16
+            # commits forever (only vacuum/_ckpt_flush joined them)
+            self._ckpt_threads = [
+                x for x in self._ckpt_threads if x.is_alive()
+            ] + [t]
         return next_v
 
     def _ckpt_async(self, version: int) -> None:

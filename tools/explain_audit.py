@@ -23,23 +23,30 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassabon_spark import get_spark  # noqa: E402
-from cassabon_spark.plans.window_audit import audit_windows  # noqa: E402
+from cassabon_spark.plans.window_audit import (  # noqa: E402
+    lowcard_windows,
+    single_task_sorts,
+)
 from cassabon_spark.queries import load_registry  # noqa: E402
 from cassabon_spark.session import prep  # noqa: E402
 
 # Documented window-flag adjudications (the no-pushdown discipline): the
 # detector cannot statically see that a window's INPUT is bounded by
-# construction. Each entry here names the flag it waives and why; the flag
-# still prints, prefixed `adjudicated:`, so a plan change that introduces a
-# NEW unbounded window in these entries still surfaces (the adjudication is
-# per-flag, not per-entry silence).
-ADJUDICATED_WINDOWS = {
+# construction. Each entry waives a COUNTED number of single-task sort
+# sites, and the flag still prints (prefixed `adjudicated:`) — so a plan
+# change that introduces an ADDITIONAL single-task sort window in one of
+# these entries exceeds its budget and surfaces as a raw flag (the
+# adjudication is per-site-count, not per-entry silence).
+ADJUDICATED_SINGLE_TASK_SORTS = {
     # window input is one row per SOURCE (post-aggregation, config-scale)
-    "pipeline_token_budget_mix": "single-task-sort-window",
+    "pipeline_token_budget_mix": 1,
     # window input is one row per DECILE (exactly 10 rows)
-    "pipeline_quality_prune_curve": "single-task-sort-window",
-    # window input is one row per requested QUANTILE (7 rows)
-    "sketch_range_bounds": "single-task-sort-window",
+    "pipeline_quality_prune_curve": 1,
+    # the <=514-row sketch quantile walk, which the plan materializes
+    # twice (est-bound branch + rows-below verification branch) — the
+    # count-based waiver surfaced the second site the r6 prefix-match
+    # waiver had been masking; both verified bounded by construction
+    "sketch_range_bounds": 2,
 }
 
 HEADLINE = [
@@ -133,13 +140,21 @@ def main():
                 flags.append("no-pushdown")
             # r6 (VERDICT r5 #2): single-task / low-cardinality sort
             # windows — the scale-killer class the exchange/BNLJ counts
-            # missed in round 5
-            waived = ADJUDICATED_WINDOWS.get(name)
-            for wf in audit_windows(plan):
-                if waived and wf.startswith(waived):
-                    flags.append(f"adjudicated:{wf}")
+            # missed in round 5. Adjudications are site-COUNT budgets: a
+            # regression that adds a second single-task sort to a waived
+            # entry exceeds the budget and prints as a raw flag.
+            hits = single_task_sorts(plan)
+            if hits:
+                budget = ADJUDICATED_SINGLE_TASK_SORTS.get(name, 0)
+                if len(hits) <= budget:
+                    flags.append(
+                        f"adjudicated:single-task-sort-window(x{len(hits)})"
+                    )
                 else:
-                    flags.append(wf)
+                    flags.append(f"single-task-sort-window(x{len(hits)})")
+            lc = lowcard_windows(plan)
+            if lc:
+                flags.append(f"lowcard-window({';'.join(sorted(set(lc)))})")
             print(
                 f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
                 + ("  " + ",".join(flags) if flags else "")

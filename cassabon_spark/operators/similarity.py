@@ -354,8 +354,17 @@ def ivfpq_adc_topk(
     res = F.zip_with(
         F.col(vec_col), F.col("pe"), lambda x, y: x.cast("double") - y.cast("double")
     )
-    cells = assigned.filter(F.col("prnk") == 1).select(
-        F.col(id_col), F.col("pivot_id"), res.alias("res")
+    # width-pin (the r6 semdedup lesson, SCALE_r06.md): cells is ~10 MB
+    # of residual arrays at the 10x stress, so AQE coalesces the window
+    # exchange's read to ~7 tasks — and EVERYTHING compute-dense
+    # downstream (residual subvector explode, x n_codes codebook join,
+    # min_by encode, ADC scoring) inherits that width. An explicit
+    # user-specified repartition is AQE-exempt (verified on this Spark).
+    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cells = (
+        assigned.filter(F.col("prnk") == 1)
+        .select(F.col(id_col), F.col("pivot_id"), res.alias("res"))
+        .repartition(n_parts, id_col)
     )
     codebook = pq_codebook(
         cells, m=m, dsub=dsub, n_codes=n_codes, id_col=id_col, vec_col="res",
@@ -387,9 +396,17 @@ def ivfpq_adc_topk(
     lut = qsubs.join(F.broadcast(codebook), "s").select(
         "qid", "s", "j", _dot_expr("qsub", "code").alias("pdot")
     )
+    # the code/cell scoring join inherits the pinned width through the
+    # cells repartition above; pin the encoded side too (PQ codes are
+    # ~32x smaller than the floats BY DESIGN, so byte-based coalescing
+    # would otherwise under-provision the scoring stage)
     scored = (
-        encoded.join(
-            cells.select(F.col(id_col).alias("id"), "pivot_id"), "id"
+        encoded.repartition(n_parts, "id")
+        .join(
+            cells.select(F.col(id_col).alias("id"), "pivot_id").repartition(
+                n_parts, "id"
+            ),
+            "id",
         )
         .join(F.broadcast(probes), "pivot_id")
         .filter(F.col("id") != F.col("qid"))

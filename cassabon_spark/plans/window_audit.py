@@ -135,3 +135,138 @@ def audit_windows(plan: str) -> list[str]:
     if lc:
         flags.append(f"lowcard-window({';'.join(sorted(set(lc)))})")
     return flags
+
+
+# --------------------------------------------------- runtime detector (r7)
+#
+# VERDICT r6 #2: the static LOW_CARDINALITY_COLS set cannot see a window
+# whose partition key is bounded BY CONSTRUCTION (e.g. anchors filtered to
+# `vec_id < 8`): the column name carries no cardinality signal. But the
+# audit harness EXECUTES every plan, so the executed plan carries the
+# ground truth: for each Window, the shuffle that feeds it knows (a) how
+# many rows actually crossed (shuffleRecordsWritten) and (b) how many
+# reduce partitions are non-empty (MapOutputStatistics.bytesByPartitionId)
+# — a hash-collision-tight lower bound on the partition key's distinct
+# count. A window whose input is corpus-scale while only a handful of
+# reduce partitions are non-empty sorts ~rows/groups rows per task with
+# parallelism = #groups, no matter how wide the cluster: that is the
+# bounded-anchor single-task-sort class, one level up.
+#
+# Windows already rewritten by Catalyst's InferWindowGroupLimit
+# (SPARK-37099: `row_number()/rank() ... FILTER rnk <= k` plans a PARTIAL
+# WindowGroupLimit below the exchange) pass automatically — only <= P*k
+# rows per group cross the shuffle, so the rows threshold never trips.
+# That rewrite IS the distributed two-phase top-k; this detector exists to
+# catch the shapes Catalyst cannot rewrite (unfiltered ranks, dual rank
+# windows over one frame, full-partition aggregation windows).
+#
+# Blind spot (documented): a window evaluated inside a localCheckpoint
+# barrier (operators/rank.py) runs in its own query execution and is
+# invisible to the final plan — those constructions are pinned by
+# tests/test_rank.py instead.
+
+_RUNTIME_PASSTHROUGH = frozenset(
+    {
+        "SortExec",
+        "WindowGroupLimitExec",
+        "WholeStageCodegenExec",
+        "InputAdapter",
+        "AQEShuffleReadExec",
+        "CoalesceExec",
+        "ColumnarToRowExec",
+        "ProjectExec",
+        "FilterExec",
+    }
+)
+
+
+def _jwalk(node):
+    """Yield every node of an executed SparkPlan, descending through AQE
+    wrappers (AdaptiveSparkPlanExec.finalPhysicalPlan, QueryStageExec.plan)."""
+    name = node.getClass().getSimpleName()
+    yield node, name
+    if name == "AdaptiveSparkPlanExec":
+        yield from _jwalk(node.finalPhysicalPlan())
+        return
+    if name.endswith("QueryStageExec"):
+        yield from _jwalk(node.plan())
+        return
+    for i in range(node.children().size()):
+        yield from _jwalk(node.children().apply(i))
+
+
+def _feeding_shuffle(window_node):
+    """The ShuffleQueryStageExec feeding a Window through pass-through
+    operators only, or None (broadcast-fed / checkpoint-fed windows)."""
+    node = window_node
+    while True:
+        if node.children().size() != 1:
+            return None
+        node = node.children().apply(0)
+        name = node.getClass().getSimpleName()
+        if name == "ShuffleQueryStageExec":
+            return node
+        if name not in _RUNTIME_PASSTHROUGH:
+            return None
+
+
+def bounded_anchor_windows(
+    df,
+    rows_min: int = 1000,
+    per_group_min: int = 250,
+) -> list[str]:
+    """Runtime bounded-anchor-window flags for an EXECUTED DataFrame.
+
+    For each Window (and final-mode WindowGroupLimit) in the final adaptive
+    plan, reads the feeding shuffle's runtime statistics and flags
+
+        bounded-anchor-window(<keys>;rows=R;groups~G)
+
+    when the non-empty reduce-partition count G is at most a quarter of the
+    shuffle width while R >= rows_min rows crossed and each group carries
+    >= per_group_min rows: parallelism collapsed to G tasks on a
+    corpus-scale input. Thresholds are calibrated for the sf0.001 audit
+    scale (fixtures >= 500 rows; group-limited top-k shapes cross < 200).
+
+    Must be called AFTER an action on df — map statistics and SQL metrics
+    exist only post-execution.
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    flags: list[str] = []
+    seen = set()
+    for node, name in _jwalk(jplan):
+        if name != "WindowExec":
+            continue
+        if node.partitionSpec().size() == 0:
+            continue  # unpartitioned: single_task_sorts already covers it
+        stage = _feeding_shuffle(node)
+        if stage is None:
+            continue
+        sid = stage.id()
+        ms = stage.mapStats()
+        if not ms.isDefined():
+            continue
+        sizes = list(ms.get().bytesByPartitionId())
+        width = len(sizes)
+        groups = sum(1 for b in sizes if b > 0)
+        ex = stage.plan()
+        try:
+            rows = int(ex.metrics().apply("shuffleRecordsWritten").value())
+        except Exception:  # pragma: no cover - metric renamed upstream
+            continue
+        key = (sid, node.partitionSpec().toString())
+        if key in seen:
+            continue  # ReusedExchange: one physical shuffle, count once
+        seen.add(key)
+        if (
+            groups > 0
+            and groups <= max(2, width // 4)
+            and rows >= rows_min
+            and rows // groups >= per_group_min
+        ):
+            cols = re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", node.partitionSpec().toString())
+            flags.append(
+                "bounded-anchor-window("
+                f"{','.join(dict.fromkeys(cols))};rows={rows};groups~{groups})"
+            )
+    return flags

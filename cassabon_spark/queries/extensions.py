@@ -7237,6 +7237,25 @@ ORDER BY qid, rnk
     "so the ANN quality metric itself is exact-oracled",
 )
 def similarity_matryoshka_prefix(spark, sf_dir):
+    # r7 rebuild (VERDICT r6 #1): the r4-r6 shape computed TWO rank windows
+    # over the same corpus-sized pair frame and filtered only on the full-dim
+    # rank — a dual-rank pattern Catalyst's WindowGroupLimit rewrite
+    # (SPARK-37099) cannot limit, so BOTH windows routed every anchor's
+    # entire scored corpus through one task's sort (the registry's only
+    # rank-limited window shape that planned with NO partial group limit —
+    # AUDIT_r07). Now:
+    #   (1) full-dim top-5 is a single rank window immediately filtered —
+    #       the shape the optimizer rewrites to partial-per-input-partition
+    #       WindowGroupLimit + exchange of <= P*k rows per anchor;
+    #   (2) each survivor's PREFIX rank comes from a broadcast counting
+    #       join against the scored corpus (rank r = 1 + #rows ordered
+    #       before it under (pk DESC, cid ASC)) — a linear map-side
+    #       aggregated pass, never a second corpus-wide sort window;
+    #   (3) per-query recall is a groupBy over the <=5*Q survivors joined
+    #       back, not a window.
+    # Both ranking keys stay 8-decimal requantized with cid tiebreaks, so
+    # the counting join reproduces ROW_NUMBER exactly and the oracle is
+    # unchanged.
     prep(spark)
     from pyspark.sql import Window
 
@@ -7256,35 +7275,78 @@ def similarity_matryoshka_prefix(spark, sf_dir):
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
     full_sim = cosine_sim_expr("qe", "ce")
     pref_sim = cosine_sim_expr("pq", "pc")
-    # rank on the 8-decimal re-quantized cosine (repo convention, see
-    # similarity_pq_adc / dedup_semdedup): an ulp-level cross-engine
-    # difference on a near-tie would otherwise flip rnk/prefix_rnk
-    wf = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(full_sim, 8)), F.asc("cid")
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.desc(F.round(pref_sim, 8)), F.asc("cid")
-    )
-    ranked = (
-        pairs.withColumn("cosine", full_sim)
-        .withColumn("rnk", F.row_number().over(wf).cast("bigint"))
-        .withColumn("prefix_rnk", F.row_number().over(wp).cast("bigint"))
-        .filter(F.col("rnk") <= 5)
-    )
-    wq = Window.partitionBy("qid")
-    return ranked.select(
+    scored = pairs.select(
         "qid",
         "cid",
-        R(F.col("cosine"), 4).alias("cosine"),
-        "rnk",
-        "prefix_rnk",
-        R(
-            F.round(
-                F.sum((F.col("prefix_rnk") <= 5).cast("int")).over(wq) / 5.0, 8
+        full_sim.alias("cosine"),
+        F.round(full_sim, 8).alias("fk"),
+        F.round(pref_sim, 8).alias("pk"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("fk"), F.asc("cid"))
+    # top is <= 5*Q rows but three downstream branches reference it; without
+    # a barrier each branch replays the corpus scan+rank (verified in the
+    # executed plan: the top-5 window appeared 3x). A lazy localCheckpoint
+    # materializes the tiny frame once — the fault-tolerance caveat of
+    # localCheckpoint (operators/rank.py docstring) is moot at 25 rows.
+    top = (
+        scored.withColumn("rnk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", "cosine", "pk", "rnk")
+        .localCheckpoint(eager=False)
+    )
+    surv = top.select(
+        F.col("qid").alias("sqid"),
+        F.col("cid").alias("scid"),
+        F.col("pk").alias("spk"),
+    )
+    # counting join: survivors are <= 5 per anchor, broadcast against the
+    # scored corpus; the hash aggregate's map-side partials keep the pass
+    # linear and fully parallel (the corpus side is never re-sorted)
+    before = (
+        scored.select("qid", "cid", "pk")
+        .join(
+            F.broadcast(surv),
+            (F.col("qid") == F.col("sqid"))
+            & (
+                (F.col("pk") > F.col("spk"))
+                | ((F.col("pk") == F.col("spk")) & (F.col("cid") < F.col("scid")))
             ),
-            4,
-        ).alias("prefix_recall5"),
-    ).orderBy("qid", "rnk")
+        )
+        .groupBy("sqid", "scid")
+        .agg(F.count(F.lit(1)).alias("n_before"))
+    )
+    with_prefix = (
+        top.join(
+            before,
+            (top["qid"] == before["sqid"]) & (top["cid"] == before["scid"]),
+            "left",
+        )
+        .select(
+            "qid",
+            "cid",
+            "cosine",
+            "rnk",
+            (F.coalesce("n_before", F.lit(0)) + 1).cast("bigint").alias("prefix_rnk"),
+        )
+        .localCheckpoint(eager=False)  # reused by recall + final join
+    )
+    recall = with_prefix.groupBy(F.col("qid").alias("rqid")).agg(
+        R(
+            F.round(F.sum((F.col("prefix_rnk") <= 5).cast("int")) / 5.0, 8), 4
+        ).alias("prefix_recall5")
+    )
+    return (
+        with_prefix.join(F.broadcast(recall), F.col("qid") == F.col("rqid"))
+        .select(
+            "qid",
+            "cid",
+            R(F.col("cosine"), 4).alias("cosine"),
+            "rnk",
+            "prefix_rnk",
+            "prefix_recall5",
+        )
+        .orderBy("qid", "rnk")
+    )
 
 
 # The APPLY step of ExactSubstr dedup: cut the duplicated spans out of each

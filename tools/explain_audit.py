@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassabon_spark import get_spark  # noqa: E402
 from cassabon_spark.plans.window_audit import (  # noqa: E402
+    bounded_anchor_windows,
     lowcard_windows,
     single_task_sorts,
 )
@@ -48,6 +49,12 @@ ADJUDICATED_SINGLE_TASK_SORTS = {
     # waiver had been masking; both verified bounded by construction
     "sketch_range_bounds": 2,
 }
+
+# r7 (VERDICT r6 #2): runtime bounded-anchor-window adjudications, same
+# per-site-count budget discipline. The runtime detector reads the feeding
+# shuffle's actual row/partition stats, so a waiver here asserts the SHAPE
+# is accepted (documented why), not that the detector misread the plan.
+ADJUDICATED_BOUNDED_ANCHOR = {}
 
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
@@ -131,7 +138,8 @@ def main():
     print(f"{'query':32} " + " ".join(f"{c:>9}" for c in cols))
     for name in names:
         try:
-            plan = executed_plan(registry[name].fn(spark, args.sf))
+            df = registry[name].fn(spark, args.sf)
+            plan = executed_plan(df)
             a = audit(plan)
             flags = []
             if a["cartesian"]:
@@ -155,6 +163,14 @@ def main():
             lc = lowcard_windows(plan)
             if lc:
                 flags.append(f"lowcard-window({';'.join(sorted(set(lc)))})")
+            # r7: runtime bounded-anchor check — reads the executed plan's
+            # shuffle map stats, so it sees cardinality the static
+            # detectors cannot (anchors bounded by construction)
+            ba = bounded_anchor_windows(df)
+            if ba:
+                budget = ADJUDICATED_BOUNDED_ANCHOR.get(name, 0)
+                tag = "adjudicated:" if len(ba) <= budget else ""
+                flags.append(f"{tag}{';'.join(ba)}")
             print(
                 f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
                 + ("  " + ",".join(flags) if flags else "")

@@ -60,6 +60,7 @@ def distributed_row_number(
     partition_cols=(),
     rank_col="rnk",
     total_col=None,
+    reliable=False,
 ):
     """Exact ``ROW_NUMBER() OVER (PARTITION BY partition_cols ORDER BY
     order_cols)`` (and optionally ``COUNT(*) OVER (PARTITION BY
@@ -72,6 +73,20 @@ def distributed_row_number(
         ordering keys must be non-null — the range partitioner and the
         local sort must agree on placement.
     partition_cols: string column names to rank within (e.g. ["lang"]).
+        NULL group keys are ranked like any other group (a naive window
+        would too): the offsets and total joins are null-safe (ADVICE r6 —
+        a null-unsafe equi-join silently DROPPED null-keyed rows).
+
+    Fault tolerance: the pid barrier is `localCheckpoint` — executor-local
+    blocks, NOT a reliable checkpoint. On a long-running cluster job,
+    losing an executor after the barrier materializes makes those
+    partitions unrecoverable and fails the JOB (Spark does not recompute
+    truncated lineage); the driver-side retry then recomputes from source.
+    That trade is deliberate: the barrier exists for plan determinism, and
+    a reliable `checkpoint()` would add a full write to the checkpoint dir
+    on EVERY call. Callers that prefer surviving executor loss over the
+    extra IO can pass reliable=True (requires
+    `spark.sparkContext.setCheckpointDir(...)`).
 
     Returns df plus rank_col (int, 1-based) and, if requested, total_col
     (bigint rows in the row's partition group). Row order of the result is
@@ -88,7 +103,7 @@ def distributed_row_number(
     # exchange reuse does not reliably deduplicate the range exchange
     # across a broadcast boundary (see module docstring)
     ranged = df.repartitionByRange(n_parts, *[F.asc(c) for c in pcols], *order_cols)
-    ranged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
+    ranged = _pid_barrier(ranged, reliable)
 
     # 3. local rank: each (range bucket x group) chunk sorts in its own task
     w_local = Window.partitionBy(_PID, *pcols).orderBy(*order_cols)
@@ -111,7 +126,7 @@ def distributed_row_number(
 
     # bigint: an int rank would silently wrap past 2^31 ranked rows —
     # exactly the corpus-wide regime this helper exists for
-    out = local.join(F.broadcast(offs), [_PID] + pcols).withColumn(
+    out = _nullsafe_bjoin(local, offs, pcols).withColumn(
         rank_col, (F.col(_LRNK) + F.col(_OFF)).cast("bigint")
     )
 
@@ -120,7 +135,7 @@ def distributed_row_number(
             tot = cnts.groupBy(*pcols).agg(
                 F.sum(_CNT).cast("bigint").alias(total_col)
             )
-            out = out.join(F.broadcast(tot), pcols)
+            out = _nullsafe_bjoin(out, tot, pcols, on_pid=False)
         else:
             tot = cnts.agg(F.sum(_CNT).cast("bigint").alias(total_col))
             out = out.crossJoin(F.broadcast(tot))  # one-row envelope
@@ -134,6 +149,7 @@ def distributed_prefix_sum(
     value_col,
     partition_cols=(),
     out_col="prefix_sum",
+    reliable=False,
 ):
     """Exact ``SUM(value) OVER (PARTITION BY partition_cols ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING)`` — the running total — computed
@@ -156,7 +172,7 @@ def distributed_prefix_sum(
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     ranged = df.repartitionByRange(n_parts, *[F.asc(c) for c in pcols], *order_cols)
-    ranged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(eager=True)
+    ranged = _pid_barrier(ranged, reliable)
 
     w_local = (
         Window.partitionBy(_PID, *pcols)
@@ -176,7 +192,7 @@ def distributed_prefix_sum(
     offs = joined.groupBy(*group_keys).agg(
         F.coalesce(F.sum(F.col(f"b.{_CNT}")), F.lit(0)).alias(_OFF)
     )
-    out = local.join(F.broadcast(offs), [_PID] + pcols).withColumn(
+    out = _nullsafe_bjoin(local, offs, pcols).withColumn(
         out_col, F.col("__dr_lsum") + F.col(_OFF)
     )
     return out.drop(_PID, "__dr_lsum", _OFF)
@@ -187,6 +203,40 @@ def _and_all(conds):
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def _pid_barrier(ranged, reliable):
+    """Materialize the range exchange and freeze the partition id as data.
+
+    localCheckpoint (default) is executor-local: cheap, but an executor
+    loss afterwards fails the job (driver retry recomputes from source).
+    reliable=True writes to the configured checkpoint dir instead —
+    survives executor loss at the cost of a full extra write per call."""
+    ranged = ranged.withColumn(_PID, F.spark_partition_id())
+    if reliable:
+        return ranged.checkpoint(eager=True)
+    return ranged.localCheckpoint(eager=True)
+
+
+def _nullsafe_bjoin(big, small, pcols, on_pid=True):
+    """Broadcast-join `small` onto `big` on ([pid] +) pcols with NULL-SAFE
+    group-key equality, so NULL group keys are ranked like any other group
+    instead of silently dropping out of a null-unsafe equi-join (ADVICE
+    r6). `small`'s join key columns are renamed and dropped after the join;
+    its payload columns survive."""
+    keys = ([_PID] if on_pid else []) + list(pcols)
+    renames = {c: f"__dr_k{i}" for i, c in enumerate(keys)}
+    small_r = small.select(
+        *[F.col(c).alias(renames[c]) for c in keys],
+        *[F.col(c) for c in small.columns if c not in keys],
+    )
+    conds = []
+    for c in keys:
+        lhs, rhs = F.col(c), F.col(renames[c])
+        conds.append(lhs == rhs if c == _PID else lhs.eqNullSafe(rhs))
+    return big.join(F.broadcast(small_r), _and_all(conds)).drop(
+        *renames.values()
+    )
 
 
 def ntile_from_rank(rank_col, total_col, n):

@@ -2338,13 +2338,17 @@ def carbon_movingwindow_family(spark, sf_dir):
     mw_s = moving_window(grid, 3, "sum")
     mw_d = moving_window(grid, 4, "stddev")
     mw_c = moving_window(grid, 5, "count")
-    # cached: the single-series guard below COUNTS each frame and the
-    # joins then re-read them — without the cache every invocation paid
-    # the wildcard/tag aggregations twice (r6 review). The frames are
-    # one-series grids (~grid-slot count rows), so the cache is tiny.
-    awc_full = combine_with_wildcards(grid, "sum", 1).cache()
+    # localCheckpoint, not cache(): the single-series guard below COUNTS
+    # each frame and the joins then re-read it — without a barrier every
+    # invocation paid the wildcard/tag aggregations twice (r6 review).
+    # cache() leaked: CacheManager entries outlive the returned DataFrame
+    # (nothing ever unpersisted them, one pair per invocation — ADVICE
+    # r6); checkpoint blocks are dropped when the frame is GC'd. The
+    # frames are one-series grids (~grid-slot count rows), so the
+    # materialization is tiny.
+    awc_full = combine_with_wildcards(grid, "sum", 1).localCheckpoint(eager=True)
     tagged = grid.withColumn("path", F.concat(F.col("path"), F.lit(";dc=east")))
-    gbt_full = group_by_tags(tagged, "avg", "dc").cache()
+    gbt_full = group_by_tags(tagged, "avg", "dc").localCheckpoint(eager=True)
     # fixture-drift guard (ADVICE r5): the slot_s-only joins below are
     # fan-out-free ONLY because dropping path segment 1 (and grouping on
     # the dc tag) collapses ALL fixture paths into exactly one series —
@@ -2354,7 +2358,7 @@ def carbon_movingwindow_family(spark, sf_dir):
         n_series = fr.select("path").distinct().count()
         if n_series != 1:
             raise ValueError(
-                f"carbon_series_movingwindow_family: {nm} yielded {n_series} "
+                f"carbon_movingwindow_family: {nm} yielded {n_series} "
                 "series (expected 1) — fixture paths no longer fully "
                 "collapse; join on the combined path as well as slot_s"
             )

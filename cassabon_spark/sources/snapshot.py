@@ -179,6 +179,7 @@ class SnapshotTable:
         best-effort (losing it costs replay depth, never correctness)."""
         import time as _time
 
+        tmp = None
         try:
             man = self._load(version)
             head = {
@@ -205,6 +206,7 @@ class SnapshotTable:
                     fh.write(json.dumps(files[i : i + 1000], sort_keys=True)[1:-1])
                 fh.write("]}")
             os.replace(tmp, self._ckpt_path(version))
+            tmp = None  # replace landed; nothing to clean up
             cur = None
             try:
                 cur = int(self._ckpt_hint_path().read_text().strip())
@@ -216,6 +218,15 @@ class SnapshotTable:
                 os.replace(hint, self._ckpt_hint_path())
         except OSError:
             pass
+        finally:
+            # a mid-write failure (e.g. ENOSPC) lands in the bare OSError
+            # above with the .ctmp file abandoned; vacuum never prunes
+            # .ctmp-* so they would accumulate forever (ADVICE r6)
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
 
     # ------------------------------------------------------- reconstruction
 
@@ -360,10 +371,16 @@ class SnapshotTable:
             t.start()
             # prune finished writers as we go: a long-running streaming
             # committer would otherwise retain one dead Thread per 16
-            # commits forever (only vacuum/_ckpt_flush joined them)
-            self._ckpt_threads = [
-                x for x in self._ckpt_threads if x.is_alive()
-            ] + [t]
+            # commits forever (only vacuum/_ckpt_flush joined them).
+            # Under _memo_lock (ADVICE r6): two threads crossing a
+            # checkpoint boundary ran this read-modify-write unlocked, so
+            # one writer reference could be lost and vacuum's flush then
+            # misses an in-flight writer — which could recreate a stale
+            # checkpoint AFTER vacuum pruned it.
+            with self._memo_lock:
+                self._ckpt_threads = [
+                    x for x in self._ckpt_threads if x.is_alive()
+                ] + [t]
         return next_v
 
     def _ckpt_async(self, version: int) -> None:
@@ -418,9 +435,14 @@ class SnapshotTable:
 
     def _ckpt_flush(self) -> None:
         """Join in-flight async checkpoint writers (vacuum / tests)."""
-        for t in self._ckpt_threads:
+        with self._memo_lock:
+            pending = list(self._ckpt_threads)
+        for t in pending:
             t.join()
-        self._ckpt_threads = [t for t in self._ckpt_threads if t.is_alive()]
+        with self._memo_lock:
+            self._ckpt_threads = [
+                t for t in self._ckpt_threads if t.is_alive()
+            ]
 
     # ------------------------------------------------------------ read path
 

@@ -193,3 +193,102 @@ def test_rank_helpers_on_empty_and_single_row_frames(spark):
         one.withColumn("v", F.lit(5).cast("long")), [F.asc("id")], "v", out_col="ps"
     ).collect()
     assert [x.ps for x in ps] == [5]
+
+
+# ----------------------------------------------- runtime detector (r7)
+
+
+def _corpus_anchor_pairs(spark, n_corpus=600, n_anchors=2):
+    """corpus x bounded-anchor pair frame: the similarity-family shape."""
+    corpus = spark.range(n_corpus).select(F.col("id").alias("cid"))
+    anchors = spark.range(n_anchors).select(F.col("id").alias("qid"))
+    return corpus.crossJoin(F.broadcast(anchors))
+
+
+def test_bounded_anchor_detector_flags_unfiltered_rank(spark):
+    from cassabon_spark.plans.window_audit import bounded_anchor_windows
+
+    pairs = _corpus_anchor_pairs(spark)
+    w = Window.partitionBy("qid").orderBy(F.asc("cid"))
+    bad = pairs.withColumn("r", F.row_number().over(w))
+    bad.collect()
+    flags = bounded_anchor_windows(bad)
+    assert len(flags) == 1 and flags[0].startswith("bounded-anchor-window(qid"), flags
+
+
+def test_bounded_anchor_detector_flags_prefix_rank_dual_window(spark):
+    # the pre-r7 similarity_matryoshka_prefix shape: TWO rank windows over
+    # one corpus-sized frame, filter only on the first — Catalyst's
+    # WindowGroupLimit rewrite cannot limit the second, so it sorts every
+    # anchor's full corpus in one task (VERDICT r6 weak class, pinned so
+    # the shape cannot silently return)
+    from cassabon_spark.plans.window_audit import bounded_anchor_windows
+
+    pairs = _corpus_anchor_pairs(spark).withColumn(
+        "s1", (F.col("cid") * 7919) % 1000
+    ).withColumn("s2", (F.col("cid") * 104729) % 1000)
+    w1 = Window.partitionBy("qid").orderBy(F.desc("s1"), F.asc("cid"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("s2"), F.asc("cid"))
+    dual = (
+        pairs.withColumn("rnk", F.row_number().over(w1))
+        .withColumn("prefix_rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= 5)
+    )
+    dual.collect()
+    assert bounded_anchor_windows(dual), "dual-rank shape must flag"
+
+
+def test_bounded_anchor_detector_passes_scale_safe_shapes(spark):
+    from cassabon_spark.plans.window_audit import bounded_anchor_windows
+
+    pairs = _corpus_anchor_pairs(spark)
+    w = Window.partitionBy("qid").orderBy(F.asc("cid"))
+    # (a) filtered rank: InferWindowGroupLimit plans a PARTIAL group limit
+    # below the exchange, so only <= P*k rows per anchor cross — the
+    # two-phase top-k, done by the optimizer
+    good = pairs.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
+    good.collect()
+    assert bounded_anchor_windows(good) == []
+    # (b) high-cardinality partition key: per-group frames are small
+    whc = Window.partitionBy("cid").orderBy(F.asc("qid"))
+    hc = pairs.withColumn("r", F.row_number().over(whc))
+    hc.collect()
+    assert bounded_anchor_windows(hc) == []
+    # (c) bounded key but tiny input (offsets-frame scale)
+    small = _corpus_anchor_pairs(spark, n_corpus=50)
+    sm = small.withColumn("r", F.row_number().over(w))
+    sm.collect()
+    assert bounded_anchor_windows(sm) == []
+
+
+def test_rank_helpers_keep_null_group_keys(spark):
+    # ADVICE r6: a null-unsafe final equi-join silently DROPPED rows whose
+    # partition key is NULL; they must rank exactly like the naive window
+    from cassabon_spark.operators.rank import distributed_prefix_sum
+
+    rows = [(i, None if i % 3 == 0 else f"g{i % 2}", float(i % 11)) for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    order = [F.asc("score"), F.asc("id")]
+    got = distributed_row_number(
+        df, order, partition_cols=["grp"], rank_col="rnk", total_col="n"
+    )
+    naive = df.withColumn(
+        "rnk", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("grp")))
+    g = {r.id: (r.rnk, r.n) for r in got.collect()}
+    e = {r.id: (r.rnk, r.n) for r in naive.collect()}
+    assert g == e
+    ps_got = distributed_prefix_sum(
+        df.withColumn("v", F.lit(2).cast("long")),
+        [F.asc("id")], "v", partition_cols=["grp"], out_col="ps",
+    )
+    ps_naive = df.withColumn("v", F.lit(2).cast("long")).withColumn(
+        "ps",
+        F.sum("v").over(
+            Window.partitionBy("grp").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert {r.id: r.ps for r in ps_got.collect()} == {
+        r.id: r.ps for r in ps_naive.collect()
+    }

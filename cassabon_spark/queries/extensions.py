@@ -660,19 +660,64 @@ def similarity_topk(spark, sf_dir):
 
 # ---------------------------------------------------------------- embedding near-dup
 
-_EMB_DUP_SQL = """
-WITH v AS (SELECT vec_id, label, embedding AS e FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.e)),
-                  i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))            AS dot,
-         SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n1,
-         SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+# r7 (VERDICT r6 #3): the r1-r6 shape was label-blocked ALL-PAIRS —
+# O(Σ n_label²) with ~10 labels is quadratic in corpus size at 100×.
+# Candidates now come from SemDeDup's md5-pivot cells (same pivot rule:
+# k = max(8, ceil(N/256)), mirrored in the oracle), with each vector
+# multi-assigned to its top-3 nearest cells; a pair is a candidate when
+# the two vectors share a (label, cell). Pair work is quadratic only in
+# (3 × cell occupancy), linear in N with the corpus-scaled k. Measured
+# recall of the cell blocking vs the old all-pairs output (numpy
+# replication of both paths): 5/5 at sf0.001 and sf0.01, 78/86 at sf0.1
+# — the standard SemDeDup-style trade; pairs whose two vectors share no
+# probed cell are by-design out of scope, exactly as in the production
+# systems this entry models. nprobe=2 recalled only 2/5 / 67/86, which
+# is why 3 probes.
+_EMB_DUP_PROBE = 3
+
+_EMB_DUP_DOT = (
+    "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
-SELECT v1, v2, ROUND(ROUND(dot / (n1 * n2), 8), 4) AS cosine
-FROM pairs
-WHERE dot / (n1 * n2) >= 0.40
+_EMB_DUP_NRM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+_EMB_DUP_SQL = f"""
+WITH nrow AS (SELECT COUNT(*) AS n FROM embeddings),
+pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe FROM (
+    SELECT vec_id, embedding,
+           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
+    FROM embeddings
+  ), nrow
+  WHERE prn <= GREATEST(8, CEIL(n / 256.0))
+),
+cells AS (
+  SELECT vec_id, label, pivot_id FROM (
+    SELECT e.vec_id, e.label, p.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_EMB_DUP_DOT.format(a="e.embedding", b="p.pe")}
+                      / ({_EMB_DUP_NRM.format(a="e.embedding")} * {_EMB_DUP_NRM.format(a="p.pe")}) DESC,
+                      p.pivot_id
+           ) AS prnk
+    FROM embeddings e, pivots p
+  ) WHERE prnk <= {_EMB_DUP_PROBE}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
+  FROM cells a JOIN cells b
+    ON a.pivot_id = b.pivot_id AND a.label = b.label AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.v1, c.v2,
+         {_EMB_DUP_DOT.format(a="x.embedding", b="y.embedding")}
+           / ({_EMB_DUP_NRM.format(a="x.embedding")}
+              * {_EMB_DUP_NRM.format(a="y.embedding")}) AS cos
+  FROM cand c JOIN embeddings x ON x.vec_id = c.v1
+              JOIN embeddings y ON y.vec_id = c.v2
+)
+SELECT v1, v2, ROUND(ROUND(cos, 8), 4) AS cosine
+FROM scored WHERE cos >= 0.40
 ORDER BY v1, v2
 """
 
@@ -680,23 +725,71 @@ ORDER BY v1, v2
 @register(
     "dedup_embedding_cosine",
     _EMB_DUP_SQL,
-    "embedding near-dup pairs (cosine >= 0.40), label-blocked — no full cross product",
+    "embedding near-dup pairs (cosine >= 0.40): SemDeDup-cell blocked "
+    "within label, top-3 probed cells per vector — pair work linear in "
+    "corpus size, never label-wide all-pairs",
 )
 def dedup_embedding(spark, sf_dir):
     # The synthetic corpus has no true near-duplicates (global max cosine
     # ~0.51 over random 64-dim vectors), so the threshold sits at the
-    # discriminating tail of the distribution: 0.40 keeps a handful of pairs
-    # at every SF (5 at sf0.001/sf0.01, 86 at sf0.1) so the filter + cosine
-    # arithmetic are actually exercised, not vacuously green on the empty set.
+    # discriminating tail of the distribution: the cell-blocked candidates
+    # keep a handful of pairs at every SF (5 at sf0.001/sf0.01, 78 at
+    # sf0.1) so the blocking + filter + cosine arithmetic are actually
+    # exercised, not vacuously green on the empty set.
     prep(spark)
+    import math
+
+    from pyspark.sql import Window
+
+    from cassabon_spark.operators.skew import salted_self_pairs
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("label").alias("l1"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("label").alias("l2"), F.col("embedding").alias("e2"))
-    pairs = a.join(b, (F.col("l1") == F.col("l2")) & (F.col("v1") < F.col("v2")))
-    sim = cosine_sim_expr("e1", "e2")
+    # same corpus-scaled pivot rule as dedup_semdedup (_SEM_K/_SEM_CELL)
+    k = max(8, math.ceil(emb.count() / 256))
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("pivot_id"),
+            F.col("embedding").alias("pe"),
+            l2_norm_expr("embedding").alias("pnrm"),
+        )
+    )
+    # top-3 cell assignment: filtered rank -> Catalyst plans the partial
+    # WindowGroupLimit two-phase top-k; vec_id partitioning is corpus-wide
+    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    cells = (
+        emb.withColumn("vnrm", l2_norm_expr("embedding"))
+        .crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_assign))
+        .filter(F.col("prnk") <= _EMB_DUP_PROBE)
+        .select("vec_id", "label", "embedding", F.col("vnrm").alias("nrm"), "pivot_id")
+    )
+    # skew-safe within-(label, cell) candidate pairs; a pair sharing
+    # several probed cells surfaces once per cell, deduped before scoring
+    # (payload rows are identical, so any survivor scores the same)
+    pairs = salted_self_pairs(
+        cells,
+        ["label", "pivot_id"],
+        "vec_id",
+        unique_pairs=True,
+        extra=[
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
+        ],
+    ).dropDuplicates(["id1", "id2"])
+    sim = dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))
     return (
-        pairs.filter(sim >= 0.40)
-        .select("v1", "v2", R(sim, 4).alias("cosine"))
+        pairs.withColumn("__cos", sim)
+        .filter(F.col("__cos") >= 0.40)
+        .select(
+            F.col("id1").alias("v1"),
+            F.col("id2").alias("v2"),
+            R(F.col("__cos"), 4).alias("cosine"),
+        )
         .orderBy("v1", "v2")
     )
 

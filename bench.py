@@ -103,6 +103,31 @@ def main():
         total += times[name]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # box/JVM conditions (VERDICT r6 #5): driver-to-driver headline deltas
+    # have swung +-15-50% on box variance while same-session comparisons
+    # were flat — record the conditions so a cross-round reader can see
+    # whether two BENCH files are even comparable; the stated contract is
+    # that PERF_rN's SAME-SESSION min-of-k table is the primary comparator.
+    conditions = {}
+    try:
+        conditions["load_avg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            mem = dict(
+                ln.split(":", 1) for ln in fh.read().splitlines() if ":" in ln
+            )
+        conditions["mem_available_gb"] = round(
+            int(mem["MemAvailable"].strip().split()[0]) / 1048576, 1
+        )
+    except (OSError, KeyError, ValueError):
+        pass
+    conditions["cpus"] = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    conditions["java"] = spark.sparkContext._jvm.java.lang.System.getProperty(
+        "java.version"
+    )
+    conditions["spark"] = spark.version
     print(
         json.dumps(
             {
@@ -116,6 +141,7 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "conditions": conditions,
             }
         )
     )

@@ -9184,3 +9184,203 @@ def snapshot_clone(spark, sf_dir):
         .unionByName(_agg(clone_t, "clone"))
         .orderBy("side", "lang")
     )
+
+
+# ----------------------------------- tokenizer fertility (round 7, NEXT #6)
+
+# Tokenizer-fit quality signal (Acs 2019; Rust et al. 2021 "How Good is
+# Your Tokenizer?"): fertility = subword tokens produced per whitespace
+# word. High fertility marks languages/documents the tokenizer fragments
+# badly — a standard pre-training data diagnostic for deciding per-language
+# sampling and vocabulary coverage. Subwords come from the repo's portable
+# BPE-ish pretokenizer regex (text_bpe_token_count), words from the shared
+# whitespace tokenizer, so both factors are already oracle-proven
+# primitives; all ratios are single divisions of exact ints (engine-
+# identical doubles), aggregates double-rounded per the lattice rule.
+_FERT_SQL = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         LEN(REGEXP_EXTRACT_ALL(LOWER(text), '{_BPE_RX.replace("'", "''")}')) AS n_sub,
+         CASE WHEN LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+              ELSE LEN(STRING_SPLIT_REGEX(
+                     REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+'))
+         END AS n_words
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)    AS n_docs,
+       CAST(SUM(n_sub) AS BIGINT)  AS total_subwords,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       ROUND(ROUND(SUM(n_sub) * 1.0 / SUM(n_words), 8), 4) AS corpus_fertility,
+       ROUND(ROUND(AVG(n_sub * 1.0 / n_words), 8), 4)      AS avg_doc_fertility,
+       ROUND(ROUND(MAX(n_sub * 1.0 / n_words), 8), 4)      AS max_doc_fertility,
+       CAST(SUM(CASE WHEN n_sub * 1.0 / n_words >= 1.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_fragmentation
+FROM f
+WHERE n_words > 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_tokenizer_fertility",
+    _FERT_SQL,
+    "tokenizer fertility (subword tokens per whitespace word, Acs/Rust et "
+    "al.): per-language corpus + per-doc fertility and the high-"
+    "fragmentation doc count — map-only scan, one hash aggregate",
+)
+def text_tokenizer_fertility(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    f = docs.select(
+        "lang",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RX), 0)).alias("n_sub"),
+        F.size(tokens_expr("text")).alias("n_words"),
+    ).filter(F.col("n_words") > 0)
+    ratio = F.col("n_sub") / F.col("n_words")
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sub").cast("bigint").alias("total_subwords"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            R(F.sum("n_sub") / F.sum("n_words"), 4).alias("corpus_fertility"),
+            R(F.avg(ratio), 4).alias("avg_doc_fertility"),
+            R(F.max(ratio), 4).alias("max_doc_fertility"),
+            F.sum((ratio >= 1.5).cast("int")).cast("bigint").alias("n_high_fragmentation"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------- Misra-Gries heavy hitters (round 7, NEXT #6)
+
+# Mergeable heavy-hitter sketch (Misra & Gries 1982; mergeability per
+# Agarwal et al. 2013 "Mergeable Summaries"): each shard compresses its
+# exact token counts to K counters by subtracting the (K+1)-th largest
+# count and dropping non-positives; summaries MERGE BY ADDITION (per-token
+# sum) followed by one more compress — the 100 TB shape, where no reducer
+# ever holds a corpus-wide vocabulary, only 32 x K counter rows. The
+# construction is order-free (built from per-shard exact counts, not a
+# stream replay), so it is deterministic and sits under the exact oracle
+# gate; true counts ride along and `bound_ok` PROVES the classic
+# undercount guarantee est <= true <= est + (sum of shard thresholds +
+# final threshold) on every emitted row.
+_MG_K = 16
+_MG_SHARDS = 32
+
+_MG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok FROM ({_TOKS}), UNNEST(t) AS t(tok)
+),
+sharded AS (
+  SELECT {_sql_h48("CAST(doc_id AS VARCHAR)", "'mg:'")} % {_MG_SHARDS} AS shard, tok
+  FROM toks
+),
+sc AS (SELECT shard, tok, COUNT(*) AS cnt FROM sharded GROUP BY shard, tok),
+ranked AS (
+  SELECT shard, tok, cnt,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY cnt DESC, tok) AS rnk
+  FROM sc
+),
+thresh AS (
+  SELECT shard, COALESCE(MAX(CASE WHEN rnk = {_MG_K + 1} THEN cnt END), 0) AS t
+  FROM ranked WHERE rnk <= {_MG_K + 1} GROUP BY shard
+),
+summaries AS (
+  SELECT r.tok, r.cnt - th.t AS val
+  FROM ranked r JOIN thresh th USING (shard)
+  WHERE r.rnk <= {_MG_K} AND r.cnt - th.t > 0
+),
+merged AS (SELECT tok, SUM(val) AS mval FROM summaries GROUP BY tok),
+gt AS (
+  SELECT COALESCE(MAX(CASE WHEN mrnk = {_MG_K + 1} THEN mval END), 0) AS tg FROM (
+    SELECT mval, ROW_NUMBER() OVER (ORDER BY mval DESC, tok) AS mrnk FROM merged
+  )
+),
+uc AS (SELECT (SELECT SUM(t) FROM thresh) + (SELECT tg FROM gt) AS u),
+exact AS (SELECT tok, COUNT(*) AS true_count FROM sharded GROUP BY tok),
+hh AS (SELECT m.tok, m.mval - g.tg AS est FROM merged m, gt g WHERE m.mval - g.tg > 0)
+SELECT h.tok,
+       CAST(h.est AS BIGINT)        AS est,
+       CAST(e.true_count AS BIGINT) AS true_count,
+       CAST(u.u AS BIGINT)          AS max_undercount,
+       (e.true_count >= h.est AND e.true_count <= h.est + u.u) AS bound_ok
+FROM hh h JOIN exact e USING (tok) CROSS JOIN uc u
+ORDER BY est DESC, tok
+"""
+
+
+@register(
+    "sketch_heavy_hitters_mg",
+    _MG_SQL,
+    "Misra-Gries heavy hitters as a mergeable sketch: 32 shard summaries "
+    "of K=16 counters merge by per-token addition + one final compress; "
+    "bound_ok proves est <= true <= est + undercount on every row",
+)
+def sketch_heavy_hitters_mg(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", F.explode(tokens_expr("text")).alias("tok"))
+    sharded = toks.select(
+        (md5_bucket_expr(F.col("doc_id").cast("string"), prefix="mg:") % _MG_SHARDS)
+        .alias("shard"),
+        "tok",
+    )
+    sc = sharded.groupBy("shard", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-shard compress: filtered rank -> Catalyst's partial
+    # WindowGroupLimit keeps the exchange at <= P*(K+1) rows per shard
+    w = Window.partitionBy("shard").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _MG_K + 1
+    )
+    thresh = ranked.groupBy("shard").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == _MG_K + 1, F.col("cnt"))), F.lit(0)
+        ).alias("t")
+    )
+    summaries = (
+        ranked.filter(F.col("rnk") <= _MG_K)
+        .join(F.broadcast(thresh), "shard")
+        .select("tok", (F.col("cnt") - F.col("t")).alias("val"))
+        .filter(F.col("val") > 0)
+    )
+    merged = summaries.groupBy("tok").agg(F.sum("val").alias("mval"))
+    # (K+1)-th largest merged counter WITHOUT a global sort window:
+    # orderBy().limit() plans TakeOrderedAndProject (distributed top-k)
+    topk1 = merged.orderBy(F.desc("mval"), F.asc("tok")).limit(_MG_K + 1)
+    tg = (
+        topk1.agg(F.count(F.lit(1)).alias("n"), F.min("mval").alias("m"))
+        .select(
+            F.when(F.col("n") == _MG_K + 1, F.col("m")).otherwise(F.lit(0)).alias("tg")
+        )
+    )
+    uc = (
+        thresh.agg(F.sum("t").alias("st"))
+        .crossJoin(F.broadcast(tg))
+        .select((F.col("st") + F.col("tg")).alias("u"))
+    )
+    hh = (
+        merged.crossJoin(F.broadcast(tg))
+        .select("tok", (F.col("mval") - F.col("tg")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    exact = sharded.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        exact.join(F.broadcast(hh), "tok")
+        .crossJoin(F.broadcast(uc))
+        .select(
+            "tok",
+            F.col("est").cast("bigint").alias("est"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("u").cast("bigint").alias("max_undercount"),
+            (
+                (F.col("true_count") >= F.col("est"))
+                & (F.col("true_count") <= F.col("est") + F.col("u"))
+            ).alias("bound_ok"),
+        )
+        .orderBy(F.desc("est"), F.asc("tok"))
+    )

@@ -157,3 +157,22 @@ def test_dedup_minhash_survives_identical_corpus(spark, tmp_path):
     out = reg["dedup_minhash_lsh"].fn(spark, str(sf))
     # identical docs: every pair is a jaccard-1.0 duplicate
     assert out.count() == n * (n - 1) // 2
+
+
+def test_salted_self_pairs_pins_pair_stage_width(spark):
+    # SCALE_r06 regression pin: the pair stage's inputs are tiny in BYTES
+    # but quadratic in COMPUTE, so AQE's byte-based coalescing shrank it
+    # to ~5 tasks on some runs (dedup_semdedup at the 10x stress) until
+    # salted_self_pairs switched to explicit user-specified repartitions,
+    # which AQE must not coalesce. The join output keeps the full
+    # configured width even though the data is a few KB.
+    import random
+
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    rng = random.Random(77)
+    rows = [(i, f"k{rng.randrange(4)}") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    pairs = salted_self_pairs(df, ["key"], "id", cap=50, unique_pairs=True)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert pairs.rdd.getNumPartitions() == n_parts

@@ -57,6 +57,15 @@ QUERIES = [
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
+# r7 (VERDICT r6 #4): a compute-heavy stage (median >= HEAVY_MS) running
+# with fewer tasks than the cluster width is the AQE-byte-coalescing
+# failure mode (SCALE_r06: a quadratic pair stage shrunk to 5 tasks) —
+# counted as a FAILURE, not just displayed (threshold width//2: the
+# observed failure mode is 5-of-32, and a stage reading a 31-file input
+# should not flap the gate). Stages that are heavy but
+# legitimately narrow (final top-k merges over <= width rows) have not
+# appeared in any sweep; if one ever does, waive it here by stage name.
+HEAVY_MS = 1000.0
 
 
 def synthesize(spark, src: str, dst: str) -> None:
@@ -199,8 +208,9 @@ def main():
     print(f"# SCALE_r06 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
-    print("| query | wall s | rows | worst stage max/median | min tasks (heavy) | straggler (>10x)? |")
-    print("|---|---|---|---|---|---|")
+    width = int(cpus)
+    print("| query | wall s | rows | worst stage max/median | min tasks (heavy) | below-width heavy? | straggler (>10x)? |")
+    print("|---|---|---|---|---|---|---|")
     failures = 0
     details = []
     for name in QUERIES:
@@ -217,16 +227,16 @@ def main():
             if worst
             else "n/a"
         )
-        # min task count over compute-heavy stages (median >= 1 s): the
-        # AQE byte-coalescing failure mode (SCALE_r06: a quadratic-compute
-        # pair stage shrunk to 5 tasks) shows up HERE, not in the
-        # straggler ratio — a heavy stage far below cluster width is the
-        # red flag
-        heavy = [s for s in stages if s["median_ms"] >= 1000]
+        # compute-heavy stages (median >= HEAVY_MS) below cluster width:
+        # the AQE byte-coalescing failure mode — a FAILURE, not a display
+        heavy = [s for s in stages if s["median_ms"] >= HEAVY_MS]
         min_tasks = min((s["tasks"] for s in heavy), default=None)
+        narrow = [s for s in heavy if s["tasks"] < width // 2]
+        failures += len(narrow)
         print(
             f"| {name} | {wall:.1f} | {n} | {wtxt} | "
             f"{min_tasks if min_tasks is not None else '-'} | "
+            f"{'YES: ' + str([(s['stage'], s['tasks']) for s in narrow]) if narrow else 'no'} | "
             f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
         )
         details.append((name, stages))
@@ -276,12 +286,15 @@ def main():
             if worst
             else "n/a"
         )
-        heavy = [s for s in stages if s["median_ms"] >= 1000]
+        heavy = [s for s in stages if s["median_ms"] >= HEAVY_MS]
         min_tasks = min((s["tasks"] for s in heavy), default=None)
+        narrow = [s for s in heavy if s["tasks"] < width // 2]
+        failures += len(narrow)
         rate = round(counters["received"] / wall)
         print(
             f"| carbon_ingest_20M_snapshot | {wall:.1f} | {counters['received']} "
             f"({rate}/s) | {wtxt} | {min_tasks if min_tasks is not None else '-'} | "
+            f"{'YES: ' + str([(s['stage'], s['tasks']) for s in narrow]) if narrow else 'no'} | "
             f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
         )
         details.append(("carbon_ingest_20M_snapshot", stages))

@@ -214,6 +214,15 @@ def _pid_barrier(ranged, reliable):
     survives executor loss at the cost of a full extra write per call."""
     ranged = ranged.withColumn(_PID, F.spark_partition_id())
     if reliable:
+        # fail fast with a clear message (ADVICE r7): df.checkpoint()
+        # without a configured dir otherwise surfaces as a deep Spark
+        # exception in the middle of the job
+        if ranged.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "reliable=True requires a reliable checkpoint directory: "
+                "call spark.sparkContext.setCheckpointDir(<hdfs/dbfs path>) "
+                "first, or use the default reliable=False (localCheckpoint)"
+            )
         return ranged.checkpoint(eager=True)
     return ranged.localCheckpoint(eager=True)
 

@@ -217,8 +217,10 @@ def bounded_anchor_windows(
 ) -> list[str]:
     """Runtime bounded-anchor-window flags for an EXECUTED DataFrame.
 
-    For each Window (and final-mode WindowGroupLimit) in the final adaptive
-    plan, reads the feeding shuffle's runtime statistics and flags
+    For each WindowExec in the final adaptive plan (WindowGroupLimitExec
+    nodes are treated as pass-throughs — every group-limit shape Catalyst
+    plans still has the WindowExec above it, which is the node inspected),
+    reads the feeding shuffle's runtime statistics and flags
 
         bounded-anchor-window(<keys>;rows=R;groups~G)
 

@@ -2358,7 +2358,7 @@ def carbon_movingwindow_family(spark, sf_dir):
         n_series = fr.select("path").distinct().count()
         if n_series != 1:
             raise ValueError(
-                f"carbon_movingwindow_family: {nm} yielded {n_series} "
+                f"carbon_series_movingwindow_family: {nm} yielded {n_series} "
                 "series (expected 1) — fixture paths no longer fully "
                 "collapse; join on the combined path as well as slot_s"
             )

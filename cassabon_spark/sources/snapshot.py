@@ -180,6 +180,7 @@ class SnapshotTable:
         import time as _time
 
         tmp = None
+        hint = None
         try:
             man = self._load(version)
             head = {
@@ -216,17 +217,19 @@ class SnapshotTable:
                 hint = Path(self.root, MANIFEST_DIR, f".chint-{uuid.uuid4().hex}")
                 hint.write_text(str(version))
                 os.replace(hint, self._ckpt_hint_path())
+                hint = None  # replace landed
         except OSError:
             pass
         finally:
             # a mid-write failure (e.g. ENOSPC) lands in the bare OSError
-            # above with the .ctmp file abandoned; vacuum never prunes
-            # .ctmp-* so they would accumulate forever (ADVICE r6)
-            if tmp is not None:
-                try:
-                    os.unlink(tmp)
-                except OSError:
-                    pass
+            # above with the .ctmp / .chint temp abandoned; vacuum never
+            # prunes them so they would accumulate forever (ADVICE r6/r7)
+            for leftover in (tmp, hint):
+                if leftover is not None:
+                    try:
+                        os.unlink(leftover)
+                    except OSError:
+                        pass
 
     # ------------------------------------------------------- reconstruction
 

@@ -292,3 +292,37 @@ def test_rank_helpers_keep_null_group_keys(spark):
     assert {r.id: r.ps for r in ps_got.collect()} == {
         r.id: r.ps for r in ps_naive.collect()
     }
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    # ADVICE r7: reliable=True previously failed mid-job with a deep Spark
+    # exception when no checkpoint dir was set; now it fails fast with a
+    # clear ValueError, and works end-to-end once a dir is configured.
+    import pytest
+
+    df = _frame(spark, 60, 3, seed=11)
+    order = [F.asc("score"), F.asc("id")]
+    sc = spark.sparkContext
+    had = sc.getCheckpointDir()
+    if had is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            distributed_row_number(
+                df, order, partition_cols=["grp"], reliable=True
+            ).collect()
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = distributed_row_number(
+            df, order, partition_cols=["grp"], rank_col="rnk", reliable=True
+        )
+        naive = df.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        )
+        assert {r.id: r.rnk for r in got.collect()} == {
+            r.id: r.rnk for r in naive.collect()
+        }
+    finally:
+        if had is None:
+            none = getattr(getattr(sc._jvm, "scala.None$"), "MODULE$")
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(none)
+        else:
+            sc.setCheckpointDir(had)

@@ -169,8 +169,14 @@ def main():
             ba = bounded_anchor_windows(df)
             if ba:
                 budget = ADJUDICATED_BOUNDED_ANCHOR.get(name, 0)
-                tag = "adjudicated:" if len(ba) <= budget else ""
-                flags.append(f"{tag}{';'.join(ba)}")
+                if len(ba) <= budget:
+                    # mirror the single-task rendering (ADVICE r7): a
+                    # count, so budget status is unambiguous per entry
+                    flags.append(f"adjudicated:bounded-anchor-window(x{len(ba)})")
+                else:
+                    # over budget: every flag prints raw (none is waived —
+                    # site budgets are all-or-nothing, like single-task)
+                    flags.extend(ba)
             print(
                 f"{name:32} " + " ".join(f"{a[c]:>9}" for c in cols)
                 + ("  " + ",".join(flags) if flags else "")

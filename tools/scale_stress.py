@@ -50,6 +50,10 @@ QUERIES = [
     "similarity_ivfpq_adc",
     "dedup_cross_corpus",
     "dedup_semdedup",
+    # r8: the other two corpus-scaled-pivot entries (VERDICT r7 #2) — the
+    # family the two-scale exponent gate exists to watch
+    "dedup_embedding_cosine",
+    "pipeline_d4_prototype_prune",
     # the streaming path end-to-end (r4): documents arrive as microbatches
     # and probe the static band index; the parquet sink absorbs the full
     # 50M-pair output executor-side (the memory sink could not)
@@ -66,6 +70,13 @@ MEDIAN_FLOOR_MS = 100.0
 # legitimately narrow (final top-k merges over <= width rows) have not
 # appeared in any sweep; if one ever does, waive it here by stage name.
 HEAVY_MS = 1000.0
+# r8 (VERDICT r7 #3): two-scale exponent gate. Input grows ~10x from src
+# (sf0.1) to the stress corpus; a linear pipeline's total task time grows
+# ~10x (plus fixed overhead, which DEFLATES the measured ratio), a
+# quadratic one ~100x. 25x splits the regimes with margin on both sides
+# (measured calibration for the corpus-scaled-pivot family is recorded in
+# SCALE_r08.md).
+GROWTH_GATE = 25.0
 
 
 def synthesize(spark, src: str, dst: str) -> None:
@@ -138,6 +149,26 @@ def _ui(spark, path: str):
         return json.loads(r.read())
 
 
+def total_task_time_ms(spark, t0_ms: float) -> float:
+    """Sum of executorRunTime over ALL completed stages submitted after t0
+    — the scale-exponent signal: wall hides compute growth behind fixed
+    scheduling overhead, but total task time grows with the work actually
+    done. Used by the two-scale (1x vs 10x) superlinear gate (VERDICT r7
+    #3: the corpus-scaled-pivot assignment pass was N*k with k ~ N —
+    healthy width at any single scale, wrong exponent ACROSS scales;
+    neither the straggler nor the narrow-heavy gate can see it)."""
+    total = 0.0
+    for st in _ui(spark, "/stages?status=complete"):
+        sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
+        if sub is None:
+            continue
+        sub_ms = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        if sub_ms < t0_ms:
+            continue
+        total += float(st.get("executorRunTime", 0))
+    return total
+
+
 def stage_straggler_report(spark, t0_ms: float) -> list[dict]:
     """Per-stage (submitted after t0) max/median task-duration ratios from
     the UI REST API — the executable form of 'no straggler task >10x
@@ -177,6 +208,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="/tmp/scale_sf1")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--label", default="SCALE")
+    ap.add_argument(
+        "--growth-gate",
+        type=float,
+        default=GROWTH_GATE,
+        help="max allowed 1x->10x total-task-time growth factor",
+    )
     args = ap.parse_args()
 
     # get_spark disables the UI; this harness NEEDS the UI REST API for
@@ -205,13 +243,24 @@ def main():
     ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
 
     registry = load_registry()
-    print(f"# SCALE_r06 — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
+    print(f"# {args.label} — 10x stress ({nd} docs incl. 10k-identical shard, {ne} vectors)\n")
     print(f"Corpus: {args.dir} synthesized from {args.src} (x10 generations "
           "+ dup-farm shard). One cold run per query, local[32].\n")
     width = int(cpus)
-    print("| query | wall s | rows | worst stage max/median | min tasks (heavy) | below-width heavy? | straggler (>10x)? |")
-    print("|---|---|---|---|---|---|---|")
-    failures = 0
+
+    # -------- two-scale exponent sweep (VERDICT r7 #3): 1x (src) baseline
+    # first, so each query's total task time can be compared against its
+    # 10x run below. Warm-up bias runs the WRONG way for a false pass:
+    # the 1x sweep pays JVM/codegen warm-up, inflating the denominator.
+    base_tt: dict[str, float] = {}
+    for name in QUERIES:
+        t0_ms = time.time() * 1000 - 1000
+        registry[name].fn(spark, args.src).count()
+        base_tt[name] = total_task_time_ms(spark, t0_ms)
+
+    print("| query | wall s | rows | worst stage max/median | min tasks (heavy) | below-width heavy? | straggler (>10x)? | task-time growth 1x->10x |")
+    print("|---|---|---|---|---|---|---|---|")
+    n_straggler = n_narrow = n_superlinear = 0
     details = []
     for name in QUERIES:
         t0_ms = time.time() * 1000 - 1000
@@ -219,9 +268,10 @@ def main():
         n = registry[name].fn(spark, args.dir).count()
         wall = time.time() - t0
         stages = stage_straggler_report(spark, t0_ms)
+        tt10 = total_task_time_ms(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
         bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
-        failures += len(bad)
+        n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
             if worst
@@ -232,12 +282,20 @@ def main():
         heavy = [s for s in stages if s["median_ms"] >= HEAVY_MS]
         min_tasks = min((s["tasks"] for s in heavy), default=None)
         narrow = [s for s in heavy if s["tasks"] < width // 2]
-        failures += len(narrow)
+        n_narrow += len(narrow)
+        # exponent gate: growth of total task time across the ~10x input
+        # jump (2 s floor on the baseline keeps near-zero 1x runs from
+        # manufacturing huge ratios out of scheduling noise)
+        growth = tt10 / max(base_tt.get(name, 0.0), 2000.0)
+        slin = growth > args.growth_gate
+        n_superlinear += int(slin)
         print(
             f"| {name} | {wall:.1f} | {n} | {wtxt} | "
             f"{min_tasks if min_tasks is not None else '-'} | "
             f"{'YES: ' + str([(s['stage'], s['tasks']) for s in narrow]) if narrow else 'no'} | "
-            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
+            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} | "
+            f"{growth:.1f}x ({base_tt.get(name, 0.0) / 1000:.1f}s -> {tt10 / 1000:.1f}s)"
+            f"{' SUPERLINEAR!' if slin else ''} |"
         )
         details.append((name, stages))
 
@@ -280,7 +338,7 @@ def main():
         stages = stage_straggler_report(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
         bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
-        failures += len(bad)
+        n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
             if worst
@@ -289,13 +347,13 @@ def main():
         heavy = [s for s in stages if s["median_ms"] >= HEAVY_MS]
         min_tasks = min((s["tasks"] for s in heavy), default=None)
         narrow = [s for s in heavy if s["tasks"] < width // 2]
-        failures += len(narrow)
+        n_narrow += len(narrow)
         rate = round(counters["received"] / wall)
         print(
             f"| carbon_ingest_20M_snapshot | {wall:.1f} | {counters['received']} "
             f"({rate}/s) | {wtxt} | {min_tasks if min_tasks is not None else '-'} | "
             f"{'YES: ' + str([(s['stage'], s['tasks']) for s in narrow]) if narrow else 'no'} | "
-            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} |"
+            f"{'YES: ' + str([s['stage'] for s in bad]) if bad else 'no'} | - |"
         )
         details.append(("carbon_ingest_20M_snapshot", stages))
     finally:
@@ -311,8 +369,14 @@ def main():
                 f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} |"
             )
         print()
-    print(f"**Straggler stages (> {STRAGGLER_RATIO:.0f}x median): {failures}**")
-    sys.exit(1 if failures else 0)
+    # each gate reported under its own label (ADVICE r7: a narrow-heavy
+    # failure previously printed under the straggler label)
+    print(
+        f"**Gate failures: {n_straggler} straggler (> {STRAGGLER_RATIO:.0f}x median) "
+        f"+ {n_narrow} narrow-heavy (< width//2 tasks) "
+        f"+ {n_superlinear} superlinear (task-time growth > {args.growth_gate:.0f}x at 10x input)**"
+    )
+    sys.exit(1 if n_straggler + n_narrow + n_superlinear else 0)
 
 
 if __name__ == "__main__":

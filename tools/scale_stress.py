@@ -77,6 +77,12 @@ HEAVY_MS = 1000.0
 # (measured calibration for the corpus-scaled-pivot family is recorded in
 # SCALE_r08.md).
 GROWTH_GATE = 25.0
+# pivot-ASSIGNMENT exponent gate, 1x -> 100x embeddings: the two-level
+# quantizer's assignment is N*2*sqrt(k) = N^1.5-ish, so its task time at a
+# 100x input grows well under 50x (measured ~12x with the 2 s floor); the
+# pre-r8 single-level N*k shape measured ~150x (SCALE_r08.md A/B). A
+# regression back to corpus-linear pivot scans trips this gate.
+EMB100_GATE = 50.0
 
 
 def synthesize(spark, src: str, dst: str) -> None:
@@ -140,6 +146,31 @@ def synthesize(spark, src: str, dst: str) -> None:
         )
     )
     e10.repartition(32).write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+    # r8: a 100x embeddings corpus for the pivot-ASSIGNMENT exponent gate.
+    # At 10x the assignment stage is too small for task time to separate
+    # the regimes (fixed overhead dominates); at 100x (200k vectors) the
+    # single-level N*k shape costs ~150x its 1x task time while the
+    # two-level N*2*sqrt(k) shape costs ~12x — see SCALE_r08.md.
+    g100 = spark.range(100).select(F.col("id").cast("int").alias("gen"))
+    e100 = (
+        emb.crossJoin(g100)
+        .select(
+            (F.col("vec_id") * 128 + F.col("gen")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x
+                    + F.col("gen").cast("float")
+                    * 0.003
+                    * ((i % 11).cast("float") - 5.0)
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    e100.repartition(32).write.mode("overwrite").parquet(
+        f"{dst}/embeddings100.parquet"
+    )
 
 
 def _ui(spark, path: str):
@@ -239,6 +270,9 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if not os.path.isdir(f"{args.dir}/documents.parquet"):
         synthesize(spark, args.src, args.dir)
+    if not os.path.isdir(f"{args.dir}/embeddings100.parquet"):
+        # dir synthesized by a pre-r8 run: backfill just the 100x corpus
+        synthesize(spark, args.src, args.dir)
     nd = spark.read.parquet(f"{args.dir}/documents.parquet").count()
     ne = spark.read.parquet(f"{args.dir}/embeddings.parquet").count()
 
@@ -298,6 +332,35 @@ def main():
             f"{' SUPERLINEAR!' if slin else ''} |"
         )
         details.append((name, stages))
+
+    # pivot-assignment exponent A/B (VERDICT r7 #2/#3): the two-level
+    # quantizer's assignment work must stay ~N^1.5; measure its task time
+    # on 1x vs 100x embeddings, where assignment compute dominates fixed
+    # overhead (at 10x it does not — see SCALE_r08.md calibration). One
+    # warm-up rep at 1x absorbs JVM/codegen warm-up.
+    from cassabon_spark.operators.cells import two_level_cells
+
+    emb_tt = {}
+    for scale, path in [
+        ("warm", f"{args.src}/embeddings.parquet"),
+        ("1x", f"{args.src}/embeddings.parquet"),
+        ("100x", f"{args.dir}/embeddings100.parquet"),
+    ]:
+        emb = spark.read.parquet(path)
+        t0_ms = time.time() * 1000 - 1000
+        t0 = time.time()
+        n = two_level_cells(emb).count()
+        emb_tt[scale] = (total_task_time_ms(spark, t0_ms), time.time() - t0, n)
+    egrowth = emb_tt["100x"][0] / max(emb_tt["1x"][0], 2000.0)
+    eslin = egrowth > EMB100_GATE
+    n_superlinear += int(eslin)
+    print(
+        f"| pivot_assignment_100x | {emb_tt['100x'][1]:.1f} | {emb_tt['100x'][2]} "
+        f"| - | - | - | - | {egrowth:.1f}x "
+        f"({emb_tt['1x'][0] / 1000:.1f}s -> {emb_tt['100x'][0] / 1000:.1f}s, "
+        f"gate {EMB100_GATE:.0f}x at 100x input)"
+        f"{' SUPERLINEAR!' if eslin else ''} |"
+    )
 
     # carbon-ingest slot (VERDICT r4 #5): the full parse -> route -> all
     # rollup tiers -> SNAPSHOT-table sink path at 10x the ingest-bench line

@@ -95,15 +95,19 @@ def two_level_cells(
     fine_probe: int = 1,
     cell: int = CELL,
     kmin: int = KMIN,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Assign every row of `emb` to its `fine_probe` nearest fine cells,
     searching only the `coarse_probe` nearest coarse cells.
 
     Returns [id_col, vec_col, 'vnrm', 'pivot_id'] + carry, one row per
-    (vector, probed fine cell). 'vnrm' is the vector's L2 norm computed
-    once (the same sequential fold an inline norm evaluates to, so
-    downstream cosines stay oracle-exact). Runs ONE scalar action (count +
-    sentinel argmin in a single aggregate) to derive the hash moduli.
+    (vector, probed fine cell), plus the 1-based fine-probe rank as
+    `rank_col` when requested (lets a caller derive both a top-1 and a
+    top-k view from ONE assignment pass). 'vnrm' is the vector's L2 norm
+    computed once (the same sequential fold an inline norm evaluates to,
+    so downstream cosines stay oracle-exact). Runs ONE scalar action
+    (count + sentinel argmin in a single aggregate) to derive the hash
+    moduli.
     """
     stats = emb.agg(
         F.count(F.lit(1)).alias("n"),
@@ -116,11 +120,13 @@ def two_level_cells(
     ).first()
     n = int(stats["n"] or 0)
     if n == 0:
+        rank0 = [F.lit(1).alias(rank_col)] if rank_col else []
         return emb.select(
             id_col,
             vec_col,
             F.lit(0.0).alias("vnrm"),
             F.col(id_col).alias("pivot_id"),
+            *rank0,
             *carry,
         ).limit(0)
     sid = stats["s"]["i"]
@@ -154,8 +160,14 @@ def two_level_cells(
 
     # vector -> coarse probe(s): N x sqrt(k) work against the BOUNDED
     # coarse broadcast — the step that was N x k against a linearly
-    # growing broadcast under the single-level rule
-    vec = emb.withColumn("vnrm", l2_norm_expr(vec_col))
+    # growing broadcast under the single-level rule. Pre-partitioning by
+    # the window key with an EXPLICIT repartition (AQE-exempt) fuses the
+    # crossJoin + dots + window into ONE stage at cluster width: without
+    # it the window adds an ENSURE_REQUIREMENTS exchange whose read AQE
+    # coalesces by BYTES (the r8 stress run measured 5-task 1s+ stages on
+    # the 20k-vector corpus — compute-dense rows, tiny bytes).
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    vec = emb.repartition(n_parts, id_col).withColumn("vnrm", l2_norm_expr(vec_col))
     sim_vc = dot_expr(vec_col, "cpe") / (F.col("vnrm") * F.col("cpnrm"))
     w_vc = Window.partitionBy(id_col).orderBy(F.desc(sim_vc), F.asc("cpid"))
     v2c = (
@@ -177,10 +189,21 @@ def two_level_cells(
     )
     sim_vf = dot_expr(vec_col, "pe") / (F.col("vnrm") * F.col("pnrm"))
     w_vf = Window.partitionBy(id_col).orderBy(F.desc(sim_vf), F.asc("pivot_id"))
-    return (
-        v2c.withColumn("__salt", salt)
-        .join(f2c.crossJoin(fan), ["coarse_id", "__salt"])
+    # pin the fine-assign join width with an EXPLICIT repartition (the
+    # salted_self_pairs lesson, SCALE_r06/r08): the join inputs are small
+    # in BYTES but the stage computes ~k/sqrt(k) dots per probe row, and
+    # AQE coalesces by bytes — the first r8 stress run coalesced this
+    # stage to 5 tasks at 1s+ medians. User-specified repartitions are
+    # AQE-exempt; if the fine side still broadcasts, the probe side keeps
+    # this width.
+    probe = v2c.withColumn("__salt", salt).repartition(
+        n_parts, "coarse_id", "__salt"
+    )
+    f_rep = f2c.crossJoin(fan).repartition(n_parts, "coarse_id", "__salt")
+    ranked = (
+        probe.join(f_rep, ["coarse_id", "__salt"])
         .withColumn("__r", F.row_number().over(w_vf))
         .filter(F.col("__r") <= fine_probe)
-        .select(id_col, vec_col, "vnrm", "pivot_id", *carry)
     )
+    extra = [F.col("__r").alias(rank_col)] if rank_col else []
+    return ranked.select(id_col, vec_col, "vnrm", "pivot_id", *extra, *carry)

@@ -348,8 +348,17 @@ def ivfpq_adc_topk(
     )
     sim_p = cosine_sim_expr(vec_col, "pe")
     w_assign = Window.partitionBy(id_col).orderBy(F.desc(sim_p), F.asc("pivot_id"))
-    assigned = corpus.crossJoin(F.broadcast(pivots)).withColumn(
-        "prnk", F.row_number().over(w_assign)
+    # r8 (first SCALE width-gate run): pre-partition the corpus by the
+    # window key with an EXPLICIT (AQE-exempt) repartition so the
+    # crossJoin + cosine + assignment window fuse into ONE stage at
+    # cluster width — without it the window's ENSURE_REQUIREMENTS
+    # exchange read coalesces by bytes (measured 7 tasks at 1.5 s median
+    # on the 10x corpus) and the assignment-final work runs narrow.
+    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    assigned = (
+        corpus.repartition(n_parts, id_col)
+        .crossJoin(F.broadcast(pivots))
+        .withColumn("prnk", F.row_number().over(w_assign))
     )
     res = F.zip_with(
         F.col(vec_col), F.col("pe"), lambda x, y: x.cast("double") - y.cast("double")
@@ -360,7 +369,6 @@ def ivfpq_adc_topk(
     # downstream (residual subvector explode, x n_codes codebook join,
     # min_by encode, ADC scoring) inherits that width. An explicit
     # user-specified repartition is AQE-exempt (verified on this Spark).
-    n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     cells = (
         assigned.filter(F.col("prnk") == 1)
         .select(F.col(id_col), F.col("pivot_id"), res.alias("res"))

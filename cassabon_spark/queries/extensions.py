@@ -669,7 +669,7 @@ _EMB_DUP_NRM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(
 
 def _two_level_cells_cte(
     carry: tuple = (), coarse_probe: int = 1, fine_probe: int = 1,
-    cell: int = 256, kmin: int = 8,
+    cell: int = 256, kmin: int = 8, rank_col: str | None = None,
 ) -> str:
     """DuckDB twin of operators/cells.py::two_level_cells (VERDICT r7 #2) —
     the two MUST change together. Emits the CTE chain
@@ -681,6 +681,7 @@ def _two_level_cells_cte(
     carry_b = "".join(f", {c}" for c in carry)
     carry_e = "".join(f", e.{c}" for c in carry)
     carry_v = "".join(f", v.{c}" for c in carry)
+    rank_sel = f", r AS {rank_col}" if rank_col else ""
     dot, nrm = _EMB_DUP_DOT, _EMB_DUP_NRM
     h = _sql_h48("CAST(e.vec_id AS VARCHAR)", "'pvt:'")
 
@@ -733,7 +734,7 @@ v2c AS (
   ) WHERE r <= {coarse_probe}
 ),
 cells AS (
-  SELECT vec_id, embedding{carry_b}, pivot_id FROM (
+  SELECT vec_id, embedding{carry_b}, pivot_id{rank_sel} FROM (
     SELECT v.vec_id, v.embedding{carry_v}, f.pivot_id,
            ROW_NUMBER() OVER (
              PARTITION BY v.vec_id
@@ -3709,6 +3710,21 @@ def streaming_neardup_q(spark, sf_dir):
     # interpreted HOF pipeline, and a few-split parquet scan would
     # otherwise materialize the whole cache on 1-2 tasks (measured ~10 s
     # of the entry's 16 s at sf0.1)
+    # r8 negative result (first superlinear-gate run, SCALE_r08.md): the
+    # obvious fix for the per-batch static re-shuffle — caching the band
+    # frame CO-PARTITIONED AND SORTED ON THE JOIN KEYS so each microbatch
+    # shuffles only the arrivals — was built and measured CATASTROPHICALLY
+    # worse: the sf0.1 run went from ~7 s to a >300 s timeout. A cached
+    # pre-partitioned build side is no longer an exchange, so AQE cannot
+    # skew-split it, and LSH band keys are exactly the skewed keys
+    # (identical-content buckets); every batch then stalls on the hot
+    # partition's straggler. The doc_id layout + per-batch shuffle keeps
+    # AQE skew-splitting in play. The total-work quadratic this leaves
+    # (batch count x static shuffle, batches corpus-scaled) is inherent to
+    # RE-STREAMING an entire corpus through an incremental-probe operator
+    # — the operator's scale contract is per-batch cost, which is linear
+    # in (batch + index); the stress harness waives this entry from the
+    # total-growth gate on exactly that ground (GROWTH_WAIVERS).
     static_bands = (
         _lsh_row_frame(docs.repartition(F.col("doc_id")))
         .select("doc_id", "lang", "shs", "bks", F.posexplode("bks").alias("band", "bkey"))
@@ -9338,4 +9354,209 @@ def sketch_heavy_hitters_mg(spark, sf_dir):
             ).alias("bound_ok"),
         )
         .orderBy(F.desc("est"), F.asc("tok"))
+    )
+
+
+# --------------------------------- HyperLogLog distinct-count sketch (r8)
+
+# HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007): m=256 registers,
+# register j = max over tokens hashing to j of rho(suffix bits), estimate
+# alpha_m * m^2 / sum_j 2^(-M_j). The 100 TB tool for "how many distinct
+# tokens/urls/ids per group" without shuffling raw values: the registers
+# MERGE by element-wise MAX, so shards/partitions/days combine at 256
+# numbers per group. The Spark side COMPUTES in the mergeable two-phase
+# form (per-shard registers merged by max — the exact shape a cluster
+# would run across executors or daily batches) while the oracle computes
+# the single-phase definition: the exact gate itself proves the merge law.
+# Deterministic md5 hashing (portable h48), and the 2^-M register sum is
+# EXACT in double arithmetic regardless of summation order (<= 256 terms,
+# each a power of two in [2^-41, 1]: every partial sum fits in 52 mantissa
+# bits), so the raw-HLL estimator (no bias correction / linear counting —
+# the estimator is a formula shared bit-for-bit with the oracle, accuracy
+# is REPORTED per row as rel_err, not assumed) sits under the exact gate.
+_HLL_M = 256  # registers (b = 8 index bits of the 48-bit hash)
+_HLL_SHARDS = 16  # merge-law shards on the Spark side (md5 of doc_id)
+_HLL_ALPHA = "(0.7213 / (1 + 1.079 / 256))"
+
+_HLL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tk.tok AS tok FROM ({_TOKS}), UNNEST(t) AS tk(tok)
+),
+h AS (
+  SELECT lang, tok, {_sql_h48('tok', "'hll:'")} AS hh FROM toks
+),
+reg AS (
+  SELECT lang, hh % {_HLL_M} AS idx,
+         MAX(CASE WHEN hh // {_HLL_M} = 0 THEN 41
+                  ELSE 41 - LENGTH(BIN(hh // {_HLL_M})) END) AS m
+  FROM h GROUP BY lang, hh % {_HLL_M}
+),
+est AS (
+  SELECT lang,
+         COUNT(*) AS nz,
+         SUM(POW(2.0, -m)) + ({_HLL_M} - COUNT(*)) AS denom
+  FROM reg GROUP BY lang
+),
+exact AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY lang
+)
+SELECT x.lang, x.n_tokens, x.exact_distinct,
+       CAST(e.nz AS BIGINT) AS nz_registers,
+       ROUND(ROUND({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom, 8), 4) AS hll_estimate,
+       ROUND(ROUND(({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / e.denom - x.exact_distinct)
+                   / x.exact_distinct, 8), 4) AS rel_err
+FROM exact x JOIN est e ON e.lang = x.lang
+ORDER BY x.lang
+"""
+
+
+@register(
+    "sketch_hll_distinct",
+    _HLL_SQL,
+    "HyperLogLog distinct tokens per lang (Flajolet et al. 2007, m=256, "
+    "portable md5 hash): Spark computes the mergeable two-phase form "
+    "(16 doc-shards merged by register max), the oracle the single-phase "
+    "definition — the exact gate proves the merge law; raw-HLL estimate "
+    "and its relative error reported per row",
+)
+def sketch_hll_distinct(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("tok")
+    )
+    hh = md5_bucket_expr(F.col("tok"), prefix="hll:")
+    val = F.shiftright(hh, 8)  # == hh // 256 for the nonneg 48-bit hash
+    rho = F.when(val == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(val)))
+    shard = F.pmod(
+        md5_bucket_expr(F.col("doc_id").cast("string"), prefix="hlls:"),
+        F.lit(_HLL_SHARDS),
+    )
+    # two-phase MERGEABLE registers: per-(shard) partial registers, then
+    # merge by max — at cluster scale each shard summary is 256 rows per
+    # lang, so the second phase combines sketches, never raw tokens
+    reg = (
+        tok.select("lang", shard.alias("shard"), F.pmod(hh, F.lit(_HLL_M)).alias("idx"), rho.alias("r"))
+        .groupBy("lang", "shard", "idx")
+        .agg(F.max("r").alias("m"))
+        .groupBy("lang", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    est = reg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nz"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count(F.lit(1)))).alias(
+            "denom"
+        ),
+    )
+    exact = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct"),
+    )
+    e_expr = F.lit(alpha) * _HLL_M * _HLL_M / F.col("denom")
+    return (
+        exact.join(est, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "exact_distinct",
+            F.col("nz").cast("bigint").alias("nz_registers"),
+            R(e_expr, 4).alias("hll_estimate"),
+            R((e_expr - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------- two-level IVF ANN (corpus-scaled codebook, r8)
+
+# The ANN counterpart of the r8 two-level quantizer: similarity_ivf_topk
+# keeps a FIXED k=16 codebook (fine at bench scale, too coarse at 1e9
+# vectors — cells of N/16 rows); this entry searches a CORPUS-SCALED
+# codebook (~N/256 fine cells) whose assignment stays N*2*sqrt(k) via the
+# coarse level. Queries probe 2 coarse cells then their top-3 fine cells;
+# corpus vectors index under their rank-1 cell of the SAME pass (one
+# assignment job yields both views via rank_col). Fully deterministic
+# (md5 pivots), so estimate quality sits under the exact gate; recall vs
+# the brute-force truth is pinned in tests/test_cells.py.
+_IVF2_SQL = f"""
+WITH {_two_level_cells_cte(coarse_probe=2, fine_probe=3, rank_col="frnk")},
+corpus AS (
+  SELECT vec_id AS cid, pivot_id FROM cells WHERE frnk = 1
+),
+qs AS (
+  SELECT vec_id AS qid, pivot_id FROM cells WHERE vec_id < 5
+),
+cand AS (
+  SELECT DISTINCT qid, cid
+  FROM qs JOIN corpus USING (pivot_id)
+  WHERE qid <> cid
+),
+scored AS (
+  SELECT c.qid, c.cid,
+         {_EMB_DUP_DOT.format(a="x.embedding", b="y.embedding")}
+           / ({_EMB_DUP_NRM.format(a="x.embedding")}
+              * {_EMB_DUP_NRM.format(a="y.embedding")}) AS cos
+  FROM cand c JOIN embeddings x ON x.vec_id = c.qid
+              JOIN embeddings y ON y.vec_id = c.cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+  FROM scored
+)
+SELECT qid, cid, ROUND(ROUND(cos, 8), 4) AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY qid, rnk
+"""
+
+
+@register(
+    "similarity_ivf_2level",
+    _IVF2_SQL,
+    "IVF ANN over the corpus-scaled two-level md5 codebook (~N/256 fine "
+    "cells, assignment N*2*sqrt(k)): queries probe 2 coarse x top-3 fine "
+    "cells, corpus indexed under rank-1 cells from the same assignment "
+    "pass; top-5 by cosine per query",
+)
+def similarity_ivf_2level(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.operators.cells import two_level_cells
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    cells = two_level_cells(emb, coarse_probe=2, fine_probe=3, rank_col="frnk")
+    corpus = cells.filter(F.col("frnk") == 1).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("vnrm").alias("cnrm"),
+        "pivot_id",
+    )
+    qs = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("vnrm").alias("qnrm"),
+        "pivot_id",
+    )
+    # a (qid, cid) pair sharing several probed cells surfaces once per
+    # cell; payloads are identical so any dropDuplicates survivor scores
+    # the same float (the dedup_embedding_cosine precedent)
+    cand = (
+        qs.join(corpus, "pivot_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    sim = dot_expr("qe", "ce") / (F.col("qnrm") * F.col("cnrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    return (
+        cand.withColumn("cosine", R(sim, 4))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", "cosine", "rnk")
+        .orderBy("qid", "rnk")
     )

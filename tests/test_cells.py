@@ -142,7 +142,13 @@ def test_cells_empty_frame(spark):
 
 @pytest.mark.parametrize(
     "entry",
-    ["dedup_semdedup", "dedup_embedding_cosine", "pipeline_d4_prototype_prune"],
+    [
+        "dedup_semdedup",
+        "dedup_embedding_cosine",
+        "pipeline_d4_prototype_prune",
+        "similarity_ivf_2level",
+        "sketch_hll_distinct",
+    ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):
     # VERDICT r7 #4: the runtime detector as pytest-level CI for entries
@@ -153,3 +159,39 @@ def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):
     df = load_registry()[entry].fn(spark, sf_dir)
     df.collect()
     assert bounded_anchor_windows(df) == []
+
+
+def test_ivf_2level_recall_vs_brute_force(spark, sf_dir):
+    # the two-level ANN's top-5 must recall most of the brute-force top-5
+    # (deterministic corpus + deterministic codebook => pinned number)
+    from cassabon_spark.queries import load_registry
+
+    reg = load_registry()
+    truth = {
+        (r.qid, r.cid)
+        for r in reg["similarity_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        (r.qid, r.cid)
+        for r in reg["similarity_ivf_2level"].fn(spark, sf_dir).collect()
+    }
+    assert len(truth) == 25
+    # Uniform-random 64-dim vectors have NO cluster structure, the worst
+    # case for any cell-blocked ANN: md5-pivot cells are uncorrelated with
+    # true neighborhoods, so recall here is the corpus's inherent ceiling,
+    # not a quality bar. Measured: two-level 8/25 at sf0.001, 9/25 at
+    # sf0.01 — statistically identical to the fixed-codebook
+    # similarity_ivf_topk (9/25, k=16 nprobe=2) on the same corpus. The
+    # pin guards the PLUMBING (blocking + probe wiring): a drop to ~0
+    # means probed cells stopped intersecting corpus cells.
+    assert len(got & truth) >= 6
+
+
+def test_cells_rank_col(spark):
+    df = _frame(spark, 200)
+    cells = two_level_cells(df, fine_probe=3, rank_col="frnk").collect()
+    per_vec = {}
+    for r in cells:
+        per_vec.setdefault(r.vec_id, []).append(r.frnk)
+    for ranks in per_vec.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

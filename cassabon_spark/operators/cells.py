@@ -1,4 +1,5 @@
-"""Deterministic two-level md5-pivot coarse quantizer (VERDICT r7 #2).
+"""Deterministic hybrid flat/two-level md5-pivot coarse quantizer
+(VERDICT r7 #2).
 
 The r3-r7 corpus-scaled cell rule picked k = max(8, ceil(N/256)) md5-chosen
 pivots and assigned every vector to its nearest pivot by brute force:
@@ -65,6 +66,16 @@ CELL = 256  # target mean fine-cell occupancy (the r3-r7 value, unchanged)
 KMIN = 8  # minimum EXPECTED fine-pivot count at tiny corpora
 SALT_FAN = 16  # fine-assign fan-out per coarse cell
 PIVOT_SALT = "pvt:"  # hash domain separator for pivot selection
+# Hybrid threshold: when the EXPECTED fine-pivot count is at most this,
+# assign flat against the (bounded, broadcastable) fine pivot set in one
+# stage — N * <=64 dots, the standard small-codebook IVF shape — and skip
+# the coarse level entirely. Two-level routing only pays once k actually
+# grows (N > ~16k at cell=256). Measured motivation: at sf0.1 (2000
+# vectors, k~8) the two-level construction's extra stages cost ~2x wall
+# on dedup_semdedup while saving nothing (PERF_r08.md); at the 10x stress
+# corpus (20k vectors, k_exp=79) the threshold is crossed and the
+# two-level path runs, so every scale gate still exercises it.
+FLAT_MAX_K = 64
 
 
 def two_level_params(n: int, cell: int = CELL, kmin: int = KMIN) -> tuple[int, int]:
@@ -96,9 +107,12 @@ def two_level_cells(
     cell: int = CELL,
     kmin: int = KMIN,
     rank_col: str | None = None,
+    flat_max_k: int = FLAT_MAX_K,
 ) -> DataFrame:
-    """Assign every row of `emb` to its `fine_probe` nearest fine cells,
-    searching only the `coarse_probe` nearest coarse cells.
+    """Assign every row of `emb` to its `fine_probe` nearest fine cells —
+    flat against the whole (bounded) fine pivot set while the expected
+    codebook is <= flat_max_k, else searching only the `coarse_probe`
+    nearest coarse cells (two-level).
 
     Returns [id_col, vec_col, 'vnrm', 'pivot_id'] + carry, one row per
     (vector, probed fine cell), plus the 1-based fine-probe rank as
@@ -131,6 +145,7 @@ def two_level_cells(
         ).limit(0)
     sid = stats["s"]["i"]
     fmod, cmod = two_level_params(n, cell, kmin)
+    k_exp = math.ceil(n / fmod)
     ph = md5_bucket_expr(F.col(id_col).cast("string"), prefix=PIVOT_SALT)
 
     fine = emb.filter((ph % fmod == 0) | (F.col(id_col) == sid)).select(
@@ -139,6 +154,26 @@ def two_level_cells(
         l2_norm_expr(vec_col).alias("pnrm"),
         ph.alias("__ph"),
     )
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # the explicit repartition on the window key fuses crossJoin + dots +
+    # window into ONE full-width stage (no ENSURE_REQUIREMENTS exchange
+    # for AQE to byte-coalesce — SCALE_r08's five narrow-heavy catches)
+    vec = emb.repartition(n_parts, id_col).withColumn("vnrm", l2_norm_expr(vec_col))
+    sim_vf = dot_expr(vec_col, "pe") / (F.col("vnrm") * F.col("pnrm"))
+    w_vf = Window.partitionBy(id_col).orderBy(F.desc(sim_vf), F.asc("pivot_id"))
+    extra = [F.col("__r").alias(rank_col)] if rank_col else []
+
+    if k_exp <= flat_max_k:
+        # flat path: the codebook is bounded (<= flat_max_k rows), so a
+        # single broadcast scan is both the cheapest and the scale-safe
+        # plan — no coarse level, no extra stages
+        ranked = (
+            vec.crossJoin(F.broadcast(fine.drop("__ph")))
+            .withColumn("__r", F.row_number().over(w_vf))
+            .filter(F.col("__r") <= fine_probe)
+        )
+        return ranked.select(id_col, vec_col, "vnrm", "pivot_id", *extra, *carry)
+
     coarse = fine.filter(
         (F.col("__ph") % cmod == 0) | (F.col("pivot_id") == sid)
     ).select(
@@ -160,14 +195,7 @@ def two_level_cells(
 
     # vector -> coarse probe(s): N x sqrt(k) work against the BOUNDED
     # coarse broadcast — the step that was N x k against a linearly
-    # growing broadcast under the single-level rule. Pre-partitioning by
-    # the window key with an EXPLICIT repartition (AQE-exempt) fuses the
-    # crossJoin + dots + window into ONE stage at cluster width: without
-    # it the window adds an ENSURE_REQUIREMENTS exchange whose read AQE
-    # coalesces by BYTES (the r8 stress run measured 5-task 1s+ stages on
-    # the 20k-vector corpus — compute-dense rows, tiny bytes).
-    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    vec = emb.repartition(n_parts, id_col).withColumn("vnrm", l2_norm_expr(vec_col))
+    # growing broadcast under the single-level rule.
     sim_vc = dot_expr(vec_col, "cpe") / (F.col("vnrm") * F.col("cpnrm"))
     w_vc = Window.partitionBy(id_col).orderBy(F.desc(sim_vc), F.asc("cpid"))
     v2c = (
@@ -187,8 +215,6 @@ def two_level_cells(
         emb.sparkSession.range(SALT_FAN)
         .select(F.col("id").cast("int").alias("__salt"))
     )
-    sim_vf = dot_expr(vec_col, "pe") / (F.col("vnrm") * F.col("pnrm"))
-    w_vf = Window.partitionBy(id_col).orderBy(F.desc(sim_vf), F.asc("pivot_id"))
     # pin the fine-assign join width with an EXPLICIT repartition (the
     # salted_self_pairs lesson, SCALE_r06/r08): the join inputs are small
     # in BYTES but the stage computes ~k/sqrt(k) dots per probe row, and
@@ -205,5 +231,4 @@ def two_level_cells(
         .withColumn("__r", F.row_number().over(w_vf))
         .filter(F.col("__r") <= fine_probe)
     )
-    extra = [F.col("__r").alias(rank_col)] if rank_col else []
     return ranked.select(id_col, vec_col, "vnrm", "pivot_id", *extra, *carry)

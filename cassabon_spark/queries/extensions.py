@@ -670,14 +670,18 @@ _EMB_DUP_NRM = "SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> CAST(x AS DOUBLE) * CAST(
 def _two_level_cells_cte(
     carry: tuple = (), coarse_probe: int = 1, fine_probe: int = 1,
     cell: int = 256, kmin: int = 8, rank_col: str | None = None,
+    flat_max_k: int = 64,
 ) -> str:
     """DuckDB twin of operators/cells.py::two_level_cells (VERDICT r7 #2) —
     the two MUST change together. Emits the CTE chain
     nrow/sent/prm/prm2/fine/coarse/f2c/v2c/cells; the final `cells` CTE has
     (vec_id, embedding, *carry, pivot_id), one row per (vector, probed fine
-    cell). Every step is integer hash arithmetic plus IEEE-exact
-    sqrt/floor/cosines, so the construction sits under the exact gate at
-    any corpus size."""
+    cell). Hybrid exactly like the Spark side: while the expected codebook
+    k_exp <= flat_max_k the FLAT branch is the (only) non-empty one —
+    vectors rank the whole bounded fine set; above the threshold the
+    two-level branch takes over. Every step is integer hash arithmetic
+    plus IEEE-exact sqrt/floor/cosines, so the construction sits under the
+    exact gate at any corpus size."""
     carry_b = "".join(f", {c}" for c in carry)
     carry_e = "".join(f", e.{c}" for c in carry)
     carry_v = "".join(f", v.{c}" for c in carry)
@@ -700,6 +704,7 @@ prm AS (
 ),
 prm2 AS (
   SELECT n, fmod,
+         CAST(CEIL(n * 1.0 / fmod) AS BIGINT) AS kexp,
          fmod * GREATEST(1, CAST(FLOOR(SQRT(CEIL(n * 1.0 / fmod))) AS BIGINT)) AS cmod
   FROM prm
 ),
@@ -711,7 +716,7 @@ fine AS (
 coarse AS (
   SELECT f.pivot_id AS cpid, f.pe AS cpe
   FROM fine f, prm2 p, sent s
-  WHERE f.ph % p.cmod = 0 OR f.pivot_id = s.sid
+  WHERE (f.ph % p.cmod = 0 OR f.pivot_id = s.sid) AND p.kexp > {flat_max_k}
 ),
 f2c AS (
   SELECT pivot_id, pe, coarse_id FROM (
@@ -735,6 +740,16 @@ v2c AS (
 ),
 cells AS (
   SELECT vec_id, embedding{carry_b}, pivot_id{rank_sel} FROM (
+    SELECT e.vec_id, e.embedding{carry_e}, f.pivot_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos("e.embedding", "f.pe")} DESC, f.pivot_id
+           ) AS r
+    FROM embeddings e, fine f, prm2 p
+    WHERE p.kexp <= {flat_max_k}
+  ) WHERE r <= {fine_probe}
+  UNION ALL
+  SELECT vec_id, embedding{carry_b}, pivot_id{rank_sel} FROM (
     SELECT v.vec_id, v.embedding{carry_v}, f.pivot_id,
            ROW_NUMBER() OVER (
              PARTITION BY v.vec_id
@@ -750,15 +765,16 @@ cells AS (
 # r7 (VERDICT r6 #3) replaced label-wide ALL-PAIRS with SemDeDup-cell
 # blocking; r8 (VERDICT r7 #2) replaced the single-level corpus-scaled
 # pivot assignment (N*k dots, k ~ N/256 — quadratic one level down) with
-# the two-level md5-pivot quantizer (operators/cells.py): vectors probe
-# their top-2 coarse cells, then their top-3 fine cells within those — a
-# pair is a candidate when the two vectors share a (label, fine cell).
-# Pair work stays quadratic only in (3 x cell occupancy); assignment work
-# is N * ~2*sqrt(k). Measured blocking recall vs the label-wide all-pairs
-# truth (DuckDB replication of the r6 path; r8 measurement): 5/5 at
-# sf0.001, 4/5 at sf0.01, 79/86 at sf0.1 — vs the r7 single-level
-# blocking's 5/5, 5/5, 78/86: the same SemDeDup-style trade, one pair
-# shifted per direction. Pairs whose two vectors share no probed cell are
+# the HYBRID md5-pivot quantizer (operators/cells.py): while the expected
+# codebook is bounded (k_exp <= 64, i.e. N <= ~16k) vectors rank the
+# whole fine set flat; above it they probe their top-2 coarse cells, then
+# their top-3 fine cells within those. A pair is a candidate when the two
+# vectors share a (label, fine cell). Pair work stays quadratic only in
+# (3 x cell occupancy); assignment work is N * min(64, ~2*sqrt(k)).
+# Measured blocking recall vs the label-wide all-pairs truth (DuckDB
+# replication of the r6 path; r8 measurement): 5/5 at sf0.001, 4/5 at
+# sf0.01, 83/86 at sf0.1 — vs the r7 single-level orderBy-limit pivots'
+# 5/5, 5/5, 78/86. Pairs whose two vectors share no probed cell are
 # by-design out of scope, exactly as in the production systems this
 # entry models.
 _EMB_DUP_CPROBE = 2
@@ -788,10 +804,10 @@ ORDER BY v1, v2
 @register(
     "dedup_embedding_cosine",
     _EMB_DUP_SQL,
-    "embedding near-dup pairs (cosine >= 0.40): two-level md5-pivot cell "
-    "blocking within label (top-2 coarse, top-3 fine probes) — pair work "
-    "linear in corpus size, assignment N*2*sqrt(k), never label-wide "
-    "all-pairs",
+    "embedding near-dup pairs (cosine >= 0.40): hybrid md5-pivot cell "
+    "blocking within label (flat vs bounded codebook, else top-2 coarse x "
+    "top-3 fine probes) — pair work linear in corpus size, assignment "
+    "N*min(64, 2*sqrt(k)), never label-wide all-pairs",
 )
 def dedup_embedding(spark, sf_dir):
     # The synthetic corpus has no true near-duplicates (global max cosine
@@ -3211,10 +3227,10 @@ ORDER BY dropped
 @register(
     "dedup_semdedup",
     _SEM_SQL,
-    "SemDeDup semantic dedup: two-level md5-pivot cluster blocking, "
-    "within-cell cosine >= 0.40 drops the higher id (keeper = its "
-    "most-similar lower id); pair work is quadratic only in cell size and "
-    "assignment is N*2*sqrt(k), never corpus-quadratic",
+    "SemDeDup semantic dedup: hybrid flat/two-level md5-pivot cluster "
+    "blocking, within-cell cosine >= 0.40 drops the higher id (keeper = "
+    "its most-similar lower id); pair work is quadratic only in cell size "
+    "and assignment is N*min(64, 2*sqrt(k)), never corpus-quadratic",
 )
 def dedup_semdedup(spark, sf_dir):
     prep(spark)
@@ -7894,7 +7910,7 @@ ORDER BY vec_id
 @register(
     "pipeline_d4_prototype_prune",
     _D4_SQL,
-    "D4 prototype pruning (Tirumala et al. 2023): two-level md5-pivot "
+    "D4 prototype pruning (Tirumala et al. 2023): hybrid md5-pivot "
     "cells, per-cell mean centroid, the 20% most-prototypical (highest "
     "centroid cosine) marked pruned — the drop-the-least-informative "
     "companion to dedup_semdedup; deterministic, fully under the exact gate",
@@ -9518,10 +9534,11 @@ ORDER BY qid, rnk
 @register(
     "similarity_ivf_2level",
     _IVF2_SQL,
-    "IVF ANN over the corpus-scaled two-level md5 codebook (~N/256 fine "
-    "cells, assignment N*2*sqrt(k)): queries probe 2 coarse x top-3 fine "
-    "cells, corpus indexed under rank-1 cells from the same assignment "
-    "pass; top-5 by cosine per query",
+    "IVF ANN over the corpus-scaled hybrid md5 codebook (~N/256 fine "
+    "cells, assignment N*min(64, 2*sqrt(k))): queries take top-3 probed "
+    "cells (flat rank while the codebook is bounded, else 2 coarse x 3 "
+    "fine), corpus indexed under rank-1 cells of the same pass; top-5 "
+    "by cosine per query",
 )
 def similarity_ivf_2level(spark, sf_dir):
     prep(spark)

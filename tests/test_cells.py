@@ -60,9 +60,9 @@ def _frame(spark, n, dim=8, seed=7):
     )
 
 
-def _naive_cells(rows, coarse_probe, fine_probe):
+def _naive_cells(rows, coarse_probe, fine_probe, flat_max_k):
     """Pure-python replication: same hash moduli, same sentinel, same
-    two-level argmax with (cos DESC, pivot_id ASC) tie-break."""
+    hybrid flat/two-level argmax with (cos DESC, pivot_id ASC) tie-break."""
     import numpy as np
 
     ids = [r[0] for r in rows]
@@ -84,8 +84,13 @@ def _naive_cells(rows, coarse_probe, fine_probe):
             p for _, p in sorted(((-cos(q, p), p) for p in cands))[:k]
         ]
 
-    f2c = {f: top(f, coarse, 1)[0] for f in fine}
     out = set()
+    if math.ceil(n / fmod) <= flat_max_k:
+        for v in ids:
+            for p in top(v, fine, fine_probe):
+                out.add((v, p))
+        return out
+    f2c = {f: top(f, coarse, 1)[0] for f in fine}
     for v in ids:
         probed = top(v, coarse, coarse_probe)
         cand = [f for f in fine if f2c[f] in probed]
@@ -94,15 +99,19 @@ def _naive_cells(rows, coarse_probe, fine_probe):
     return out
 
 
-@pytest.mark.parametrize("cp,fp", [(1, 1), (2, 3)])
-def test_cells_match_naive_replication(spark, cp, fp):
+@pytest.mark.parametrize("cp,fp,fmk", [(1, 1, 64), (2, 3, 64), (1, 1, 0), (2, 3, 0)])
+def test_cells_match_naive_replication(spark, cp, fp, fmk):
+    # fmk=64 exercises the flat branch at this frame size; fmk=0 forces
+    # the two-level branch on the same frame
     df = _frame(spark, 300)
     got = {
         (r.vec_id, r.pivot_id)
-        for r in two_level_cells(df, coarse_probe=cp, fine_probe=fp).collect()
+        for r in two_level_cells(
+            df, coarse_probe=cp, fine_probe=fp, flat_max_k=fmk
+        ).collect()
     }
     assert got == _naive_cells(
-        [(r.vec_id, r.embedding) for r in df.collect()], cp, fp
+        [(r.vec_id, r.embedding) for r in df.collect()], cp, fp, fmk
     )
 
 
@@ -179,11 +188,11 @@ def test_ivf_2level_recall_vs_brute_force(spark, sf_dir):
     # Uniform-random 64-dim vectors have NO cluster structure, the worst
     # case for any cell-blocked ANN: md5-pivot cells are uncorrelated with
     # true neighborhoods, so recall here is the corpus's inherent ceiling,
-    # not a quality bar. Measured: two-level 8/25 at sf0.001, 9/25 at
-    # sf0.01 — statistically identical to the fixed-codebook
-    # similarity_ivf_topk (9/25, k=16 nprobe=2) on the same corpus. The
-    # pin guards the PLUMBING (blocking + probe wiring): a drop to ~0
-    # means probed cells stopped intersecting corpus cells.
+    # not a quality bar. Measured: 9/25 at sf0.001 (hybrid flat path) —
+    # identical to the fixed-codebook similarity_ivf_topk (9/25, k=16
+    # nprobe=2) on the same corpus; the forced two-level path measured
+    # 8/25. The pin guards the PLUMBING (blocking + probe wiring): a drop
+    # to ~0 means probed cells stopped intersecting corpus cells.
     assert len(got & truth) >= 6
 
 

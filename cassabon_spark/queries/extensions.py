@@ -9577,3 +9577,182 @@ def similarity_ivf_2level(spark, sf_dir):
         .select("qid", "cid", "cosine", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+# --------------------------------- benchmark decontamination (r8)
+
+# The pre-training decontamination pass every production pipeline runs
+# (GPT-3 appendix C / PaLM / Llama: drop or flag training docs sharing
+# n-grams with evaluation benchmarks). The "benchmark suite" here is a
+# deterministic md5-chosen 8-document set (a bounded LIMIT — it stands in
+# for the real, fixed-size eval suite, which never scales with the
+# corpus); a corpus document is contaminated when it shares >= 1 distinct
+# 4-gram word shingle with ANY benchmark document (4 measured as the
+# discriminating size on this corpus: 3-grams flag ~50% of docs — common
+# phrases — while 4-grams flag the true replica/near-dup tail: 11/17/106
+# docs at sf0.001/0.01/0.1 with max_hits 55 at sf0.1; production
+# pipelines use 13-grams on real text for the same reason). Scale shape:
+# the
+# benchmark shingle set is tiny and BROADCAST, so the corpus-side probe
+# is map-only (shingle explode -> broadcast semi-join) with one hash-agg
+# per doc — no corpus-vs-corpus join anywhere.
+_DECON_K = 8
+
+_DECON_SHINGLES = f"""
+SELECT DISTINCT doc_id, lang, ARRAY_TO_STRING(t[i:i+3], ' ') AS s
+FROM ({_TOKS}), UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 3, 0))) AS g(i)
+"""
+
+_DECON_SQL = f"""
+WITH sh AS ({_DECON_SHINGLES}),
+bm AS (
+  SELECT doc_id FROM documents
+  ORDER BY MD5('bm:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT {_DECON_K}
+),
+bsh AS (
+  SELECT DISTINCT s.s FROM sh s JOIN bm ON bm.doc_id = s.doc_id
+),
+hits AS (
+  SELECT s.doc_id, s.lang, COUNT(*) AS n_hits
+  FROM sh s JOIN bsh ON bsh.s = s.s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM bm)
+  GROUP BY s.doc_id, s.lang
+),
+docs_n AS (
+  SELECT d.lang, COUNT(*) AS n_docs FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM bm)
+  GROUP BY d.lang
+)
+SELECT n.lang,
+       CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(MAX(h.n_hits), 0) AS BIGINT) AS max_hits,
+       CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS total_hits
+FROM docs_n n LEFT JOIN hits h ON h.lang = n.lang
+GROUP BY n.lang, n.n_docs
+ORDER BY n.lang
+"""
+
+
+@register(
+    "pipeline_benchmark_decontam",
+    _DECON_SQL,
+    "benchmark decontamination (GPT-3 appendix C shape): flag corpus docs "
+    "sharing any distinct 4-gram shingle with a fixed md5-chosen 8-doc "
+    "benchmark set; benchmark shingles broadcast, corpus probe map-only",
+)
+def pipeline_benchmark_decontam(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(word_shingles_expr(tokens_expr("text"), 4))).alias("s"),
+    )
+    bm = (
+        docs.orderBy(F.md5(F.concat(F.lit("bm:"), F.col("doc_id").cast("string"))), "doc_id")
+        .limit(_DECON_K)
+        .select("doc_id")
+    )
+    bsh = sh.join(F.broadcast(bm), "doc_id").select("s").distinct()
+    hits = (
+        sh.join(F.broadcast(bm.withColumnRenamed("doc_id", "__bm")), F.col("doc_id") == F.col("__bm"), "left_anti")
+        .join(F.broadcast(bsh), "s")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    docs_n = (
+        docs.join(F.broadcast(bm.withColumnRenamed("doc_id", "__bm")), F.col("doc_id") == F.col("__bm"), "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        docs_n.join(hits, "lang", "left")
+        .groupBy("lang", "n_docs")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_contaminated"),
+            F.coalesce(F.max("n_hits"), F.lit(0)).cast("bigint").alias("max_hits"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_contaminated",
+            "max_hits",
+            "total_hits",
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------- per-source unigram KL drift (r8)
+
+# Domain-mix drift detection: KL(source || corpus) over unigram token
+# distributions — the quantity a data-mixing pipeline watches per crawl
+# drop / per domain (large KL = the source's language diverges from the
+# current mix; CCNet/DoReMi-style mixing decisions key off it). Every
+# source token appears in the corpus distribution by construction, so the
+# divergence is finite and exactly defined: sum over the source's vocab of
+# p*ln(p/q) with p = c_src/n_src, q = c_corpus/n_corpus — integer counts
+# in, one double per term, rounded once at the end (summation order
+# differs across engines; R() absorbs the ulps, the avg_surprisal
+# precedent). Scale shape: two hash-aggs over (source, tok) and (tok) +
+# one vocab-keyed shuffle join; no windows, no broadcasts that grow with
+# the corpus (the per-source totals frame is #sources rows).
+_KL_SQL = f"""
+WITH toks AS (
+  SELECT source, tk.tok AS tok FROM ({_TOKS}), UNNEST(t) AS tk(tok)
+),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM sc)
+SELECT s.source,
+       CAST(t.ns AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       ROUND(ROUND(SUM(
+         (s.c * 1.0 / t.ns) * LN((s.c * 1.0 / t.ns) / (c.cc * 1.0 / o.na))
+       ), 8), 4) AS kl
+FROM sc s
+JOIN st t ON t.source = s.source
+JOIN ct c ON c.tok = s.tok
+CROSS JOIN tot o
+GROUP BY s.source, t.ns
+ORDER BY s.source
+"""
+
+
+@register(
+    "text_source_kl_drift",
+    _KL_SQL,
+    "per-source unigram KL(source || corpus) drift: the domain-mixing "
+    "signal (CCNet/DoReMi-style), exactly defined since source vocab is a "
+    "subset of corpus vocab; two hash-aggs + one vocab-keyed join",
+)
+def text_source_kl_drift(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("source", F.explode(tokens_expr("text")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    ct = sc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    tot = sc.agg(F.sum("c").cast("bigint").alias("na"))
+    p = F.col("c") * 1.0 / F.col("ns")
+    q = F.col("cc") * 1.0 / F.col("na")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            R(F.sum(p * F.log(p / q)), 4).alias("kl"),
+        )
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "kl",
+        )
+        .orderBy("source")
+    )

@@ -157,6 +157,8 @@ def test_cells_empty_frame(spark):
         "pipeline_d4_prototype_prune",
         "similarity_ivf_2level",
         "sketch_hll_distinct",
+        "pipeline_benchmark_decontam",
+        "text_source_kl_drift",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):

@@ -9756,3 +9756,183 @@ def text_source_kl_drift(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- dedup cascade (FineWeb shape, r8)
+
+# The production pre-training cleanup CASCADE (FineWeb / RefinedWeb /
+# Dolma all run this exact sequence): exact dedup -> MinHash near-dup
+# dedup -> quality filter, with per-stage survivor accounting so the
+# pipeline owner sees where documents die. Composes the repo's existing
+# primitives end-to-end: content-hash keep-first, banded LSH candidates
+# (skew-safe salted self-join, row-local first-match dedup) verified at
+# raw Jaccard >= 0.7 with pair-drop (the higher id of every verified pair
+# drops — no transitive closure, documented policy), then the heuristic
+# quality score at 0.5. Scale shape: every stage is a hash-agg or a
+# blocked join already proven at the 10x stress; the cascade adds only
+# tiny per-lang count frames on top.
+_CASCADE_SQL = f"""
+WITH ex AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY MD5(text)
+),
+d1 AS (SELECT d.* FROM documents d JOIN ex USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id, lang, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+  FROM (
+    SELECT doc_id, lang,
+           CASE WHEN LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) = 0 THEN []::VARCHAR[]
+                ELSE STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END AS t
+    FROM d1
+  ), UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS g(i)
+),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.p1, c.p2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.p1 JOIN sh s2 ON s2.doc_id = c.p2 AND s1.s = s2.s
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT p2 AS doc_id
+  FROM inter JOIN sz x ON x.doc_id = p1 JOIN sz y ON y.doc_id = p2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+d3 AS (
+  SELECT * FROM (
+    SELECT lang,
+           0.4 * LEAST(LEN(toks) / 64.0, 1.0)
+         + 0.3 * (1.0 - CASE WHEN LEN(text) > 0
+                             THEN LEN(REGEXP_REPLACE(text, '[^.,;:!?]', '', 'g')) * 1.0 / LEN(text)
+                             ELSE 0.0 END)
+         + 0.3 * (CASE WHEN LEN(toks) > 0
+                       THEN LEN(LIST_FILTER(toks, x -> LIST_CONTAINS({_EN}, x))) * 1.0 / LEN(toks)
+                       ELSE 0.0 END) AS q
+    FROM (
+      SELECT lang, text,
+             STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS toks
+      FROM d2
+    )
+  ) WHERE q >= 0.5
+)
+SELECT i.lang,
+       CAST(i.n AS BIGINT) AS n_input,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_after_exact,
+       CAST(COALESCE(nd.n, 0) AS BIGINT) AS n_after_neardup,
+       CAST(COALESCE(qf.n, 0) AS BIGINT) AS n_after_quality
+FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang) i
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM d1 GROUP BY lang) e ON e.lang = i.lang
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM d2 GROUP BY lang) nd ON nd.lang = i.lang
+LEFT JOIN (SELECT lang, COUNT(*) AS n FROM d3 GROUP BY lang) qf ON qf.lang = i.lang
+ORDER BY i.lang
+"""
+
+
+@register(
+    "pipeline_dedup_cascade",
+    _CASCADE_SQL,
+    "FineWeb-style cleanup cascade: exact dedup -> MinHash-LSH near-dup "
+    "pair-drop (Jaccard >= 0.7) -> quality filter (q >= 0.5), per-lang "
+    "survivor counts at every stage; composes the proven blocked-join "
+    "primitives, adds only per-lang count frames",
+)
+def pipeline_dedup_cascade(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.functions.text import quality_score_expr
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    # stage 1: exact — keep the lowest doc_id of every identical text
+    ex = docs.groupBy(F.md5("text").alias("__h")).agg(F.min("doc_id").alias("doc_id"))
+    d1 = docs.join(ex.select("doc_id"), "doc_id", "left_semi").cache()
+    # stage 2: banded LSH candidates among exact survivors, verified at
+    # raw Jaccard >= 0.7 on distinct 3-gram shingle sets; the higher id
+    # of every verified pair drops (pair-drop, no transitive closure)
+    shs = d1.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_shingles_expr(tokens_expr("text"), 3)).alias("shs"),
+    ).cache()
+    mh = shs.select(
+        "doc_id",
+        "lang",
+        *[
+            F.coalesce(
+                F.array_min(
+                    F.transform("shs", lambda s: md5_chunk_hash_expr(s, seed))
+                ),
+                F.lit(1 << 62).cast("bigint"),
+            ).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ],
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.col(f"h{2*b}").cast("string"),
+                    F.col(f"h{2*b+1}").cast("string"),
+                )
+            )
+            for b in range(_N_HASHES // _BAND_W)
+        ]
+    )
+    # shingle-less docs (< 3 tokens) never appear in the oracle's sh-grouped
+    # signature table, so they must not band here either (size filter)
+    bands = (
+        mh.select("doc_id", "lang", band_keys.alias("bks"))
+        .join(shs.select("doc_id", "shs"), "doc_id")
+        .filter(F.size("shs") > 0)
+        .select("doc_id", "lang", "bks", "shs", F.posexplode("bks").alias("band", "bkey"))
+    )
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1) != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    pairs = salted_self_pairs(
+        bands,
+        ["band", "bkey", "lang"],
+        "doc_id",
+        pair_cond=first_match,
+        unique_pairs=True,
+        extra=[F.col("a.shs").alias("s1"), F.col("b.shs").alias("s2")],
+    )
+    inter = F.size(F.array_intersect("s1", "s2"))
+    jac = inter * 1.0 / (F.size("s1") + F.size("s2") - inter)
+    drops = pairs.filter(jac >= 0.7).select(F.col("id2").alias("doc_id")).distinct()
+    d2 = d1.join(drops, "doc_id", "left_anti").cache()
+    # stage 3: quality floor
+    d3 = d2.filter(quality_score_expr("text") >= 0.5)
+
+    def cnt(df, name):
+        return df.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    return (
+        cnt(docs, "n_input")
+        .join(cnt(d1, "n_after_exact"), "lang", "left")
+        .join(cnt(d2, "n_after_neardup"), "lang", "left")
+        .join(cnt(d3, "n_after_quality"), "lang", "left")
+        .select(
+            "lang",
+            "n_input",
+            F.coalesce("n_after_exact", F.lit(0)).cast("bigint").alias("n_after_exact"),
+            F.coalesce("n_after_neardup", F.lit(0)).cast("bigint").alias("n_after_neardup"),
+            F.coalesce("n_after_quality", F.lit(0)).cast("bigint").alias("n_after_quality"),
+        )
+        .orderBy("lang")
+    )

@@ -159,6 +159,7 @@ def test_cells_empty_frame(spark):
         "sketch_hll_distinct",
         "pipeline_benchmark_decontam",
         "text_source_kl_drift",
+        "pipeline_dedup_cascade",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):

@@ -9936,3 +9936,103 @@ def pipeline_dedup_cascade(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------- training-order shuffle audit (r8)
+
+# The LAST operator every pre-training pipeline runs: give the corpus a
+# reproducible pseudo-random global order (so data-parallel workers read
+# disjoint, well-mixed slices) and AUDIT the mix — per order-decile doc
+# counts, source coverage, and language entropy (a poorly shuffled corpus
+# shows entropy dips where one domain clusters). The permutation is
+# md5-keyed (retry-stable, partition-invariant) and the global position
+# comes from operators/rank.py::distributed_row_number — P parallel
+# sorts + broadcast offsets, never a single-task ORDER BY window, so the
+# shuffle-order assignment itself scales (the r6 ranker, reused).
+_TORDER_BUCKETS = 10
+
+_TORDER_SQL = f"""
+WITH r AS (
+  SELECT lang, source,
+         ROW_NUMBER() OVER (
+           ORDER BY MD5('ord:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+b AS (
+  SELECT CAST(FLOOR((pos - 1) * {_TORDER_BUCKETS}.0 / n) AS BIGINT) AS bucket,
+         lang, source
+  FROM r
+),
+lc AS (SELECT bucket, lang, COUNT(*) AS c FROM b GROUP BY bucket, lang),
+bt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS nb FROM lc GROUP BY bucket),
+ent AS (
+  SELECT l.bucket,
+         SUM(-(l.c * 1.0 / t.nb) * LN(l.c * 1.0 / t.nb)) AS h
+  FROM lc l JOIN bt t USING (bucket) GROUP BY l.bucket
+),
+src AS (SELECT bucket, COUNT(DISTINCT source) AS s FROM b GROUP BY bucket)
+SELECT t.bucket,
+       t.nb AS n_docs,
+       CAST(src.s AS BIGINT) AS n_sources,
+       ROUND(ROUND(e.h, 8), 4) AS lang_entropy
+FROM bt t JOIN ent e ON e.bucket = t.bucket JOIN src ON src.bucket = t.bucket
+ORDER BY t.bucket
+"""
+
+
+@register(
+    "pipeline_training_order",
+    _TORDER_SQL,
+    "reproducible training-order shuffle + mix audit: md5-keyed global "
+    "permutation positions from the distributed ranker (never a "
+    "single-task ORDER BY), per-decile doc counts / source coverage / "
+    "language entropy",
+)
+def pipeline_training_order(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.rank import distributed_row_number
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    keyed = docs.select(
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))).alias("__k"),
+        "doc_id",
+    )
+    r = distributed_row_number(
+        keyed,
+        [F.asc("__k"), F.asc("doc_id")],
+        rank_col="pos",
+        total_col="n",
+    )
+    b = r.select(
+        F.floor((F.col("pos") - 1) * float(_TORDER_BUCKETS) / F.col("n"))
+        .cast("bigint")
+        .alias("bucket"),
+        "lang",
+        "source",
+    )
+    lc = b.groupBy("bucket", "lang").agg(F.count(F.lit(1)).alias("c"))
+    bt = lc.groupBy("bucket").agg(F.sum("c").cast("bigint").alias("nb"))
+    p = F.col("c") * 1.0 / F.col("nb")
+    ent = (
+        lc.join(F.broadcast(bt), "bucket")
+        .groupBy("bucket")
+        .agg(F.sum(-p * F.log(p)).alias("h"))
+    )
+    src = b.groupBy("bucket").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources")
+    )
+    return (
+        bt.join(ent, "bucket")
+        .join(src, "bucket")
+        .select(
+            "bucket",
+            F.col("nb").alias("n_docs"),
+            "n_sources",
+            R(F.col("h"), 4).alias("lang_entropy"),
+        )
+        .orderBy("bucket")
+    )

@@ -160,6 +160,7 @@ def test_cells_empty_frame(spark):
         "pipeline_benchmark_decontam",
         "text_source_kl_drift",
         "pipeline_dedup_cascade",
+        "pipeline_training_order",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):

@@ -86,6 +86,12 @@ GROWTH_GATE = 25.0
 # SCALE_r08.md A/B. 50x splits the regimes — a regression back to
 # corpus-linear pivot scans trips this.
 EMB100_GATE = 50.0
+# --emb1000 gate: at the 100x -> 1000x jump both ends are pure compute, so
+# the measured ratio sits closer to theory and varies with box warmth —
+# observed 32.9x and 47.3x across runs (theory 31.6x) while the
+# single-level shape's compute grows exactly 100x. 65x keeps ~1.4x margin
+# below the quadratic and ~1.4x above the worst measured healthy run.
+EMB1000_GATE = 65.0
 # Entries waived from the per-query total-growth gate, with the reason
 # printed. streaming_neardup_lsh: the harness RE-STREAMS the whole corpus
 # through an incremental-probe operator, so total work is inherently
@@ -260,6 +266,13 @@ def main():
         default=GROWTH_GATE,
         help="max allowed 1x->10x total-task-time growth factor",
     )
+    ap.add_argument(
+        "--emb1000",
+        action="store_true",
+        help="also measure the pivot-assignment exponent at 1000x "
+        "embeddings (2M vectors, ~7 min) — re-measures the three-point "
+        "N^1.5 fit recorded in SCALE_r08.md instead of trusting it",
+    )
     args = ap.parse_args()
 
     # get_spark disables the UI; this harness NEEDS the UI REST API for
@@ -377,6 +390,49 @@ def main():
         f"gate {EMB100_GATE:.0f}x across the 10x jump)"
         f"{' SUPERLINEAR!' if eslin else ''} |"
     )
+    if args.emb1000:
+        # opt-in third exponent point (2M vectors): the 100x->1000x jump
+        # is fully compute-dominated on BOTH ends, so the measured growth
+        # is the pure assignment exponent (N^1.5 -> ~31.6x per 10x jump;
+        # measured 32.9x / 47.3x across runs). Own gate (EMB1000_GATE).
+        p1000 = f"{args.dir}/embeddings1000.parquet"
+        if not os.path.isdir(p1000):
+            emb = spark.read.parquet(f"{args.src}/embeddings.parquet")
+            g1000 = spark.range(1000).select(F.col("id").cast("int").alias("gen"))
+            (
+                emb.crossJoin(g1000)
+                .select(
+                    (F.col("vec_id") * 1024 + F.col("gen")).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (
+                            x
+                            + F.col("gen").cast("float")
+                            * 0.0003
+                            * ((i % 13).cast("float") - 6.0)
+                        ).cast("float"),
+                    ).alias("embedding"),
+                    "label",
+                )
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(p1000)
+            )
+        emb = spark.read.parquet(p1000)
+        t0_ms = time.time() * 1000 - 1000
+        t0 = time.time()
+        n = two_level_cells(emb).count()
+        tt1000 = total_task_time_ms(spark, t0_ms)
+        g1000x = tt1000 / max(emb_tt["100x"][0], 2000.0)
+        slin1000 = g1000x > EMB1000_GATE
+        n_superlinear += int(slin1000)
+        print(
+            f"| pivot_assignment_100x_to_1000x | {time.time() - t0:.1f} | {n} "
+            f"| - | - | - | - | {g1000x:.1f}x "
+            f"({emb_tt['100x'][0] / 1000:.1f}s -> {tt1000 / 1000:.1f}s, "
+            f"gate {EMB1000_GATE:.0f}x across the 10x jump)"
+            f"{' SUPERLINEAR!' if slin1000 else ''} |"
+        )
 
     # carbon-ingest slot (VERDICT r4 #5): the full parse -> route -> all
     # rollup tiers -> SNAPSHOT-table sink path at 10x the ingest-bench line

@@ -3,11 +3,13 @@ quantizer that replaced the single-level corpus-scaled pivot assignment
 (VERDICT r7 #2).
 
 Pinned here: (a) parameter/modulus arithmetic and its scaling shape,
-(b) exact agreement of the full two-level assignment with an independent
-numpy/hashlib replication, (c) the every-vector-covered invariant the
-sentinel + subset construction guarantees, (d) probe/carry semantics, and
-(e) the runtime bounded-anchor detector staying clean on all three rebuilt
-registry entries (VERDICT r7 #4: the r6 weak class must not land again).
+(b) exact agreement of the full hybrid flat/two-level assignment with an
+independent numpy/hashlib replication (fixed frame AND a hypothesis
+property over sizes/dims/probes/branches), (c) the every-vector-covered
+invariant the sentinel + subset construction guarantees, (d) probe/carry/
+rank_col semantics, and (e) the runtime bounded-anchor detector staying
+clean on every registry entry r8 touched or added (VERDICT r7 #4: the r6
+weak class must not land again).
 """
 
 from __future__ import annotations
@@ -208,3 +210,33 @@ def test_cells_rank_col(spark):
         per_vec.setdefault(r.vec_id, []).append(r.frnk)
     for ranks in per_vec.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=140),
+    dim=st.integers(min_value=2, max_value=8),
+    cp=st.integers(min_value=1, max_value=2),
+    fp=st.integers(min_value=1, max_value=3),
+    fmk=st.sampled_from([0, 64]),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_cells_property_matches_naive(spark, n, dim, cp, fp, fmk, seed):
+    # property form of the fixed-frame replication test: ANY frame size
+    # (including n < KMIN, where fmod clamps to 1 and every row is a
+    # pivot), dimension, probe pair, hybrid branch, and id pattern must
+    # agree exactly with the pure-python construction
+    df = _frame(spark, n, dim=dim, seed=seed)
+    got = {
+        (r.vec_id, r.pivot_id)
+        for r in two_level_cells(
+            df, coarse_probe=cp, fine_probe=fp, flat_max_k=fmk
+        ).collect()
+    }
+    assert got == _naive_cells(
+        [(r.vec_id, r.embedding) for r in df.collect()], cp, fp, fmk
+    )

@@ -10036,3 +10036,96 @@ def pipeline_training_order(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------- HLL union across groups (r8)
+
+# The reason HLL exists at 100 TB: register tables MERGE by element-wise
+# max, so "distinct tokens across ALL langs" is computed from the per-lang
+# sketches (5 x 256 numbers) without touching raw tokens again — per-day /
+# per-shard / per-source sketches union the same way. Output: each lang's
+# own estimate alongside the union estimate AND the exact global distinct
+# with its relative error, so the union merge law is exercised against
+# ground truth under the exact gate (the Spark side merges the per-lang
+# register tables; the oracle computes the union registers directly from
+# tokens — equality of the resulting estimates IS the merge law).
+_HLLU_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, tk.tok AS tok FROM ({_TOKS}), UNNEST(t) AS tk(tok)
+),
+h AS (
+  SELECT lang, tok, {_sql_h48('tok', "'hll:'")} AS hh FROM toks
+),
+reg AS (
+  SELECT lang, hh % {_HLL_M} AS idx,
+         MAX(CASE WHEN hh // {_HLL_M} = 0 THEN 41
+                  ELSE 41 - LENGTH(BIN(hh // {_HLL_M})) END) AS m
+  FROM h GROUP BY lang, hh % {_HLL_M}
+),
+lest AS (
+  SELECT lang,
+         {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+           / (SUM(POW(2.0, -m)) + ({_HLL_M} - COUNT(*))) AS e
+  FROM reg GROUP BY lang
+),
+ureg AS (SELECT idx, MAX(m) AS m FROM reg GROUP BY idx),
+uest AS (
+  SELECT {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
+           / (SUM(POW(2.0, -m)) + ({_HLL_M} - COUNT(*))) AS ue
+  FROM ureg
+),
+uexact AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS ux FROM toks)
+SELECT l.lang,
+       ROUND(ROUND(l.e, 8), 4) AS lang_estimate,
+       ROUND(ROUND(u.ue, 8), 4) AS union_estimate,
+       x.ux AS union_exact,
+       ROUND(ROUND((u.ue - x.ux) / x.ux, 8), 4) AS union_rel_err
+FROM lest l CROSS JOIN uest u CROSS JOIN uexact x
+ORDER BY l.lang
+"""
+
+
+@register(
+    "sketch_hll_union",
+    _HLLU_SQL,
+    "HLL union across langs: global distinct-token estimate computed by "
+    "merging the per-lang register tables with element-wise max (5 x 256 "
+    "numbers, never raw tokens) — the per-shard/per-day sketch-union "
+    "pattern; union estimate checked against exact global distinct",
+)
+def sketch_hll_union(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    tok = docs.select("lang", F.explode(tokens_expr("text")).alias("tok"))
+    hh = md5_bucket_expr(F.col("tok"), prefix="hll:")
+    val = F.shiftright(hh, 8)
+    rho = F.when(val == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(val)))
+    reg = (
+        tok.select("lang", F.pmod(hh, F.lit(_HLL_M)).alias("idx"), rho.alias("r"))
+        .groupBy("lang", "idx")
+        .agg(F.max("r").alias("m"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+
+    def estimate(grouped):
+        return F.lit(alpha) * _HLL_M * _HLL_M / (
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (_HLL_M - F.count(F.lit(1)))
+        )
+
+    lest = reg.groupBy("lang").agg(estimate(None).alias("e"))
+    # the union merge: element-wise MAX over the per-lang register tables
+    ureg = reg.groupBy("idx").agg(F.max("m").alias("m"))
+    uest = ureg.agg(estimate(None).alias("ue"))
+    uexact = tok.agg(F.countDistinct("tok").cast("bigint").alias("ux"))
+    return (
+        lest.crossJoin(F.broadcast(uest))
+        .crossJoin(F.broadcast(uexact))
+        .select(
+            "lang",
+            R(F.col("e"), 4).alias("lang_estimate"),
+            R(F.col("ue"), 4).alias("union_estimate"),
+            F.col("ux").alias("union_exact"),
+            R((F.col("ue") - F.col("ux")) / F.col("ux"), 4).alias("union_rel_err"),
+        )
+        .orderBy("lang")
+    )

@@ -163,6 +163,7 @@ def test_cells_empty_frame(spark):
         "text_source_kl_drift",
         "pipeline_dedup_cascade",
         "pipeline_training_order",
+        "sketch_hll_union",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):

@@ -203,6 +203,39 @@ def test_ivf_2level_recall_vs_brute_force(spark, sf_dir):
     assert len(got & truth) >= 6
 
 
+def test_cells_cte_two_level_branch_matches_duckdb(spark, sf_dir):
+    # ADVICE r8 #2: at every shipped SF the hybrid resolves to the FLAT
+    # branch (k_exp <= 64), so the registry's exact-oracle gate never
+    # EXECUTES the CTE's coarse/f2c/v2c SQL — the "the two must change
+    # together" invariant was CI-enforced only for the flat branch. Force
+    # flat_max_k=0 on BOTH engines over the real sf0.001 embeddings and
+    # compare (vec_id, pivot_id) sets, mirroring the naive-replication
+    # test's fmk=0 rows but against the actual DuckDB twin.
+    import duckdb
+
+    from cassabon_spark.queries.extensions import _two_level_cells_cte
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    sql = (
+        f"WITH {_two_level_cells_cte(flat_max_k=0, coarse_probe=2, fine_probe=3)}\n"
+        "SELECT vec_id, pivot_id FROM cells"
+    )
+    want = set(con.execute(sql).fetchall())
+    con.close()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.vec_id, r.pivot_id)
+        for r in two_level_cells(
+            emb, coarse_probe=2, fine_probe=3, flat_max_k=0
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_cells_rank_col(spark):
     df = _frame(spark, 200)
     cells = two_level_cells(df, fine_probe=3, rank_col="frnk").collect()

@@ -27,6 +27,7 @@ Usage: python tools/scale_stress.py [--dir /tmp/scale_sf1] [--src /root/testdata
 from __future__ import annotations
 
 import argparse
+import calendar
 import json
 import os
 import sys
@@ -200,6 +201,16 @@ def _ui(spark, path: str):
         return json.loads(r.read())
 
 
+def _rest_ts_ms(sub: str) -> float:
+    """Spark REST API timestamps are GMT (suffix 'GMT'); parse as UTC.
+
+    time.mktime would interpret the struct_time as LOCAL time, shifting the
+    submitted-after-t0 stage filter by the UTC offset on any non-UTC box and
+    silently mis-attributing stages to the growth ratios (ADVICE r8 #1) —
+    calendar.timegm is the UTC inverse."""
+    return calendar.timegm(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000.0
+
+
 def total_task_time_ms(spark, t0_ms: float) -> float:
     """Sum of executorRunTime over ALL completed stages submitted after t0
     — the scale-exponent signal: wall hides compute growth behind fixed
@@ -213,7 +224,7 @@ def total_task_time_ms(spark, t0_ms: float) -> float:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if sub is None:
             continue
-        sub_ms = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        sub_ms = _rest_ts_ms(sub)
         if sub_ms < t0_ms:
             continue
         total += float(st.get("executorRunTime", 0))
@@ -229,7 +240,7 @@ def stage_straggler_report(spark, t0_ms: float) -> list[dict]:
         sub = st.get("firstTaskLaunchedTime") or st.get("submissionTime")
         if sub is None:
             continue
-        sub_ms = time.mktime(time.strptime(sub[:19], "%Y-%m-%dT%H:%M:%S")) * 1000
+        sub_ms = _rest_ts_ms(sub)
         if sub_ms < t0_ms or st.get("numCompleteTasks", 0) < 2:
             continue
         try:

@@ -118,6 +118,103 @@ def sketch_quantiles(
     return annotated.groupBy(*keys).agg(*outs)
 
 
+# ------------- HyperLogLog / KMV production helpers (r9, VERDICT r8 #4)
+#
+# The gated registry entries (sketch_hll_distinct / sketch_hll_union /
+# sketch_kmv_distinct, queries/extensions.py) carry an EXACT-computation
+# truth arm (countDistinct over all raw values) purely so the estimator
+# sits under the exact-oracle gate — at scale that arm is the single most
+# expensive part of the query and exists only for verification. These are
+# the engine-facing forms a production caller uses INSTEAD of copying a
+# gated entry: sketch build + merge + estimate, no truth arm. The gated
+# entries are built ON these helpers, and tests/test_sketch_helpers.py
+# pins that the entries' sketch columns equal the helpers' output.
+
+# HyperLogLog (Flajolet, Fusy, Gandouet, Meunier 2007): m=256 registers
+# indexed by the low 8 bits of the portable 48-bit md5 hash; register =
+# max rho over the remaining 40 value bits (rho = leading-zero count + 1,
+# here 41 - bitlength). Raw estimator alpha_m * m^2 / sum 2^-M_j, no bias
+# correction — the estimate is a deterministic formula both engines share
+# bit-for-bit, so it can sit under an exact gate; its accuracy is a
+# REPORTED number (rel_err in the gated entries), not an assumption.
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1 + 1.079 / 256)
+
+
+def hll_registers(
+    df: DataFrame, keys: list[str], value_col: str, prefix: str = "hll:"
+) -> DataFrame:
+    """(keys..., idx, m): the mergeable HLL register table for the
+    distinct count of `value_col` per key group. One linear hash-agg —
+    map-side partials absorb the fan-in; the sketch is <= m rows per
+    group regardless of input size."""
+    from cassabon_spark.functions.text import md5_bucket_expr
+
+    hh = md5_bucket_expr(F.col(value_col), prefix=prefix)
+    val = F.shiftright(hh, 8)  # == hh // m for the nonneg 48-bit hash
+    rho = F.when(val == 0, F.lit(41)).otherwise(F.lit(41) - F.length(F.bin(val)))
+    return (
+        df.select(*keys, F.pmod(hh, F.lit(HLL_M)).alias("idx"), rho.alias("r"))
+        .groupBy(*keys, "idx")
+        .agg(F.max("r").alias("m"))
+    )
+
+
+def hll_merge(reg: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge register tables onto coarser keys by element-wise max — the
+    reason HLL exists at 100 TB: per-shard/per-day/per-source sketches
+    combine at m numbers per group, never touching raw values again.
+    `reg` must already carry the target key columns; [] merges everything
+    into one global sketch."""
+    return reg.groupBy(*keys, "idx").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(reg: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., nz_registers, hll_estimate): the raw-HLL estimate per key
+    group of a register table. The 2^-m sum is exact in double arithmetic
+    regardless of order (<= m power-of-two terms spanning 41 bits), so the
+    same formula in another engine reproduces it bit-for-bit."""
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("nz_registers"),
+        (
+            F.lit(HLL_ALPHA)
+            * HLL_M
+            * HLL_M
+            / (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (HLL_M - F.count(F.lit(1))))
+        ).alias("hll_estimate"),
+    ]
+    return reg.groupBy(*keys).agg(*aggs) if keys else reg.agg(*aggs)
+
+
+def kmv_bottom_k(
+    df: DataFrame,
+    shard_cols: list[str],
+    hcol: str = "h",
+    k: int = 128,
+    n_salts: int = 16,
+) -> DataFrame:
+    """(shard_cols..., bk): bottom-k distinct hash sketch (KMV) — the
+    deterministic alternative to HLL; estimate (k-1) * space / bk[k-1],
+    merge = array union + re-sort + re-truncate.
+
+    Two-phase distributed bottom-k: partial bottom-k per (shard, salt)
+    cell via sorted collect_set slices (state bounded at k per cell), then
+    merge cells by flatten + re-sort + re-truncate. No global sort; the
+    merge input is at most n_salts * k hashes per shard."""
+    partial = (
+        df.withColumn("salt", F.pmod(F.col(hcol), F.lit(n_salts)))
+        .groupBy(*shard_cols, "salt")
+        .agg(F.slice(F.array_sort(F.collect_set(hcol)), 1, k).alias("bk"))
+    )
+    return partial.groupBy(*shard_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("bk")))),
+            1,
+            k,
+        ).alias("bk")
+    )
+
+
 def sketch_quantiles_sql(
     source_sql: str,
     keys: list[str],

@@ -1,0 +1,91 @@
+"""streaming_neardup_lsh hybrid static-index modes (r9, VERDICT r8 #1).
+
+The entry auto-selects between the cached band frame (index below
+_SND_CACHED_MAX_BAND_ROWS — every shipped SF) and the pk-partitioned
+on-disk index whose per-batch scan is pruned to the batch's own band-key
+partitions (the 100 TB path). Because auto mode resolves to `cached` at
+every shipped scale factor, the PRUNED path would be gate-dead code
+without these tests (the ADVICE r8 #2 lesson from the quantizer's
+two-level branch): force each mode and pin
+
+  (a) pruned == cached pair sets on the same corpus,
+  (b) pruned mode exact against the entry's own DuckDB oracle,
+  (c) pruned mode invariant to microbatch slicing,
+  (d) the corpus-scaled n_pk arithmetic.
+
+tools/snd_perbatch.py measures the scale claim itself (per-batch cost
+flat across 1x/10x/100x indexes); SCALE_r09.md records it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassabon_spark.queries import extensions as ext
+from cassabon_spark.queries import load_registry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture
+def forced_mode():
+    def _set(mode):
+        ext._SND_MODE[0] = mode
+
+    yield _set
+    ext._SND_MODE[0] = None
+
+
+def _pairs(spark, sf=SF):
+    df = load_registry()["streaming_neardup_lsh"].fn(spark, sf)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pruned_equals_cached(spark, forced_mode):
+    forced_mode("pruned")
+    pruned = _pairs(spark)
+    forced_mode("cached")
+    cached = _pairs(spark)
+    assert pruned == cached
+    assert len(pruned) > 0
+
+
+def test_pruned_matches_oracle(spark, forced_mode):
+    import duckdb
+
+    forced_mode("pruned")
+    got = _pairs(spark)
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(
+        load_registry()["streaming_neardup_lsh"].sql
+    ).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_pruned_slicing_invariance(spark, forced_mode):
+    forced_mode("pruned")
+    results = []
+    for files_per_trigger in (1, 8):
+        ext._STREAM_FILES_PER_TRIGGER[0] = files_per_trigger
+        try:
+            results.append(_pairs(spark))
+        finally:
+            ext._STREAM_FILES_PER_TRIGGER[0] = 2
+    assert results[0] == results[1] and len(results[0]) > 0
+
+
+def test_n_pk_scaling():
+    # corpus-scaled partition count: ~constant rows per partition, floor 16
+    n_bands = ext._N_HASHES // ext._BAND_W
+    assert ext._snd_n_pk(0) == 16
+    assert ext._snd_n_pk(5_000) == max(
+        16, -(-5_000 * n_bands // ext._SND_ROWS_PER_PK)
+    )
+    big = ext._snd_n_pk(10**9)
+    assert big * ext._SND_ROWS_PER_PK >= 10**9 * n_bands
+    assert (big - 1) * ext._SND_ROWS_PER_PK < 10**9 * n_bands + ext._SND_ROWS_PER_PK

@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Per-batch cost of streaming_neardup_lsh vs static-index size (r9,
+VERDICT r8 #1 — the round's one `weak`).
+
+The operator's scale contract is PER-BATCH cost: a bounded crawl drop
+probing a corpus-sized LSH band index. The r4-r8 shape re-shuffled the
+full cached band frame into the join every microbatch — per-batch cost
+LINEAR in index size. The r9 hybrid adds the pk-partitioned on-disk index
+(`_snd_build_index` / `_snd_probe_batch` pruned mode): each batch scans
+only the partitions its own band keys hash into, so per-batch IO is
+min(index, |batch pks| x _SND_ROWS_PER_PK) rows — flat once the index
+outgrows batch_keys x rows_per_pk.
+
+This harness makes that claim EXECUTABLE: ONE fixed ~25-doc arrival batch
+(the production shape: drop << index) probes three indexes — 1x (sf0.1),
+10x (the scale_stress corpus incl. its 10k-identical dup-farm shard, so
+the hot-bucket regime is in the measurement), 100x (synthesized here,
+~500k docs) — under BOTH modes, reporting warm min-of-2 wall and
+UI-REST total task time, plus n_pk and the batch's touched-pk count.
+
+Gate: pruned-mode task-time growth must stay under SUBLINEAR_GATE across
+EACH 10x index jump (a linear shape grows ~10x per jump; flat is ~1x).
+The cached mode is measured as the A/B baseline and has no gate — it is
+expected to grow linearly, which is exactly why the hybrid switches away
+from it past _SND_CACHED_MAX_BAND_ROWS.
+
+Usage: python tools/snd_perbatch.py [--src /root/testdata/sf0.1]
+         [--dir10 /tmp/scale_sf1] [--dir100 /tmp/snd_scale100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SUBLINEAR_GATE = 3.0  # max pruned-mode task-time growth per 10x index jump
+
+
+def synthesize_100x(spark, src: str, dst: str) -> None:
+    """100 generations of the sf0.1 documents (gen 0 verbatim, 1-99 text-
+    mutated -> distinct content) + the same 10k-identical dup-farm shard
+    the 10x stress corpus carries, so every scale point includes the hot
+    LSH bucket. doc_id stays unique via id*128+gen packing."""
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    gens = spark.range(100).select(F.col("id").cast("int").alias("gen"))
+    d100 = docs.crossJoin(gens).select(
+        (F.col("doc_id") * 128 + F.col("gen")).alias("doc_id"),
+        F.when(F.col("gen") == 0, F.col("text"))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.lit("gen"),
+                F.col("gen").cast("string"),
+                F.md5(F.concat_ws("|", F.col("doc_id"), F.col("gen"))),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    seed = docs.orderBy("doc_id").limit(1)
+    shard = seed.crossJoin(
+        spark.range(10_000).select(F.col("id").alias("rep"))
+    ).select(
+        (F.lit(100_000_000) + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("dupfarm").alias("source"),
+        "n_chars",
+    )
+    d100.unionByName(shard).repartition(64).write.mode("overwrite").parquet(
+        f"{dst}/documents.parquet"
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dir10", default="/tmp/scale_sf1")
+    ap.add_argument("--dir100", default="/tmp/snd_scale100")
+    ap.add_argument("--label", default="SND-PERBATCH")
+    ap.add_argument("--skip-100x", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("cassabon-snd-perbatch")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.retainedStages", "2000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    width = int(cpus)
+
+    # scale_stress owns the 10x corpus; synthesize if a fresh /tmp
+    if not os.path.isdir(f"{args.dir10}/documents.parquet"):
+        from tools.scale_stress import synthesize
+
+        synthesize(spark, args.src, args.dir10)
+    if not args.skip_100x and not os.path.isdir(f"{args.dir100}/documents.parquet"):
+        synthesize_100x(spark, args.src, args.dir100)
+
+    from cassabon_spark.queries import extensions as X
+    from tools.scale_stress import total_task_time_ms
+
+    # ONE fixed arrival batch for every run: ~25 docs from sf0.1 — small
+    # vs every index, the incremental-drop production shape. Includes
+    # doc_id 0, whose text IS the dup-farm seed text, so the batch probes
+    # the 10k-identical hot bucket at 10x/100x (skew-representative).
+    src_docs = spark.read.parquet(f"{args.src}/documents.parquet")
+    batch = (
+        src_docs.filter(F.col("doc_id") % 200 == 0)
+        .select("doc_id", "lang", "text")
+        .cache()
+    )
+    n_batch = batch.count()
+
+    scales = [("1x", args.src), ("10x", args.dir10)]
+    if not args.skip_100x:
+        scales.append(("100x", args.dir100))
+
+    print(f"# {args.label} — per-batch cost vs static-index size")
+    print(
+        f"\nFixed arrival batch: {n_batch} docs (sf0.1 doc_id % 200 == 0, "
+        "incl. the dup-farm seed text). Warm min-of-2 per cell, local[32]. "
+        f"rows_per_pk={X._SND_ROWS_PER_PK}.\n"
+    )
+    print("| index | docs | band rows | n_pk | touched pks | mode | wall s | task time s |")
+    print("|---|---|---|---|---|---|---|---|")
+
+    results: dict[tuple[str, str], float] = {}
+    n_bands = X._N_HASHES // X._BAND_W
+    for scale, d in scales:
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_docs = docs.count()
+        n_pk = X._snd_n_pk(n_docs)
+        idx_dir = f"{d}/snd_band_index_{X._SND_ROWS_PER_PK}"
+        if not os.path.isdir(idx_dir):
+            X._snd_build_index(docs, idx_dir, n_pk)
+        touched = (
+            X._snd_band_frame(batch, width=width)
+            .select(
+                F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int").alias("pk")
+            )
+            .distinct()
+            .count()
+        )
+        # cached-mode static side: materialized OUTSIDE the timed window,
+        # exactly like the entry (cache builds once, batches re-shuffle it)
+        static_cached = X._snd_band_frame(docs).cache()
+        static_cached.count()
+        for mode, static in (("pruned", idx_dir), ("cached", static_cached)):
+            best_wall, best_tt = None, None
+            for _ in range(2):
+                t0_ms = time.time() * 1000 - 500
+                t0 = time.time()
+                X._snd_probe_batch(
+                    spark, batch, static, n_pk, width, sink=lambda p: p.count()
+                )
+                wall = time.time() - t0
+                tt = total_task_time_ms(spark, t0_ms) / 1000
+                if best_wall is None or wall < best_wall:
+                    best_wall, best_tt = wall, tt
+            results[(scale, mode)] = best_tt
+            print(
+                f"| {scale} | {n_docs} | {n_docs * n_bands} | {n_pk} | "
+                f"{touched} | {mode} | {best_wall:.2f} | {best_tt:.2f} |"
+            )
+        static_cached.unpersist()
+
+    print("\n## Growth across 10x index jumps (per-batch task time)\n")
+    print("| jump | pruned | cached | gate (pruned) |")
+    print("|---|---|---|---|")
+    failures = 0
+    jumps = [(scales[i][0], scales[i + 1][0]) for i in range(len(scales) - 1)]
+    for lo, hi in jumps:
+        floor = 0.25  # s: below this, fixed overhead dominates the ratio
+        pg = results[(hi, "pruned")] / max(results[(lo, "pruned")], floor)
+        cg = results[(hi, "cached")] / max(results[(lo, "cached")], floor)
+        bad = pg > SUBLINEAR_GATE
+        failures += int(bad)
+        print(
+            f"| {lo} -> {hi} | {pg:.2f}x | {cg:.2f}x | "
+            f"{'FAIL: SUPERLINEAR (> ' + str(SUBLINEAR_GATE) + 'x)' if bad else 'pass'} |"
+        )
+    print(
+        "\nPruned per-batch cost must stay ~flat per 10x index jump "
+        f"(gate {SUBLINEAR_GATE}x); the cached baseline is EXPECTED to grow "
+        "~linearly — that is the reason the hybrid switches modes at "
+        f"{X._SND_CACHED_MAX_BAND_ROWS} band rows."
+    )
+    print(f"\nRESULT: {'FAIL' if failures else 'PASS'} ({failures} gate failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -232,3 +232,130 @@ def two_level_cells(
         .filter(F.col("__r") <= fine_probe)
     )
     return ranked.select(id_col, vec_col, "vnrm", "pivot_id", *extra, *carry)
+
+
+def two_level_cells_learned(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
+    coarse_probe: int = 1,
+    fine_probe: int = 1,
+    cell: int = CELL,
+    kmin: int = KMIN,
+    rank_col: str | None = None,
+    seed: int = 42,
+    sample_cap: int = 100_000,
+    max_iter: int = 10,
+) -> DataFrame:
+    """`two_level_cells` with a LEARNED coarse level (VERDICT r8 #3):
+    coarse = sampled pyspark.ml KMeans centroids, fine = the same
+    hash-modulo pivot docs. Same output contract and cost shape as the
+    hash-coarse variant — assignment N * (n_coarse + ~sqrt(k)), bounded
+    coarse broadcast — but on CLUSTERED corpora the learned centroids
+    route vectors to the coarse cell that actually holds their neighbors,
+    where ~sqrt(k) random pivot docs cover only ~(1 - 1/e) of the
+    clusters (tests/test_cells.py measures the recall lift on a clustered
+    fixture; the uniform corpus caps both variants at chance).
+
+    NOT oracle-exact (k-means|| is not SQL-reproducible): use
+    two_level_cells where the exact gate applies; this is the recall
+    upgrade for production corpora, consumed by recall-gated entries and
+    tests. Training runs over an md5-deterministic sample of at most
+    ~sample_cap rows (k-means|| init + Lloyd iterations are linear in the
+    sample, not the corpus); centroids return to the driver as
+    n_coarse x dim doubles — the same bounded footprint as the hash
+    variant's coarse broadcast.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    stats = emb.agg(F.count(F.lit(1)).alias("n")).first()
+    n = int(stats["n"] or 0)
+    if n == 0:
+        return two_level_cells(
+            emb, id_col, vec_col, carry, coarse_probe, fine_probe, cell, kmin,
+            rank_col,
+        )
+    fmod, _ = two_level_params(n, cell, kmin)
+    k_exp = math.ceil(n / fmod)
+    n_coarse = max(2, int(math.floor(math.sqrt(k_exp))))
+    ph = md5_bucket_expr(F.col(id_col).cast("string"), prefix=PIVOT_SALT)
+
+    # fine pivots: hash-modulo, exactly as the exact-gated variant (the
+    # sentinel row is unnecessary here — the learned path has no oracle to
+    # stay exact against, and KMeans needs >= 1 row anyway; an empty fine
+    # set can only occur with ~e^-k_exp probability, guarded below)
+    fine = emb.filter(ph % fmod == 0).select(
+        F.col(id_col).alias("pivot_id"),
+        F.col(vec_col).alias("pe"),
+        l2_norm_expr(vec_col).alias("pnrm"),
+    )
+    if fine.limit(1).count() == 0:  # measure-zero hash degeneracy
+        return two_level_cells(
+            emb, id_col, vec_col, carry, coarse_probe, fine_probe, cell, kmin,
+            rank_col,
+        )
+
+    # train on an md5-deterministic sample (bounded training cost); unit
+    # vectors so euclidean cells align with cosine neighborhoods
+    smod = max(1, n // sample_cap)
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm_expr(F.col(vec_col))
+    )
+    sample = emb.filter(
+        F.pmod(md5_bucket_expr(F.col(id_col).cast("string"), prefix="kmr:"), F.lit(smod))
+        == 0
+    ).select(array_to_vector(unit).alias("fv"))
+    model = KMeans(
+        k=n_coarse, seed=seed, maxIter=max_iter, featuresCol="fv",
+        predictionCol="cell",
+    ).fit(sample)
+    spark = emb.sparkSession
+    coarse = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+            "cpid int, cpe array<double>",
+        ).withColumn("cpnrm", l2_norm_expr("cpe"))
+    )
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    vec = emb.repartition(n_parts, id_col).withColumn("vnrm", l2_norm_expr(vec_col))
+    sim_vf = dot_expr(vec_col, "pe") / (F.col("vnrm") * F.col("pnrm"))
+    w_vf = Window.partitionBy(id_col).orderBy(F.desc(sim_vf), F.asc("pivot_id"))
+    extra = [F.col("__r").alias(rank_col)] if rank_col else []
+
+    # fine pivot -> nearest learned centroid
+    sim_fc = dot_expr("pe", "cpe") / (F.col("pnrm") * F.col("cpnrm"))
+    w_fc = Window.partitionBy("pivot_id").orderBy(F.desc(sim_fc), F.asc("cpid"))
+    f2c = (
+        fine.crossJoin(coarse)
+        .withColumn("__r", F.row_number().over(w_fc))
+        .filter(F.col("__r") == 1)
+        .select("pivot_id", "pe", "pnrm", F.col("cpid").alias("coarse_id"))
+    )
+
+    # vector -> coarse_probe nearest centroids
+    sim_vc = dot_expr(vec_col, "cpe") / (F.col("vnrm") * F.col("cpnrm"))
+    w_vc = Window.partitionBy(id_col).orderBy(F.desc(sim_vc), F.asc("cpid"))
+    v2c = (
+        vec.crossJoin(coarse)
+        .withColumn("__r", F.row_number().over(w_vc))
+        .filter(F.col("__r") <= coarse_probe)
+        .select(id_col, vec_col, "vnrm", *carry, F.col("cpid").alias("coarse_id"))
+    )
+
+    # vector -> fine within probed coarse cell(s): identical salted
+    # equi-join shape (and AQE-exempt width pins) as two_level_cells
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(SALT_FAN)).cast("int")
+    fan = spark.range(SALT_FAN).select(F.col("id").cast("int").alias("__salt"))
+    probe = v2c.withColumn("__salt", salt).repartition(
+        n_parts, "coarse_id", "__salt"
+    )
+    f_rep = f2c.crossJoin(fan).repartition(n_parts, "coarse_id", "__salt")
+    ranked = (
+        probe.join(f_rep, ["coarse_id", "__salt"])
+        .withColumn("__r", F.row_number().over(w_vf))
+        .filter(F.col("__r") <= fine_probe)
+    )
+    return ranked.select(id_col, vec_col, "vnrm", "pivot_id", *extra, *carry)

@@ -10248,6 +10248,236 @@ def sketch_hll_union(spark, sf_dir):
     )
 
 
+# ------------------------- learned vs hash coarse quantizer recall (r9)
+
+# VERDICT r8 #3: the uniform embeddings corpus caps ANY blocking ANN at
+# ~chance recall (measured, tests/test_cells.py), so the recall story for
+# a LEARNED coarse quantizer needs clustered data. The fixture is derived
+# DETERMINISTICALLY from the embeddings table inside the query (both
+# engines compute identical doubles, so the exact gate still applies):
+# 16 cluster centroids = the vec_id<16 rows; every vector's cluster =
+# md5('clx:'|vec_id) % 16; clustered vector = centroid + 0.25*own vector
+# (within-cluster cosine ~0.94, cross ~0). On this fixture the entry runs
+# BOTH coarse quantizers at an EQUAL probe budget (8 cells, nprobe 2 —
+# deliberately FEWER cells than clusters, the production regime where the
+# codebook is smaller than the data's mode count):
+#   hash  — md5-chosen pivot docs (deterministic => the oracle reproduces
+#           its recall@5 as a VALUE under the exact gate),
+#   learned — pyspark.ml KMeans(8) over L2-normalized vectors
+#           (ivf_kmeans_topk; k-means|| is not SQL-reproducible, so its
+#           recall feeds two self-validating BOOLEANS the oracle asserts
+#           TRUE — the similarity_ivf_kmeans precedent).
+# Why hash loses here: 8 pivot DOCS cover ~7 of 16 clusters (each pivot
+# is one sample), so queries in the ~9 uncovered clusters rank
+# near-orthogonal pivots by noise and probe the wrong cells; 8 LEARNED
+# centers adapt by merging ~2 clusters per cell, so every cluster lives
+# INSIDE some cell and its queries route correctly. (At nprobe 2 the gap
+# closes — dot-product blocking is itself LSH-like: a query and its true
+# neighbors share the noise component that drives pivot ranking, so even
+# uncovered-cluster queries recover neighbors from a second probe;
+# measured hash recall 0.88-0.975. nprobe 1 isolates the ROUTING
+# question.) Measured recall@5, deterministic per SF (nprobe=1): hash
+# 0.76 / 0.72 / 0.875 at sf0.001/0.01/0.1 vs learned 1.0 at all three —
+# gated at learned >= 0.95 and learned >= hash + 0.05. Scale shape:
+# centroids/pivots broadcast (8 rows), assignment is one map-only pass,
+# exact truth is queries x corpus with the tiny query side broadcast.
+_LCR_EPS = 0.25
+_LCR_CLUSTERS = 16  # true clusters in the fixture
+_LCR_CELLS = 8      # quantizer budget (cells) — both variants get the same
+_LCR_NPROBE = 1
+
+_LCR_FX = f"""
+SELECT e.vec_id,
+       LIST_TRANSFORM(GENERATE_SERIES(1, LEN(c.embedding)),
+         i -> CAST(c.embedding[i] AS DOUBLE)
+              + {_LCR_EPS} * CAST(e.embedding[i] AS DOUBLE)) AS ce
+FROM embeddings e
+JOIN embeddings c
+  ON c.vec_id = {_sql_h48("CAST(e.vec_id AS VARCHAR)", "'clx:'")} % {_LCR_CLUSTERS}
+"""
+
+_LCR_DOT = _EMB_DUP_DOT
+_LCR_NRM = _EMB_DUP_NRM
+
+_LCR_SQL = f"""
+WITH fx AS ({_LCR_FX}),
+qs AS (SELECT vec_id AS qid, ce AS qe FROM fx WHERE vec_id % 50 = 7),
+allp AS (
+  SELECT q.qid, f.vec_id AS cid,
+         {_LCR_DOT.format(a="q.qe", b="f.ce")}
+           / ({_LCR_NRM.format(a="q.qe")} * {_LCR_NRM.format(a="f.ce")}) AS cos
+  FROM qs q, fx f WHERE f.vec_id <> q.qid
+),
+ex5 AS (
+  SELECT qid, cid, cos, rnk FROM (
+    SELECT qid, cid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+    FROM allp
+  ) WHERE rnk <= 5
+),
+pivots AS (
+  SELECT vec_id AS pivot_id, ce AS pe FROM fx
+  ORDER BY MD5('pv:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {_LCR_CELLS}
+),
+scored AS (
+  SELECT f.vec_id, f.ce, p.pivot_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.vec_id
+           ORDER BY {_LCR_DOT.format(a="f.ce", b="p.pe")}
+                    / ({_LCR_NRM.format(a="f.ce")} * {_LCR_NRM.format(a="p.pe")}) DESC,
+                    p.pivot_id
+         ) AS prnk
+  FROM fx f, pivots p
+),
+cells AS (SELECT vec_id, ce, pivot_id FROM scored WHERE prnk = 1),
+qprobe AS (
+  SELECT s.vec_id AS qid, s.ce AS qe, s.pivot_id
+  FROM scored s JOIN qs q ON q.qid = s.vec_id
+  WHERE s.prnk <= {_LCR_NPROBE}
+),
+h5 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rnk
+    FROM (
+      SELECT DISTINCT q.qid, c.vec_id AS cid,
+             {_LCR_DOT.format(a="q.qe", b="c.ce")}
+               / ({_LCR_NRM.format(a="q.qe")} * {_LCR_NRM.format(a="c.ce")}) AS cos
+      FROM qprobe q JOIN cells c USING (pivot_id)
+      WHERE c.vec_id <> q.qid
+    )
+  ) WHERE rnk <= 5
+),
+hrec AS (
+  SELECT SUM(CASE WHEN h.cid IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS hr
+  FROM ex5 e LEFT JOIN h5 h ON h.qid = e.qid AND h.cid = e.cid
+)
+SELECT e.qid, e.cid,
+       ROUND(ROUND(e.cos, 8), 4) AS cosine,
+       CAST(e.rnk AS BIGINT) AS rnk,
+       ROUND(ROUND(r.hr, 8), 4) AS hash_recall,
+       TRUE AS learned_ok,
+       TRUE AS lift_ok
+FROM ex5 e CROSS JOIN hrec r
+ORDER BY e.qid, e.rnk
+"""
+
+
+@register(
+    "similarity_learned_coarse_recall",
+    _LCR_SQL,
+    "learned vs hash coarse quantizer at EQUAL probe budget (8 cells, "
+    "nprobe 1) on a deterministic CLUSTERED fixture derived from the "
+    "embeddings table (16 clusters: centroid + 0.25*own): output = exact "
+    "top-5 truth + the hash quantizer's recall@5 as an exact-gated VALUE "
+    "+ two self-validating booleans (KMeans recall@5 >= 0.95 and >= hash "
+    "+ 0.05) the oracle asserts TRUE",
+)
+def similarity_learned_coarse_recall(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    from cassabon_spark.operators.similarity import ivf_kmeans_topk
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    cent = emb.filter(F.col("vec_id") < _LCR_CLUSTERS).select(
+        F.col("vec_id").alias("cl"), F.col("embedding").alias("cvec")
+    )
+    cl = F.pmod(
+        md5_bucket_expr(F.col("vec_id").cast("string"), prefix="clx:"),
+        F.lit(_LCR_CLUSTERS),
+    )
+    fx = (
+        emb.withColumn("cl", cl)
+        .join(F.broadcast(cent), "cl")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "cvec",
+                "embedding",
+                lambda c, e: c.cast("double") + F.lit(_LCR_EPS) * e.cast("double"),
+            ).alias("ce"),
+        )
+    )
+    qs = fx.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("ce").alias("qe")
+    )
+    # exact truth: corpus x broadcast queries
+    simq = dot_expr("qe", "ce") / (l2_norm_expr(F.col("qe")) * l2_norm_expr(F.col("ce")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    ex5 = (
+        fx.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), simq.alias("cos"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    # hash-coarse at the same budget: md5-chosen pivot docs
+    pivots = (
+        fx.orderBy(F.md5(F.concat(F.lit("pv:"), F.col("vec_id").cast("string"))), "vec_id")
+        .limit(_LCR_CELLS)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("ce").alias("pe"))
+    )
+    simp = dot_expr("ce", "pe") / (l2_norm_expr(F.col("ce")) * l2_norm_expr(F.col("pe")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(simp), F.asc("pivot_id"))
+    scored = fx.crossJoin(F.broadcast(pivots)).withColumn(
+        "prnk", F.row_number().over(w_assign)
+    )
+    cells_h = scored.filter(F.col("prnk") == 1).select("vec_id", "ce", "pivot_id")
+    qprobe = (
+        scored.join(F.broadcast(qs.select("qid")), scored.vec_id == F.col("qid"))
+        .filter(F.col("prnk") <= _LCR_NPROBE)
+        .select("qid", F.col("ce").alias("qe"), "pivot_id")
+    )
+    simh = dot_expr("qe", "ce") / (l2_norm_expr(F.col("qe")) * l2_norm_expr(F.col("ce")))
+    h5 = (
+        cells_h.join(F.broadcast(qprobe), "pivot_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", F.col("vec_id").alias("cid"), simh.alias("cos"))
+        .distinct()
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    # learned coarse at the same budget: pyspark.ml KMeans over the fixture
+    l5 = ivf_kmeans_topk(
+        fx.select("vec_id", F.col("ce").alias("embedding")),
+        qs.select(F.col("qid").alias("vec_id"), F.col("qe").alias("embedding")),
+        k=5,
+        n_cells=_LCR_CELLS,
+        nprobe=_LCR_NPROBE,
+    ).select("qid", "cid")
+    nt = F.count(F.lit(1))
+    hrec = (
+        ex5.join(h5, ["qid", "cid"], "left_semi").agg(nt.alias("__nh"))
+        .crossJoin(ex5.agg(nt.alias("__n")))
+        .select((F.col("__nh") / F.col("__n")).alias("hr"))
+    )
+    lrec = (
+        ex5.join(l5, ["qid", "cid"], "left_semi").agg(nt.alias("__nl"))
+        .crossJoin(ex5.agg(nt.alias("__n")))
+        .select((F.col("__nl") / F.col("__n")).alias("lr"))
+    )
+    gates = hrec.crossJoin(lrec).select(
+        "hr",
+        (F.col("lr") >= F.lit(0.95)).alias("learned_ok"),
+        (F.col("lr") >= F.col("hr") + F.lit(0.05)).alias("lift_ok"),
+    )
+    return (
+        ex5.crossJoin(F.broadcast(gates))
+        .select(
+            "qid",
+            "cid",
+            R(F.col("cos"), 4).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            R(F.col("hr"), 4).alias("hash_recall"),
+            "learned_ok",
+            "lift_ok",
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
 # --------------------------------- dedup threshold ablation (r9)
 
 # The threshold-choice artifact a data-curation run produces before

@@ -215,6 +215,22 @@ def kmv_bottom_k(
     )
 
 
+def kmv_jaccard_cols(bk_a, bk_b, k: int = 128):
+    """(sketch_k, overlap, est_jaccard) Columns from two KMV bottom-k
+    arrays (Beyer et al. 2007): the union's bottom-k is a uniform sample
+    of the union hash space, so |B_k(A ∪ B) ∩ A ∩ B| / k estimates
+    J(A, B) — row-local array expressions, no join work beyond bringing
+    the two sketch rows together. Fully deterministic (md5 hash space):
+    the estimate itself can sit under an exact cross-engine gate."""
+    bku = F.slice(F.array_sort(F.array_distinct(F.concat(bk_a, bk_b))), 1, k)
+    overlap = F.size(F.array_intersect(F.array_intersect(bku, bk_a), bk_b))
+    return (
+        F.size(bku).alias("sketch_k"),
+        overlap.alias("overlap"),
+        (overlap / F.size(bku)).alias("est_jaccard"),
+    )
+
+
 def sketch_quantiles_sql(
     source_sql: str,
     keys: list[str],

@@ -4985,6 +4985,130 @@ def sketch_kmv_distinct(spark, sf_dir):
     )
 
 
+# KMV pairwise Jaccard (r9): cross-source/-language content overlap from
+# the SAME per-shard bottom-k sketches sketch_kmv_distinct maintains —
+# the production question ("how much does crawl A overlap crawl B?")
+# answered from k hashes per shard, never re-touching raw shingles
+# (Beyer et al. 2007: |B_k(A∪B) ∩ A ∩ B| / k). Per lang pair: union
+# sketch + overlap + estimate are ROW-LOCAL array expressions on the two
+# sketch rows (operators/sketch.py::kmv_jaccard_cols); the true-Jaccard
+# arm (a shingle-level self-join) exists ONLY for the gate, so the
+# estimate's error is a reported, gate-checked number. Scale shape:
+# sketch build is the KMV two-phase agg (linear); the pair stage is
+# |shards|^2 rows of k ints — trivial at any corpus size since shard
+# count (languages/sources/crawls) doesn't scale with bytes.
+_KMV_JACC_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+dl AS (SELECT DISTINCT lang, s FROM sh),
+dh AS (SELECT lang, {_sql_h48('s')} AS h FROM dl),
+bk AS (
+  SELECT lang, LIST(h ORDER BY h) AS bk FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM dh
+  ) WHERE r <= {_KMV_K} GROUP BY lang
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         LIST_SORT(LIST_DISTINCT(LIST_CONCAT(a.bk, b.bk)))[1:{_KMV_K}] AS bku,
+         a.bk AS bka, b.bk AS bkb
+  FROM bk a JOIN bk b ON a.lang < b.lang
+),
+est AS (
+  SELECT lang_a, lang_b,
+         LEN(bku) AS sketch_k,
+         LEN(LIST_INTERSECT(LIST_INTERSECT(bku, bka), bkb)) AS overlap
+  FROM pairs
+),
+sizes AS (SELECT lang, COUNT(*) AS n FROM dl GROUP BY lang),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS i
+  FROM dl a JOIN dl b ON a.s = b.s AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT e.lang_a, e.lang_b,
+       CAST(e.sketch_k AS BIGINT) AS sketch_k,
+       CAST(e.overlap AS BIGINT) AS overlap,
+       ROUND(ROUND(e.overlap * 1.0 / e.sketch_k, 8), 4) AS est_jaccard,
+       ROUND(ROUND(i.i * 1.0 / (x.n + y.n - i.i), 8), 4) AS true_jaccard,
+       ROUND(ROUND(e.overlap * 1.0 / e.sketch_k
+                   - i.i * 1.0 / (x.n + y.n - i.i), 8), 4) AS err
+FROM est e
+JOIN inter i ON i.lang_a = e.lang_a AND i.lang_b = e.lang_b
+JOIN sizes x ON x.lang = e.lang_a
+JOIN sizes y ON y.lang = e.lang_b
+ORDER BY e.lang_a, e.lang_b
+"""
+
+
+@register(
+    "sketch_kmv_jaccard",
+    _KMV_JACC_SQL,
+    "pairwise cross-language shingle-set Jaccard estimated from the "
+    "per-lang KMV bottom-k sketches alone (|B_k(A∪B) ∩ A ∩ B| / k, "
+    "Beyer et al. 2007, row-local array exprs) — deterministic md5 hash "
+    "space, so the ESTIMATE is exact-gated next to the true Jaccard and "
+    "its error is a reported number",
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.sketch import kmv_jaccard_cols
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    dl = (
+        toks.select(
+            "lang",
+            F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+        )
+        .distinct()
+        .cache()
+    )
+    dh = dl.select("lang", md5_bucket_expr(F.col("s")).alias("h"))
+    bk = _kmv_bottom_k(dh, ["lang"])
+    a = bk.select(F.col("lang").alias("lang_a"), F.col("bk").alias("bka"))
+    b = bk.select(F.col("lang").alias("lang_b"), F.col("bk").alias("bkb"))
+    est = (
+        a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            *kmv_jaccard_cols(F.col("bka"), F.col("bkb"), k=_KMV_K),
+        )
+    )
+    sizes = dl.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    x = dl.select(F.col("lang").alias("lang_a"), "s")
+    y = dl.select(F.col("lang").alias("lang_b"), "s")
+    inter = (
+        x.join(y, ["s"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    tj = F.col("i") / (F.col("xn") + F.col("yn") - F.col("i"))
+    ej = F.col("overlap") / F.col("sketch_k")
+    return (
+        est.join(inter, ["lang_a", "lang_b"])
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("xn"))),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("yn"))),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("sketch_k").cast("bigint").alias("sketch_k"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+            R(ej, 4).alias("est_jaccard"),
+            R(tj, 4).alias("true_jaccard"),
+            R(ej - tj, 4).alias("err"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
 # ------------------------------------------- RAG chunking + passage dedup (r3)
 
 # Overlapping token-window chunking (the RAG / context-window preprocessing

@@ -3779,19 +3779,12 @@ def _snd_build_index(docs, idx_dir: str, n_pk: int) -> None:
     bands.repartition(n_write, "pk").write.mode("overwrite").partitionBy("pk").parquet(idx_dir)
 
 
-def _snd_probe_batch(spark, batch_df, static, n_pk: int, width: int, sink) -> None:
-    """Join ONE arrival batch against the static band index and feed the
-    verified pairs to `sink`.
-
-    `static` selects the hybrid side (VERDICT r8 #1 — the r4-r8 shape
-    ALWAYS re-shuffled the full cached band frame into the join every
+def _snd_probe_batch(spark, batch_df, static: str, n_pk: int, width: int, sink) -> None:
+    """Join ONE arrival batch against the pk-partitioned on-disk band
+    index at `static` (the PRUNED scale path, VERDICT r8 #1 — the r4-r8
+    shape re-shuffled the full cached band frame into the join every
     microbatch, per-batch cost linear in index size):
 
-    - a DataFrame: the cached band frame (small-index fast path). The
-      per-batch join shuffles it, but the whole index is below
-      _SND_CACHED_MAX_BAND_ROWS so that shuffle is bounded by a constant,
-      not corpus-scaled.
-    - an idx_dir str: the pk-partitioned on-disk index (scale path).
       1. band the arrivals (explicit width repartition — a column-only
          one gets AQE-coalesced to 1 task on KB-sized microbatches,
          measured);
@@ -3802,62 +3795,72 @@ def _snd_probe_batch(spark, batch_df, static, n_pk: int, width: int, sink) -> No
          min(index, |pks| x _SND_ROWS_PER_PK) rows — flat as the index
          grows past batch_keys x rows_per_pk (measured flat across a
          1x/10x/100x index, SCALE_r09.md);
-      4. shuffle-join arrivals vs the PRUNED slice. Both sides are fresh
-         exchanges, so AQE skew-join still splits hot LSH buckets — the
-         r8-measured reason a cached co-partitioned build side was 40x
-         worse (SCALE_r08.md) and why this shape prunes at the SCAN, not
-         at the exchange.
+      4. shuffle-join arrivals vs the PRUNED slice (_snd_pairs). Both
+         sides are fresh exchanges, so AQE skew-join still splits hot LSH
+         buckets — the r8-measured reason a cached co-partitioned build
+         side was 40x worse (SCALE_r08.md) and why this shape prunes at
+         the SCAN, not at the exchange.
+
+    The cached small-index mode never comes through here: it stays a
+    DECLARATIVE stream-static join on the same _snd_pairs transform (no
+    per-batch re-plan/collect overhead — measured +11% on the sf0.1 bench
+    when the cached mode was routed through foreachBatch too).
     """
-    pruned = isinstance(static, str)
-    arr = _snd_band_frame(batch_df, width=width)
-    if pruned:
-        arr = arr.withColumn(
-            "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
-        )
+    arr = (
+        _snd_band_frame(batch_df, width=width)
+        .withColumn("pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int"))
         # persisted so the pk-probe job and the pair job share one
         # signature compute over the (bounded) batch
-        arr.persist()
+        .persist()
+    )
     try:
-        if pruned:
-            pks = [r[0] for r in arr.select("pk").distinct().collect()]
-            if not pks:
-                return
-            static = spark.read.parquet(static).filter(F.col("pk").isin(pks))
-        a, b = arr.alias("a"), static.alias("b")
-        # pair once: only the FIRST shared band emits (row-local predicate
-        # — no distinct over the pair stream, same dedup as the batch entry)
-        n_bands = _N_HASHES // _BAND_W
-        first_match = F.lit(False)
-        earlier_all_differ = F.lit(True)
-        for bb in range(n_bands):
-            first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
-            earlier_all_differ = earlier_all_differ & (
-                F.element_at(F.col("a.bks"), bb + 1)
-                != F.element_at(F.col("b.bks"), bb + 1)
-            )
-        joined = a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            # arrivals pair only against STRICTLY older corpus ids: each
-            # pair reported exactly once, when its newer member arrives
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        ).filter(first_match)
-        inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
-        union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
-        jac = inter / union_n
-        sink(
-            joined.filter(jac >= 0.7)  # raw-ratio threshold, like the oracle
-            .select(
-                F.col("b.doc_id").alias("d1"),
-                F.col("a.doc_id").alias("d2"),
-                F.round(jac, 4).alias("jaccard"),
-            )
-        )
+        pks = [r[0] for r in arr.select("pk").distinct().collect()]
+        if not pks:
+            return
+        pruned = spark.read.parquet(static).filter(F.col("pk").isin(pks))
+        sink(_snd_pairs(arr, pruned))
     finally:
-        if pruned:
-            arr.unpersist()
+        arr.unpersist()
+
+
+def _snd_pairs(arr, static):
+    """(d1, d2, jaccard) verified near-dup pairs of arrival band rows vs
+    static-index band rows — shared by BOTH hybrid modes (the declarative
+    cached stream applies it to the streaming frame; the pruned
+    foreachBatch applies it per batch). Stateless and row-local given its
+    two inputs, so microbatch-slicing invariance holds either way."""
+    a, b = arr.alias("a"), static.alias("b")
+    # pair once: only the FIRST shared band emits (row-local predicate
+    # — no distinct over the pair stream, same dedup as the batch entry)
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1)
+            != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        # arrivals pair only against STRICTLY older corpus ids: each
+        # pair reported exactly once, when its newer member arrives
+        & (F.col("a.doc_id") > F.col("b.doc_id")),
+    ).filter(first_match)
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
+    jac = inter / union_n
+    return (
+        joined.filter(jac >= 0.7)  # raw-ratio threshold, like the oracle
+        .select(
+            F.col("b.doc_id").alias("d1"),
+            F.col("a.doc_id").alias("d2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
 
 
 @register(
@@ -3954,39 +3957,58 @@ def streaming_neardup_q(spark, sf_dir):
         )
     )
     width = spark.sparkContext.defaultParallelism
-
-    # foreachBatch, not a declarative stream-static join: the pk pruning
-    # predicate DEPENDS on each batch's arrival keys, which only exist at
-    # batch time (the documented Structured Streaming tool for per-batch
-    # stream-static optimization). The per-batch pair computation itself
-    # is deterministic and row-local given the batch — microbatch slicing
-    # invariance (the r4 harness property) is untouched. The parquet sink
-    # stays: append-mode executor-side writes absorb dup-heavy pair storms
-    # the memory sink could not (observed TaskResultLost at 10x stress).
     out_dir = os.path.join(tmp, f"snd_{uuid.uuid4().hex[:8]}")
-    # pre-create the sink with the pair schema so a zero-pair corpus still
-    # reads back as an empty typed frame (the old parquet streaming sink
-    # created its directory unconditionally; foreachBatch does not)
-    spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
 
-    def _process(batch_df, batch_id):
-        _snd_probe_batch(
-            spark,
-            batch_df,
-            static,
-            n_pk,
-            width,
-            sink=lambda pairs: pairs.write.mode("append").parquet(out_dir),
+    # The parquet sink in both modes: append-mode executor-side writes
+    # absorb dup-heavy pair storms the memory sink could not (observed
+    # TaskResultLost at 10x stress).
+    if mode == "cached":
+        # DECLARATIVE stream-static join (the r4-r8 shape, kept verbatim
+        # for the small-index mode): one incremental plan reused across
+        # microbatches — routing this mode through foreachBatch too
+        # measured +11% on the sf0.1 bench (per-batch re-plan + the pk
+        # collect, which buys nothing when the index is cache-small).
+        pairs = _snd_pairs(_snd_band_frame(stream, width=width), static)
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", out_dir + "_ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+    else:
+        # foreachBatch for the PRUNED scale path: the pk pruning predicate
+        # DEPENDS on each batch's arrival keys, which only exist at batch
+        # time (the documented Structured Streaming tool for per-batch
+        # stream-static optimization). The per-batch pair computation is
+        # deterministic and row-local given the batch — microbatch slicing
+        # invariance (the r4 harness property) is untouched, and
+        # tests/test_snd_modes.py pins it.
+        # pre-create the sink with the pair schema so a zero-pair corpus
+        # still reads back as an empty typed frame (the declarative
+        # parquet sink creates its directory unconditionally; foreachBatch
+        # does not)
+        spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double").write.mode(
+            "overwrite"
+        ).parquet(out_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", out_dir + "_ck")
-        .trigger(availableNow=True)
-        .start()
-    )
+        def _process(batch_df, batch_id):
+            _snd_probe_batch(
+                spark,
+                batch_df,
+                static,
+                n_pk,
+                width,
+                sink=lambda p: p.write.mode("append").parquet(out_dir),
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", out_dir + "_ck")
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         _await_or_raise(q, "streaming_neardup_lsh")
     finally:

@@ -165,14 +165,23 @@ def main():
         # exactly like the entry (cache builds once, batches re-shuffle it)
         static_cached = X._snd_band_frame(docs).cache()
         static_cached.count()
-        for mode, static in (("pruned", idx_dir), ("cached", static_cached)):
+        def _run_pruned():
+            X._snd_probe_batch(
+                spark, batch, idx_dir, n_pk, width, sink=lambda p: p.count()
+            )
+
+        def _run_cached():
+            # the entry's cached mode is a declarative stream-static join
+            # on the same _snd_pairs transform; per-batch its cost is one
+            # application of _snd_pairs against the cached frame
+            X._snd_pairs(X._snd_band_frame(batch, width=width), static_cached).count()
+
+        for mode, run in (("pruned", _run_pruned), ("cached", _run_cached)):
             best_wall, best_tt = None, None
             for _ in range(2):
                 t0_ms = time.time() * 1000 - 500
                 t0 = time.time()
-                X._snd_probe_batch(
-                    spark, batch, static, n_pk, width, sink=lambda p: p.count()
-                )
+                run()
                 wall = time.time() - t0
                 tt = total_task_time_ms(spark, t0_ms) / 1000
                 if best_wall is None or wall < best_wall:

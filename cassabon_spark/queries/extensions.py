@@ -3779,6 +3779,31 @@ def _snd_build_index(docs, idx_dir: str, n_pk: int) -> None:
     bands.repartition(n_write, "pk").write.mode("overwrite").partitionBy("pk").parquet(idx_dir)
 
 
+def _snd_append_index(docs, idx_dir: str, n_pk: int) -> None:
+    """INCREMENTAL index maintenance — the production loop's second half
+    (probe, then absorb): append a processed batch's band rows to the
+    pk-partitioned index so the NEXT drop probes against them. Dynamic
+    partition append touches only the pk directories the batch's band
+    keys hash into (cost bounded by the batch, never the index); n_pk is
+    fixed at index creation — rows_per_pk drifts up as the corpus grows,
+    which is the standard fixed-bucket-count trade (re-bucket offline
+    when drift matters, exactly like bucketed-table maintenance).
+    tests/test_snd_modes.py pins build(A) + append(B) == build(A ∪ B) in
+    pair output and that the append job writes only the batch's
+    partitions."""
+    width = docs.sparkSession.sparkContext.defaultParallelism
+    bands = _snd_band_frame(docs, width=width).withColumn(
+        "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
+    )
+    n_write = min(n_pk, 8 * width)
+    (
+        bands.repartition(n_write, "pk")
+        .write.mode("append")
+        .partitionBy("pk")
+        .parquet(idx_dir)
+    )
+
+
 def _snd_probe_batch(spark, batch_df, static: str, n_pk: int, width: int, sink) -> None:
     """Join ONE arrival batch against the pk-partitioned on-disk band
     index at `static` (the PRUNED scale path, VERDICT r8 #1 — the r4-r8

@@ -79,6 +79,62 @@ def test_pruned_slicing_invariance(spark, forced_mode):
     assert results[0] == results[1] and len(results[0]) > 0
 
 
+def test_incremental_index_append(spark, tmp_path):
+    # the production loop's second half (probe, then ABSORB): an index
+    # built on corpus A then appended with batch B must probe identically
+    # to an index built on A ∪ B in one shot, and the append must touch
+    # only B's own pk partitions (cost bounded by the batch, not the
+    # index)
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    n_pk = ext._snd_n_pk(docs.count())
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    ext._snd_build_index(a, inc_dir, n_pk)
+    before = {d for d in os.listdir(inc_dir) if d.startswith("pk=")}
+    ext._snd_append_index(b, inc_dir, n_pk)
+    after = {d for d in os.listdir(inc_dir) if d.startswith("pk=")}
+    ext._snd_build_index(docs, full_dir, n_pk)
+
+    # identical index contents (band-row level), not just pair-level
+    cols = ["doc_id", "band", "bkey", "pk"]
+    inc_rows = sorted(map(tuple, spark.read.parquet(inc_dir).select(*cols).collect()))
+    full_rows = sorted(map(tuple, spark.read.parquet(full_dir).select(*cols).collect()))
+    assert inc_rows == full_rows and len(inc_rows) > 0
+
+    # identical probe output for a fresh arrival batch
+    probe = docs.filter(F.col("doc_id") % 7 == 1)
+    width = spark.sparkContext.defaultParallelism
+    out = {}
+    for label, idx in (("inc", inc_dir), ("full", full_dir)):
+        got = []
+        ext._snd_probe_batch(
+            spark, probe, idx, n_pk, width,
+            sink=lambda p: got.extend(tuple(r) for r in p.collect()),
+        )
+        out[label] = sorted(got)
+    assert out["inc"] == out["full"]
+
+    # append touched only B's own pk partitions: every NEW partition dir
+    # must hash from B's band keys, and B's band keys' dirs all exist
+    b_pks = {
+        f"pk={r[0]}"
+        for r in ext._snd_band_frame(b, width=width)
+        .select(F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int").alias("pk"))
+        .distinct()
+        .collect()
+    }
+    assert after - before <= b_pks
+    assert b_pks <= after
+
+
 def test_n_pk_scaling():
     # corpus-scaled partition count: ~constant rows per partition, floor 16
     n_bands = ext._N_HASHES // ext._BAND_W

@@ -164,11 +164,18 @@ def test_cells_empty_frame(spark):
         "pipeline_dedup_cascade",
         "pipeline_training_order",
         "sketch_hll_union",
+        # r9-touched/added entries, same contract
+        "dedup_threshold_ablation",
+        "similarity_learned_coarse_recall",
+        "sketch_kmv_jaccard",
+        "sketch_kmv_distinct",
+        "streaming_neardup_lsh",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):
     # VERDICT r7 #4: the runtime detector as pytest-level CI for entries
-    # touched this round — one cheap action each at sf0.001
+    # touched each round (r8 list + r9 additions) — one cheap action each
+    # at sf0.001
     from cassabon_spark.plans.window_audit import bounded_anchor_windows
     from cassabon_spark.queries import load_registry
 

@@ -4039,6 +4039,14 @@ def streaming_neardup_q(spark, sf_dir):
     finally:
         if mode == "cached":
             static.unpersist()
+        else:
+            # the temp band index is only needed while the stream runs;
+            # the pair sink at out_dir is what the caller reads (lazily),
+            # so reclaim the index bytes here (at sf0.1 it is ~10x the
+            # pair output; per-invocation temp dirs otherwise accumulate)
+            import shutil
+
+            shutil.rmtree(static, ignore_errors=True)
     return spark.read.parquet(out_dir).orderBy("d1", "d2")
 
 

@@ -4050,6 +4050,155 @@ def streaming_neardup_q(spark, sf_dir):
     return spark.read.parquet(out_dir).orderBy("d1", "d2")
 
 
+def _snd_pairs_sym(arr, static):
+    """_snd_pairs for the incremental loop's CROSS-batch probe: the
+    arrival may carry either the smaller or the larger doc_id (arrival
+    order is not id order), so the join admits both directions and the
+    output is canonicalized to (least, greatest). Each unordered pair
+    still emits exactly once: the sides are disjoint populations (this
+    batch vs previously-absorbed docs) and the first-shared-band
+    predicate dedups across bands row-locally."""
+    a, b = arr.alias("a"), static.alias("b")
+    n_bands = _N_HASHES // _BAND_W
+    first_match = F.lit(False)
+    earlier_all_differ = F.lit(True)
+    for bb in range(n_bands):
+        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        earlier_all_differ = earlier_all_differ & (
+            F.element_at(F.col("a.bks"), bb + 1)
+            != F.element_at(F.col("b.bks"), bb + 1)
+        )
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).filter(first_match)
+    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
+    union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
+    jac = inter / union_n
+    return (
+        joined.filter(jac >= 0.7)
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("d1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("d2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "streaming_neardup_incremental",
+    _MINHASH_SQL,  # the full pair set again: the loop must lose nothing
+    "the COMPLETE incremental dedup production loop under the exact gate: "
+    "per microbatch, arrivals pair within the batch, probe the pk-pruned "
+    "band index of everything absorbed so far (scan reads only the "
+    "batch's own pk partitions), then the batch is ABSORBED (dynamic-"
+    "partition append) so the next drop probes it; streaming the whole "
+    "corpus through reproduces dedup_minhash_lsh's pair set exactly",
+)
+def streaming_neardup_incremental_q(spark, sf_dir):
+    """The production shape `streaming_neardup_lsh` (static index) and
+    `dedup_cross_corpus` (one batch, batch-side) each cover half of:
+    every arriving crawl drop is deduped against ALL previously absorbed
+    data and then becomes part of the index. Per batch:
+
+      1. within-batch pairs (`_snd_pairs` on the batch against itself —
+         bounded by the drop size, never the corpus);
+      2. cross pairs vs the absorbed index, pk-pruned to the batch's own
+         band-key partitions (`_snd_pairs_sym`: arrival order is not id
+         order, so both directions, canonicalized least/greatest);
+      3. absorb: append the batch's band rows to their pk partitions
+         (`_snd_append_index` shape — write cost bounded by the batch).
+
+    Each unordered pair emits exactly once, when its later-ARRIVING
+    member arrives (within-batch via the a.doc_id > b.doc_id join, cross
+    via side-disjointness), so streaming the corpus through in ANY batch
+    slicing yields exactly the batch `_MINHASH_SQL` pair set —
+    tests/test_snd_modes.py pins slicing invariance for this entry too.
+    Exactly-once caveat (documented, not hit by the availableNow gate
+    run): a foreachBatch RETRY would re-append the batch's band rows; a
+    production deployment writes the absorb through the snapshot table's
+    atomic commit (sources/snapshot.py) keyed by batch_id instead of raw
+    parquet append."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n_docs = docs.count()
+    n_pk = _snd_n_pk(n_docs)
+    width = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="cassabon_sndi_")
+    idx_dir = os.path.join(tmp, "band_index")
+    out_dir = os.path.join(tmp, f"sndi_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double").write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+
+    lines = docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        ).alias("line")
+    )
+    drop = os.path.join(tmp, "drop")
+    n_files = _SND_DROP_FILES[0] or max(4, -(-n_docs // _SND_DOCS_PER_FILE))
+    lines.repartition(n_files).write.mode("overwrite").text(drop)
+    parts = F.split("value", "\t", 3)
+    stream = (
+        spark.readStream.option(
+            "maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0])
+        )
+        .text(drop)
+        .select(
+            parts[0].cast("bigint").alias("doc_id"),
+            parts[1].alias("lang"),
+            parts[2].alias("text"),
+        )
+    )
+
+    has_index = [False]
+
+    def _process(batch_df, batch_id):
+        arr = (
+            _snd_band_frame(batch_df, width=width)
+            .withColumn("pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int"))
+            .persist()  # one signature compute feeds pairs, probe AND absorb
+        )
+        try:
+            _snd_pairs(arr, arr).write.mode("append").parquet(out_dir)
+            if has_index[0]:
+                pks = [r[0] for r in arr.select("pk").distinct().collect()]
+                if pks:
+                    idx = spark.read.parquet(idx_dir).filter(F.col("pk").isin(pks))
+                    _snd_pairs_sym(arr, idx).write.mode("append").parquet(out_dir)
+            n_write = min(n_pk, 8 * width)
+            (
+                arr.repartition(n_write, "pk")
+                .write.mode("append" if has_index[0] else "overwrite")
+                .partitionBy("pk")
+                .parquet(idx_dir)
+            )
+            has_index[0] = True
+        finally:
+            arr.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", out_dir + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        _await_or_raise(q, "streaming_neardup_incremental")
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    return spark.read.parquet(out_dir).orderBy("d1", "d2")
+
+
 # ---------------------------------------------- snapshot MERGE oracle (r3)
 
 # MERGE (upsert) through the REAL SnapshotTable machinery, under the

@@ -170,6 +170,7 @@ def test_cells_empty_frame(spark):
         "sketch_kmv_jaccard",
         "sketch_kmv_distinct",
         "streaming_neardup_lsh",
+        "streaming_neardup_incremental",
     ],
 )
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):

@@ -79,6 +79,23 @@ def test_pruned_slicing_invariance(spark, forced_mode):
     assert results[0] == results[1] and len(results[0]) > 0
 
 
+def test_incremental_entry_slicing_invariance(spark):
+    # the full probe-then-absorb loop must emit the SAME pair set under
+    # any microbatch slicing (each unordered pair emits exactly once,
+    # when its later-arriving member arrives) — and equal the static-
+    # index entry's set (both reproduce the batch _MINHASH_SQL pairs)
+    results = []
+    for files_per_trigger in (1, 8):
+        ext._STREAM_FILES_PER_TRIGGER[0] = files_per_trigger
+        try:
+            df = load_registry()["streaming_neardup_incremental"].fn(spark, SF)
+            results.append(sorted(tuple(r) for r in df.collect()))
+        finally:
+            ext._STREAM_FILES_PER_TRIGGER[0] = 2
+    assert results[0] == results[1] and len(results[0]) > 0
+    assert results[0] == _pairs(spark)
+
+
 def test_incremental_index_append(spark, tmp_path):
     # the production loop's second half (probe, then ABSORB): an index
     # built on corpus A then appended with batch B must probe identically

@@ -4117,15 +4117,22 @@ def streaming_neardup_incremental_q(spark, sf_dir):
     via side-disjointness), so streaming the corpus through in ANY batch
     slicing yields exactly the batch `_MINHASH_SQL` pair set —
     tests/test_snd_modes.py pins slicing invariance for this entry too.
-    Exactly-once caveat (documented, not hit by the availableNow gate
-    run): a foreachBatch RETRY would re-append the batch's band rows; a
-    production deployment writes the absorb through the snapshot table's
-    atomic commit (sources/snapshot.py) keyed by batch_id instead of raw
-    parquet append."""
+
+    EXACTLY-ONCE: both the pair sink and the index absorb are snapshot-
+    table transactional appends keyed (app, batch_id) — the Delta
+    SetTransaction contract (sources/snapshot.py::append(txn=...)): a
+    foreachBatch RETRY replays as a no-op instead of double-appending
+    band rows (which would duplicate every future pair) or pair rows.
+    The index probe reads through the table's MANIFEST with a partition
+    filter — driver-side file pruning from a few-KB JSON, no directory
+    listing (the 100x wall residual SCALE_r09 measured for the literal
+    pk-directory carrier)."""
     import os
     import shutil
     import tempfile
     import uuid
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
 
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
@@ -4135,9 +4142,9 @@ def streaming_neardup_incremental_q(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="cassabon_sndi_")
     idx_dir = os.path.join(tmp, "band_index")
     out_dir = os.path.join(tmp, f"sndi_{uuid.uuid4().hex[:8]}")
-    spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double").write.mode(
-        "overwrite"
-    ).parquet(out_dir)
+    idx_tbl = SnapshotTable(spark, idx_dir)
+    out_tbl = SnapshotTable(spark, out_dir)
+    app = os.path.basename(out_dir)  # stable across in-run retries
 
     lines = docs.select(
         F.concat_ws(
@@ -4160,8 +4167,6 @@ def streaming_neardup_incremental_q(spark, sf_dir):
         )
     )
 
-    has_index = [False]
-
     def _process(batch_df, batch_id):
         arr = (
             _snd_band_frame(batch_df, width=width)
@@ -4169,20 +4174,29 @@ def streaming_neardup_incremental_q(spark, sf_dir):
             .persist()  # one signature compute feeds pairs, probe AND absorb
         )
         try:
-            _snd_pairs(arr, arr).write.mode("append").parquet(out_dir)
-            if has_index[0]:
-                pks = [r[0] for r in arr.select("pk").distinct().collect()]
+            pairs = _snd_pairs(arr, arr)
+            if idx_tbl.version() is not None:
+                pks = {
+                    str(r[0]) for r in arr.select("pk").distinct().collect()
+                }
                 if pks:
-                    idx = spark.read.parquet(idx_dir).filter(F.col("pk").isin(pks))
-                    _snd_pairs_sym(arr, idx).write.mode("append").parquet(out_dir)
-            n_write = min(n_pk, 8 * width)
-            (
-                arr.repartition(n_write, "pk")
-                .write.mode("append" if has_index[0] else "overwrite")
-                .partitionBy("pk")
-                .parquet(idx_dir)
+                    # manifest-level partition pruning: the probe's file
+                    # list is cut driver-side from the few-KB manifest —
+                    # no FS directory listing at any index size
+                    idx = idx_tbl.read(
+                        partition_filter=lambda p: p.get("pk") in pks
+                    )
+                    pairs = pairs.unionByName(_snd_pairs_sym(arr, idx))
+            out_tbl.append(pairs, txn=(app + ":pairs", int(batch_id)))
+            # cluster the absorb by pk first: a width-partitioned frame
+            # under partitionBy(pk) would write up to width x n_pk small
+            # files PER BATCH (measured 1280 at sf0.1); clustered, each
+            # touched pk lands in ~1 file
+            idx_tbl.append(
+                arr.repartition(min(n_pk, 8 * width), "pk"),
+                partition_cols=("pk",),
+                txn=(app + ":idx", int(batch_id)),
             )
-            has_index[0] = True
         finally:
             arr.unpersist()
 
@@ -4196,7 +4210,9 @@ def streaming_neardup_incremental_q(spark, sf_dir):
         _await_or_raise(q, "streaming_neardup_incremental")
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
-    return spark.read.parquet(out_dir).orderBy("d1", "d2")
+    if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
+        return spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
+    return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
 # ---------------------------------------------- snapshot MERGE oracle (r3)

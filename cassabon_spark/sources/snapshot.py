@@ -309,6 +309,7 @@ class SnapshotTable:
             "committed_at": man.get("committed_at"),
             "schema": man.get("schema"),
             "constraints": man.get("constraints", {}),
+            "txns": man.get("txns", {}),
             "files": files,
         }
 
@@ -336,6 +337,14 @@ class SnapshotTable:
         }
         if "constraints" not in payload and parent is not None:
             payload["constraints"] = self._load(parent).get("constraints", {})
+        # streaming-transaction map (the Delta SetTransaction pattern):
+        # carried forward whole on every commit, like constraints — size is
+        # the number of distinct writer app-ids, so the head manifest
+        # answers "has (app, ver) committed?" in O(1) with no replay
+        if "txns" not in payload and parent is not None:
+            t = self._load(parent).get("txns")
+            if t:
+                payload["txns"] = t
         tmp = Path(self.root, MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json")
         tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
         final = self._manifest_path(next_v)
@@ -573,7 +582,11 @@ class SnapshotTable:
         return out
 
     def append(
-        self, df: DataFrame, partition_cols: tuple[str, ...] = (), max_retries: int = 5
+        self,
+        df: DataFrame,
+        partition_cols: tuple[str, ...] = (),
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Atomic multi-partition append. Data files land first (invisible),
         then one manifest commit flips them live. Losing a commit race is
@@ -583,12 +596,38 @@ class SnapshotTable:
         attempted against (re-validated inside the retry loop when a racing
         add_constraint() changed the set — otherwise the retried append
         would carry an unvalidated constraint forward onto rows it never
-        checked)."""
+        checked).
+
+        `txn=(app_id, version)` makes the append IDEMPOTENT per writer
+        stream (the Delta SetTransaction contract for foreachBatch sinks):
+        if the table has already committed a version >= `version` for
+        `app_id`, the call is a NO-OP returning the current head — a
+        retried streaming microbatch can never double-append. The
+        committed (app_id -> version) map rides every manifest (carried
+        forward like constraints), so the check is one head read."""
+        if txn is not None:
+            head0 = self.version()
+            if (
+                head0 is not None
+                and (self.snapshot(head0).get("txns") or {}).get(txn[0], -1)
+                >= txn[1]
+            ):
+                return head0  # already committed: skip staging entirely
         validated: dict = {}
         new = self._stage(df, partition_cols)
         for _ in range(max_retries):
             head = self.version()
             snap = self.snapshot(head)
+            if (
+                txn is not None
+                and (snap.get("txns") or {}).get(txn[0], -1) >= txn[1]
+            ):
+                # a racer (or an earlier attempt whose commit landed but
+                # whose success we never saw) already owns this txn:
+                # reclaim the invisible staged data files and no-op
+                for f in new:
+                    Path(self.root, f["path"]).unlink(missing_ok=True)
+                return head
             cons = snap.get("constraints") or {}
             fresh = {k: v for k, v in cons.items() if validated.get(k) != v}
             if fresh:
@@ -609,6 +648,8 @@ class SnapshotTable:
                 "remove": [],
                 "schema": stored or df.schema.jsonValue(),
             }
+            if txn is not None:
+                payload["txns"] = {**(snap.get("txns") or {}), txn[0]: txn[1]}
             try:
                 return self._commit(head, payload)
             except CommitConflict:

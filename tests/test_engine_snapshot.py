@@ -314,3 +314,44 @@ def test_zorder_compaction_improves_manifest_pruning(spark, tmp_path):
         .count()
     )
     assert got == rows.filter(F.col("path") == "svc.e.m").count()
+
+
+def test_txn_idempotent_append(spark, tmp_path):
+    # Delta SetTransaction contract (r9): append(txn=(app, v)) is a no-op
+    # when the table already committed version >= v for app — a retried
+    # streaming microbatch can never double-append
+    import os
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "txn"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    v1 = t.append(df, txn=("writer", 0))
+    n1 = t.read().count()
+    files1 = {f["path"] for f in t.files_for()}
+    # replaying the SAME txn version: no-op, no new version, no new files
+    v2 = t.append(df, txn=("writer", 0))
+    assert v2 == v1
+    assert t.read().count() == n1
+    assert {f["path"] for f in t.files_for()} == files1
+    # no orphaned data files left under the root either
+    live = {str(tmp_path / "txn" / f["path"]) for f in t.files_for()}
+    on_disk = {
+        os.path.join(r, fn)
+        for r, _, fns in os.walk(tmp_path / "txn")
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    assert on_disk == live
+    # a HIGHER txn version commits
+    v3 = t.append(df, txn=("writer", 1))
+    assert v3 == v1 + 1
+    assert t.read().count() == 2 * n1
+    # the txn map survives unrelated commits in between (carried forward)
+    t.append(spark.createDataFrame([(9, "z")], "id long, s string"))
+    v5 = t.append(df, txn=("writer", 1))  # still a no-op
+    assert v5 == t.version() and t.read().count() == 2 * n1 + 1
+    # ...and is per-app: a different writer's version 0 commits fine
+    t.append(df, txn=("other", 0))
+    assert t.read().count() == 3 * n1 + 1
+    assert t.snapshot()["txns"] == {"writer": 1, "other": 0}

@@ -176,7 +176,43 @@ def main():
             # application of _snd_pairs against the cached frame
             X._snd_pairs(X._snd_band_frame(batch, width=width), static_cached).count()
 
-        for mode, run in (("pruned", _run_pruned), ("cached", _run_cached)):
+        # snapshot-table carrier (streaming_neardup_incremental's probe
+        # shape): the SAME pk layout, but file pruning happens driver-side
+        # from the few-KB manifest instead of listing pk directories — the
+        # wall-residual fix SCALE_r09 calls for. Build once per scale.
+        from cassabon_spark.sources.snapshot import SnapshotTable
+
+        tbl_dir = f"{d}/snd_band_tbl_{X._SND_ROWS_PER_PK}"
+        tbl = SnapshotTable(spark, tbl_dir)
+        if tbl.version() is None:
+            bands = X._snd_band_frame(docs, width=width).withColumn(
+                "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
+            )
+            tbl.append(
+                bands.repartition(min(n_pk, 8 * width), "pk"),
+                partition_cols=("pk",),
+            )
+
+        def _run_snapshot():
+            arr = (
+                X._snd_band_frame(batch, width=width)
+                .withColumn(
+                    "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
+                )
+                .persist()
+            )
+            try:
+                pks = {str(r[0]) for r in arr.select("pk").distinct().collect()}
+                sl = tbl.read(partition_filter=lambda p: p.get("pk") in pks)
+                X._snd_pairs(arr, sl).count()
+            finally:
+                arr.unpersist()
+
+        for mode, run in (
+            ("pruned", _run_pruned),
+            ("pruned-snap", _run_snapshot),
+            ("cached", _run_cached),
+        ):
             best_wall, best_tt = None, None
             for _ in range(2):
                 t0_ms = time.time() * 1000 - 500
@@ -194,18 +230,19 @@ def main():
         static_cached.unpersist()
 
     print("\n## Growth across 10x index jumps (per-batch task time)\n")
-    print("| jump | pruned | cached | gate (pruned) |")
-    print("|---|---|---|---|")
+    print("| jump | pruned | pruned-snap | cached | gate (pruned) |")
+    print("|---|---|---|---|---|")
     failures = 0
     jumps = [(scales[i][0], scales[i + 1][0]) for i in range(len(scales) - 1)]
     for lo, hi in jumps:
         floor = 0.25  # s: below this, fixed overhead dominates the ratio
         pg = results[(hi, "pruned")] / max(results[(lo, "pruned")], floor)
+        sg = results[(hi, "pruned-snap")] / max(results[(lo, "pruned-snap")], floor)
         cg = results[(hi, "cached")] / max(results[(lo, "cached")], floor)
-        bad = pg > SUBLINEAR_GATE
+        bad = pg > SUBLINEAR_GATE or sg > SUBLINEAR_GATE
         failures += int(bad)
         print(
-            f"| {lo} -> {hi} | {pg:.2f}x | {cg:.2f}x | "
+            f"| {lo} -> {hi} | {pg:.2f}x | {sg:.2f}x | {cg:.2f}x | "
             f"{'FAIL: SUPERLINEAR (> ' + str(SUBLINEAR_GATE) + 'x)' if bad else 'pass'} |"
         )
     print(

@@ -4174,7 +4174,47 @@ def streaming_neardup_incremental_q(spark, sf_dir):
             .persist()  # one signature compute feeds pairs, probe AND absorb
         )
         try:
-            pairs = _snd_pairs(arr, arr)
+            # within-batch pairs ride the salted grid, NOT a plain self-
+            # join: a dup-farm shard arriving in ONE batch (the 10x stress
+            # corpus has 10k identical docs) puts that bucket's quadratic
+            # pair tail on a single task otherwise — measured as a >300 s
+            # straggler at the stress corpus before this; the cross-batch
+            # probe keeps AQE skew-join (fresh exchanges on both sides)
+            from cassabon_spark.operators.skew import salted_self_pairs
+
+            n_bands = _N_HASHES // _BAND_W
+            first_match = F.lit(False)
+            earlier_all_differ = F.lit(True)
+            for bb in range(n_bands):
+                first_match = first_match | (
+                    (F.col("a.band") == bb) & earlier_all_differ
+                )
+                earlier_all_differ = earlier_all_differ & (
+                    F.element_at(F.col("a.bks"), bb + 1)
+                    != F.element_at(F.col("b.bks"), bb + 1)
+                )
+            cand = salted_self_pairs(
+                arr,
+                ["band", "bkey", "lang"],
+                "doc_id",
+                pair_cond=first_match,
+                unique_pairs=True,
+                extra=[
+                    F.col("a.shs").alias("shs1"),
+                    F.col("b.shs").alias("shs2"),
+                ],
+            )
+            w_inter = F.size(F.array_intersect(F.col("shs1"), F.col("shs2")))
+            w_union = F.size(F.col("shs1")) + F.size(F.col("shs2")) - w_inter
+            w_jac = w_inter / w_union
+            pairs = (
+                cand.filter(w_jac >= 0.7)
+                .select(
+                    F.col("id1").alias("d1"),
+                    F.col("id2").alias("d2"),
+                    F.round(w_jac, 4).alias("jaccard"),
+                )
+            )
             if idx_tbl.version() is not None:
                 pks = {
                     str(r[0]) for r in arr.select("pk").distinct().collect()

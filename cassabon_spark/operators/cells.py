@@ -298,8 +298,10 @@ def two_level_cells_learned(
         )
 
     # train on an md5-deterministic sample (bounded training cost); unit
-    # vectors so euclidean cells align with cosine neighborhoods
-    smod = max(1, n // sample_cap)
+    # vectors so euclidean cells align with cosine neighborhoods.
+    # CEILING division (ADVICE r9 #3): floor let the sample reach ~2x
+    # sample_cap (n=199_999, cap=100_000 -> smod=1 sampled everything)
+    smod = max(1, -(-n // sample_cap))
     unit = F.transform(
         F.col(vec_col), lambda x: x.cast("double") / l2_norm_expr(F.col(vec_col))
     )
@@ -335,11 +337,26 @@ def two_level_cells_learned(
         .select("pivot_id", "pe", "pnrm", F.col("cpid").alias("coarse_id"))
     )
 
-    # vector -> coarse_probe nearest centroids
+    # Every-vector-cover guard (ADVICE r9 #1): the hash variant enforces
+    # coarse ⊆ fine, so every probed coarse cell owns >= 1 fine pivot;
+    # KMeans centroids carry no such guarantee — a centroid whose
+    # catchment contains no hash-selected fine pivot is an ORPHAN cell,
+    # and with coarse_probe=1 every vector routed to it would vanish from
+    # the inner fine-assign join. Rank vectors over the OWNED centroids
+    # only (those some fine pivot maps to): the owned-id set is bounded by
+    # n_coarse (~2k at 1e9 rows), a pruning predicate, not data movement.
+    # Cost: one extra k x n_coarse f2c pass — the same term the fine-side
+    # join below already pays once.
+    owned_ids = [r[0] for r in f2c.select("coarse_id").distinct().collect()]
+    coarse_owned = F.broadcast(
+        coarse.filter(F.col("cpid").isin(owned_ids))
+    )
+
+    # vector -> coarse_probe nearest OWNED centroids
     sim_vc = dot_expr(vec_col, "cpe") / (F.col("vnrm") * F.col("cpnrm"))
     w_vc = Window.partitionBy(id_col).orderBy(F.desc(sim_vc), F.asc("cpid"))
     v2c = (
-        vec.crossJoin(coarse)
+        vec.crossJoin(coarse_owned)
         .withColumn("__r", F.row_number().over(w_vc))
         .filter(F.col("__r") <= coarse_probe)
         .select(id_col, vec_col, "vnrm", *carry, F.col("cpid").alias("coarse_id"))

@@ -198,9 +198,17 @@ def kmv_bottom_k(
     merge = array union + re-sort + re-truncate.
 
     Two-phase distributed bottom-k: partial bottom-k per (shard, salt)
-    cell via sorted collect_set slices (state bounded at k per cell), then
-    merge cells by flatten + re-sort + re-truncate. No global sort; the
-    merge input is at most n_salts * k hashes per shard."""
+    cell via sorted collect_set slices, then merge cells by flatten +
+    re-sort + re-truncate. No global sort; the merge input is at most
+    n_salts * k hashes per shard. NOTE on state (ADVICE r9): the per-cell
+    collect_set accumulates every distinct hash of its (shard, salt) cell
+    before the sort + slice — agg state is bounded by the cell's distinct
+    count (~shard distincts / n_salts), NOT by k; the salt divides the
+    worst cell by n_salts but does not cap it. A genuinely k-bounded
+    partial needs a custom typed aggregator (JVM UDAF territory) — until
+    a shard's distinct count per salt cell outgrows executor memory this
+    two-phase shape is the cheaper plan, and n_salts is the pressure
+    valve."""
     partial = (
         df.withColumn("salt", F.pmod(F.col(hcol), F.lit(n_salts)))
         .groupBy(*shard_cols, "salt")

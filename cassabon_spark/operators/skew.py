@@ -64,6 +64,61 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(*finals)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_salt_col: str,
+    cap: int = 64,
+    n_cells: int = 16,
+) -> DataFrame:
+    """Skew-safe inner equi-join of two DISTINCT frames on `keys`, guarding
+    OUTPUT-volume skew (the two-sided sibling of `salted_self_pairs`): a
+    bucket whose match volume n_left x n_right exceeds cap^2 is grid-split
+    — its left rows keep one cell (hash of `left_salt_col`), its right
+    rows replicate across all `n_cells` cells — so no single task owns a
+    hot key's cross-product tail. AQE skew-join cannot catch this class:
+    the skew is in OUTPUT rows, not input partition bytes (a dup-farm
+    content key is a few KB of input exploding into millions of pairs).
+
+    The bucket-volume probe is lazy aggregations feeding a broadcast in
+    the SAME query (no separate driver action); when nothing exceeds the
+    cap the plan degenerates to the plain join plus the probe stage.
+    Non-key columns of the two sides must be disjoint. Deterministic
+    (hash salt, no rand()), so checkpoint-replayed streaming batches
+    recompute identical partials. Output: keys once + both sides' payload
+    columns, each matched pair exactly once.
+    """
+    sz_l = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+    sz_r = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+    big = (
+        sz_l.join(sz_r, keys)
+        .filter(F.col("__nl") * F.col("__nr") > cap * cap)
+        .select(*keys)
+        .withColumn("__big", F.lit(True))
+    )
+    salt = F.pmod(F.xxhash64(left_salt_col), F.lit(n_cells)).cast("int")
+    lt = (
+        left.join(F.broadcast(big), keys, "left")
+        .withColumn("__cell", F.when(F.col("__big"), salt).otherwise(F.lit(0)))
+        .drop("__big")
+    )
+    cells = F.when(
+        F.col("__big"), F.sequence(F.lit(0), F.lit(n_cells - 1))
+    ).otherwise(F.array(F.lit(0)))
+    rt = (
+        right.join(F.broadcast(big), keys, "left")
+        .withColumn("__cell", F.explode(cells))
+        .drop("__big")
+    )
+    # explicit width pin: quadratic-in-COMPUTE stages get AQE-coalesced by
+    # BYTES otherwise (the salted_self_pairs lesson, SCALE_r06/r08)
+    n_parts = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    lt = lt.repartition(n_parts, "__cell", *keys)
+    rt = rt.repartition(n_parts, "__cell", *keys)
+    return lt.join(rt, [*keys, "__cell"]).drop("__cell")
+
+
 def salted_self_pairs(
     df: DataFrame,
     keys: list[str],

@@ -176,3 +176,71 @@ def test_salted_self_pairs_pins_pair_stage_width(spark):
     pairs = salted_self_pairs(df, ["key"], "id", cap=50, unique_pairs=True)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     assert pairs.rdd.getNumPartitions() == n_parts
+
+
+# ---------------------------------------------------------------- salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    """r10: the two-sided skew-safe join must equal the plain inner
+    equi-join on a mixed workload — one hot key whose match volume
+    (200 x 300) dwarfs the cap, plus a long tail of small buckets."""
+    from cassabon_spark.operators.skew import salted_join
+
+    left = spark.range(400).select(
+        F.when(F.col("id") < 200, F.lit("hot"))
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 40).cast("string")))
+        .alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(500).select(
+        F.when(F.col("id") < 300, F.lit("hot"))
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 40).cast("string")))
+        .alias("k"),
+        (F.col("id") + 10_000).alias("rid"),
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_join(left, right, ["k"], left_salt_col="lid", cap=8)
+            .select("k", "lid", "rid")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, left.join(right, "k").select("k", "lid", "rid").collect())
+    )
+    assert got == want and len(got) == 200 * 300 + sum(
+        (200 // 40) * (200 // 40) for _ in range(40)
+    )
+
+
+def test_salted_join_spreads_hot_bucket(spark):
+    """The hot bucket's rows must land in more than one cell (the whole
+    point: no single task owns the cross-product tail)."""
+    from cassabon_spark.operators.skew import salted_join
+
+    left = spark.range(1000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("lid")
+    )
+    right = spark.range(1000).select(
+        F.lit("hot").alias("k"), (F.col("id") + 10_000).alias("rid")
+    )
+    out = salted_join(left, right, ["k"], left_salt_col="lid", cap=8)
+    assert out.count() == 1_000_000
+    # every (lid, rid) pair exactly once despite the right-side replication
+    assert out.select("lid", "rid").distinct().count() == 1_000_000
+
+
+def test_salted_join_deterministic(spark):
+    from cassabon_spark.operators.skew import salted_join
+
+    left = spark.range(300).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("lid")
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") + 500).alias("rid")
+    )
+    a = sorted(map(tuple, salted_join(left, right, ["k"], "lid", cap=4).collect()))
+    b = sorted(map(tuple, salted_join(left, right, ["k"], "lid", cap=4).collect()))
+    assert a == b

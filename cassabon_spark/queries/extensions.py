@@ -4153,117 +4153,16 @@ def _sndi_within_rep_pairs(arr):
     return cand.filter(jac >= 0.7).select("cka", "ckb", jac.alias("jraw"))
 
 
-@register(
-    "streaming_neardup_incremental",
-    _MINHASH_SQL,  # the full pair set again: the loop must lose nothing
-    "the COMPLETE incremental dedup production loop under the exact gate, "
-    "CONTENT-COLLAPSED (r10): per microbatch, arrivals group by a 128-bit "
-    "content key; one rep per NEW content is banded and probes the "
-    "absorbed rep band index (manifest pk-pruned scan); member pairs are "
-    "expanded from rep pairs + member tables at emit, then reps/members/"
-    "rep-pairs are ABSORBED (txn-keyed snapshot appends) so the next drop "
-    "probes them; streaming the whole corpus through reproduces "
-    "dedup_minhash_lsh's pair set exactly under any batch slicing",
-)
-def streaming_neardup_incremental_q(spark, sf_dir):
-    """The production shape `streaming_neardup_lsh` (static index) and
-    `dedup_cross_corpus` (one batch, batch-side) each cover half of:
-    every arriving crawl drop is deduped against ALL previously absorbed
-    data and then becomes part of the index.
-
-    r10 (VERDICT r9 #1 — the round's one `weak`): the loop is CONTENT-
-    COLLAPSED, the same collapse that lets the batch entry survive the
-    dup-farm stress (`_minhash_pair_frames`). The r9 shape banded every
-    raw arrival and absorbed every copy into the index, so a 10k-identical
-    shard made the VERIFIED-pair mass itself quadratic in dup-group size
-    (>300 s at the 10x stress). Now LSH banding, probing and absorbing see
-    exactly ONE representative per distinct (lang, text) — identical
-    content is a join on the 128-bit content key ck, never a signature
-    computation — and member pairs are expanded from rep pairs at emit,
-    so the emitted pair set is unchanged (signatures and Jaccard are
-    functions of content alone; within-group Jaccard is exactly 1).
-
-    State = four snapshot tables, every append txn-keyed (app, batch_id):
-      members   (ck, doc_id, lang)        partitioned by ckpk=h(ck)%n_ckpk
-      band idx  rep band rows + ck        partitioned by pk=h(bkey)%n_pk
-      rep_pairs (cka, ckb, jraw) BOTH directions, partitioned by h(cka)
-      pairs     (d1, d2, jaccard)         the emitted member pairs
-    All probes cut their file list DRIVER-SIDE from the few-KB manifest
-    (partition_filter) — per-batch read cost is bounded by the batch's own
-    content/band keys, never the corpus.
-
-    Per batch: (1) group arrivals by ck (>= 3-token docs only — shingle-
-    less docs never pair in the oracle either); (2) read absorbed members
-    of the batch's ckpk partitions -> which cks are KNOWN; (3) band ONE
-    rep per NEW ck, probe the rep band index pk-pruned, plus within-batch
-    rep pairs on the salted grid -> new rep pairs; (4) read old rep pairs
-    touching batch cks; (5) emit member pairs from four disjoint sources
-    (same-ck within batch / same-ck vs absorbed / expansions of new rep
-    pairs / expansions of old rep pairs), every potentially-hot join
-    salted (operators/skew.py::salted_join — output-volume skew, AQE
-    cannot see it); (6) absorb: append pairs, rep pairs, rep band rows,
-    members.
-
-    EXACTLY-ONCE: every append is a SetTransaction-keyed no-op on replay.
-    The four appends run in dependency order (pairs -> rep_pairs -> idx
-    -> members: each append's recomputed content reads only state tables
-    whose own-batch append comes LATER in the order), so a crash between
-    any two appends replays into a consistent final state: polluted
-    recomputations only feed appends that are already no-ops.
-
-    Each unordered member pair emits exactly once, in the batch where its
-    later-arriving member lands (same-ck and cross-batch via side-
-    disjointness; within-batch via id1 < id2 / the single directed rep
-    pair), so ANY microbatch slicing reproduces the batch `_MINHASH_SQL`
-    pair set exactly — tests/test_snd_modes.py pins slicing invariance.
-
-    Lifecycle (VERDICT r9 #3): the band-index and members tables ride
-    threshold-triggered auto-compaction each batch (no-op cost: one
-    manifest read), so per-partition file count and manifest count stay
-    bounded under unbounded streaming appends —
-    tests/test_snd_modes.py::test_incremental_state_tables_bounded."""
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
+def _sndi_make_processor(
+    spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app
+):
+    """Build the incremental loop's per-batch probe-then-absorb processor
+    (the foreachBatch body of `streaming_neardup_incremental`). Module-
+    level so tests can drive the replay semantics DIRECTLY — call it with
+    a repeated batch_id (checkpoint replay) or inject an append failure
+    between the txn-keyed appends (partial crash) and assert the final
+    state matches a clean run (tests/test_snd_modes.py)."""
     from cassabon_spark.operators.skew import salted_join, salted_self_pairs
-    from cassabon_spark.sources.snapshot import SnapshotTable
-
-    prep(spark)
-    docs = T(spark, sf_dir, "documents", wide=True)
-    n_docs = docs.count()
-    n_pk = _snd_n_pk(n_docs)
-    n_ckpk = _snd_n_ckpk(n_docs)
-    width = spark.sparkContext.defaultParallelism
-    tmp = tempfile.mkdtemp(prefix="cassabon_sndi_")
-    out_dir = os.path.join(tmp, f"sndi_{uuid.uuid4().hex[:8]}")
-    idx_tbl = SnapshotTable(spark, os.path.join(tmp, "band_index"))
-    mem_tbl = SnapshotTable(spark, os.path.join(tmp, "members"))
-    rp_tbl = SnapshotTable(spark, os.path.join(tmp, "rep_pairs"))
-    out_tbl = SnapshotTable(spark, out_dir)
-    app = os.path.basename(out_dir)  # stable across in-run retries
-
-    lines = docs.select(
-        F.concat_ws(
-            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
-        ).alias("line")
-    )
-    drop = os.path.join(tmp, "drop")
-    n_files = _SND_DROP_FILES[0] or max(4, -(-n_docs // _SND_DOCS_PER_FILE))
-    lines.repartition(n_files).write.mode("overwrite").text(drop)
-    parts = F.split("value", "\t", 3)
-    stream = (
-        spark.readStream.option(
-            "maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0])
-        )
-        .text(drop)
-        .select(
-            parts[0].cast("bigint").alias("doc_id"),
-            parts[1].alias("lang"),
-            parts[2].alias("text"),
-        )
-    )
 
     def _process(batch_df, batch_id):
         bid = int(batch_id)
@@ -4496,6 +4395,124 @@ def streaming_neardup_incremental_q(spark, sf_dir):
         finally:
             for p in persisted:
                 p.unpersist()
+
+    return _process
+
+
+@register(
+    "streaming_neardup_incremental",
+    _MINHASH_SQL,  # the full pair set again: the loop must lose nothing
+    "the COMPLETE incremental dedup production loop under the exact gate, "
+    "CONTENT-COLLAPSED (r10): per microbatch, arrivals group by a 128-bit "
+    "content key; one rep per NEW content is banded and probes the "
+    "absorbed rep band index (manifest pk-pruned scan); member pairs are "
+    "expanded from rep pairs + member tables at emit, then reps/members/"
+    "rep-pairs are ABSORBED (txn-keyed snapshot appends) so the next drop "
+    "probes them; streaming the whole corpus through reproduces "
+    "dedup_minhash_lsh's pair set exactly under any batch slicing",
+)
+def streaming_neardup_incremental_q(spark, sf_dir):
+    """The production shape `streaming_neardup_lsh` (static index) and
+    `dedup_cross_corpus` (one batch, batch-side) each cover half of:
+    every arriving crawl drop is deduped against ALL previously absorbed
+    data and then becomes part of the index.
+
+    r10 (VERDICT r9 #1 — the round's one `weak`): the loop is CONTENT-
+    COLLAPSED, the same collapse that lets the batch entry survive the
+    dup-farm stress (`_minhash_pair_frames`). The r9 shape banded every
+    raw arrival and absorbed every copy into the index, so a 10k-identical
+    shard made the VERIFIED-pair mass itself quadratic in dup-group size
+    (>300 s at the 10x stress). Now LSH banding, probing and absorbing see
+    exactly ONE representative per distinct (lang, text) — identical
+    content is a join on the 128-bit content key ck, never a signature
+    computation — and member pairs are expanded from rep pairs at emit,
+    so the emitted pair set is unchanged (signatures and Jaccard are
+    functions of content alone; within-group Jaccard is exactly 1).
+
+    State = four snapshot tables, every append txn-keyed (app, batch_id):
+      members   (ck, doc_id, lang)        partitioned by ckpk=h(ck)%n_ckpk
+      band idx  rep band rows + ck        partitioned by pk=h(bkey)%n_pk
+      rep_pairs (cka, ckb, jraw) BOTH directions, partitioned by h(cka)
+      pairs     (d1, d2, jaccard)         the emitted member pairs
+    All probes cut their file list DRIVER-SIDE from the few-KB manifest
+    (partition_filter) — per-batch read cost is bounded by the batch's own
+    content/band keys, never the corpus.
+
+    Per batch: (1) group arrivals by ck (>= 3-token docs only — shingle-
+    less docs never pair in the oracle either); (2) read absorbed members
+    of the batch's ckpk partitions -> which cks are KNOWN; (3) band ONE
+    rep per NEW ck, probe the rep band index pk-pruned, plus within-batch
+    rep pairs on the salted grid -> new rep pairs; (4) read old rep pairs
+    touching batch cks; (5) emit member pairs from four disjoint sources
+    (same-ck within batch / same-ck vs absorbed / expansions of new rep
+    pairs / expansions of old rep pairs), every potentially-hot join
+    salted (operators/skew.py::salted_join — output-volume skew, AQE
+    cannot see it); (6) absorb: append pairs, rep pairs, rep band rows,
+    members.
+
+    EXACTLY-ONCE: every append is a SetTransaction-keyed no-op on replay.
+    The four appends run in dependency order (pairs -> rep_pairs -> idx
+    -> members: each append's recomputed content reads only state tables
+    whose own-batch append comes LATER in the order), so a crash between
+    any two appends replays into a consistent final state: polluted
+    recomputations only feed appends that are already no-ops.
+
+    Each unordered member pair emits exactly once, in the batch where its
+    later-arriving member lands (same-ck and cross-batch via side-
+    disjointness; within-batch via id1 < id2 / the single directed rep
+    pair), so ANY microbatch slicing reproduces the batch `_MINHASH_SQL`
+    pair set exactly — tests/test_snd_modes.py pins slicing invariance.
+
+    Lifecycle (VERDICT r9 #3): the band-index and members tables ride
+    threshold-triggered auto-compaction each batch (no-op cost: one
+    manifest read), so per-partition file count and manifest count stay
+    bounded under unbounded streaming appends —
+    tests/test_snd_modes.py::test_incremental_state_tables_bounded."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n_docs = docs.count()
+    n_pk = _snd_n_pk(n_docs)
+    n_ckpk = _snd_n_ckpk(n_docs)
+    width = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="cassabon_sndi_")
+    out_dir = os.path.join(tmp, f"sndi_{uuid.uuid4().hex[:8]}")
+    idx_tbl = SnapshotTable(spark, os.path.join(tmp, "band_index"))
+    mem_tbl = SnapshotTable(spark, os.path.join(tmp, "members"))
+    rp_tbl = SnapshotTable(spark, os.path.join(tmp, "rep_pairs"))
+    out_tbl = SnapshotTable(spark, out_dir)
+    app = os.path.basename(out_dir)  # stable across in-run retries
+
+    lines = docs.select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("text")
+        ).alias("line")
+    )
+    drop = os.path.join(tmp, "drop")
+    n_files = _SND_DROP_FILES[0] or max(4, -(-n_docs // _SND_DOCS_PER_FILE))
+    lines.repartition(n_files).write.mode("overwrite").text(drop)
+    parts = F.split("value", "\t", 3)
+    stream = (
+        spark.readStream.option(
+            "maxFilesPerTrigger", str(_STREAM_FILES_PER_TRIGGER[0])
+        )
+        .text(drop)
+        .select(
+            parts[0].cast("bigint").alias("doc_id"),
+            parts[1].alias("lang"),
+            parts[2].alias("text"),
+        )
+    )
+
+    _process = _sndi_make_processor(
+        spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app
+    )
 
     q = (
         stream.writeStream.foreachBatch(_process)

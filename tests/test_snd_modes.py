@@ -221,3 +221,140 @@ def test_incremental_state_tables_bounded(spark, tmp_path):
     )
     assert tbl.read().select("doc_id").distinct().count() <= docs.count()
     assert tbl.read().count() > 0 and tbl.read().count() % n_bands == 0
+
+
+# ------------------------------------------------- replay / crash semantics
+
+
+def _sndi_tables(spark, base):
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    return {
+        "out": SnapshotTable(spark, str(base / "pairs")),
+        "idx": SnapshotTable(spark, str(base / "idx")),
+        "mem": SnapshotTable(spark, str(base / "mem")),
+        "rp": SnapshotTable(spark, str(base / "rp")),
+    }
+
+
+def _sndi_corpus_batches(spark):
+    """sf0.001 docs UNION an exact-content copy shifted by +10000 doc_ids:
+    10000 % 3 == 1, so every copy lands in a DIFFERENT batch than its
+    original — the cross-batch same-content path (collapse + member
+    expansion) is exercised, not just the near-dup path."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    copy = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "lang", "text"
+    )
+    corpus = docs.unionByName(copy)
+    return [corpus.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+
+def _sndi_run(spark, tmp_path, name, schedule):
+    """Run the incremental processor over the 3-batch corpus under a
+    (batch_index, action) schedule and return the four state tables'
+    sorted contents. action: 'ok' | 'replay' (process twice) |
+    'crash-idx' / 'crash-mem' / 'crash-out' (inject one append failure,
+    then replay the batch — the foreachBatch retry contract)."""
+    import pytest as _pytest
+
+    from cassabon_spark.queries.extensions import (
+        _snd_n_ckpk,
+        _snd_n_pk,
+        _sndi_make_processor,
+    )
+
+    batches = _sndi_corpus_batches(spark)
+    n_docs = sum(b.count() for b in batches)
+    t = _sndi_tables(spark, tmp_path / name)
+    proc = _sndi_make_processor(
+        spark,
+        t["out"],
+        t["idx"],
+        t["mem"],
+        t["rp"],
+        _snd_n_pk(n_docs),
+        _snd_n_ckpk(n_docs),
+        spark.sparkContext.defaultParallelism,
+        app=name,
+    )
+    for i, action in schedule:
+        if action == "ok":
+            proc(batches[i], i)
+        elif action == "replay":
+            proc(batches[i], i)
+            proc(batches[i], i)  # checkpoint replay after full success
+        elif action.startswith("crash-"):
+            victim = t[action.split("-", 1)[1]]
+            orig = victim.append
+            state = {"armed": True}
+
+            def flaky(*a, **k):
+                if state["armed"]:
+                    state["armed"] = False
+                    raise RuntimeError("injected append crash")
+                return orig(*a, **k)
+
+            victim.append = flaky
+            with _pytest.raises(RuntimeError, match="injected"):
+                proc(batches[i], i)
+            victim.append = orig
+            proc(batches[i], i)  # the retry/replay
+        else:  # pragma: no cover
+            raise ValueError(action)
+
+    def rows(tbl, cols):
+        if tbl.version() is None:
+            return []
+        return sorted(map(tuple, tbl.read().select(*cols).collect()))
+
+    from pyspark.sql import functions as F
+
+    return {
+        "pairs": rows(t["out"], ["d1", "d2", "jaccard"]),
+        "mem": rows(t["mem"], ["ck", "doc_id"]),
+        "idx": rows(t["idx"], ["doc_id", "band", "bkey", "pk"]),
+        "rp": (
+            []
+            if t["rp"].version() is None
+            else sorted(
+                map(
+                    tuple,
+                    t["rp"]
+                    .read()
+                    .select("cka", "ckb", F.round("jraw", 6).alias("j"))
+                    .collect(),
+                )
+            )
+        ),
+    }
+
+
+def test_incremental_replay_and_partial_crash(spark, tmp_path):
+    """The exactly-once contract, EXECUTED (r10): a fully-replayed batch
+    and a batch whose append sequence crashes between any two txn-keyed
+    appends must both converge to the clean run's exact state on retry —
+    the dependency-ordered appends (pairs -> rep_pairs -> idx -> members)
+    guarantee every polluted recomputation only feeds already-committed
+    (no-op) appends. Each crash point is injected for a DIFFERENT batch
+    so one run covers: full replay (b0), crash before any commit (b1
+    pairs append), crash mid-sequence (b2 idx append, replayed with
+    rep_pairs already committed — the scenario where the probe reads the
+    batch's own rep pairs back as 'old')."""
+    clean = _sndi_run(
+        spark, tmp_path, "clean", [(0, "ok"), (1, "ok"), (2, "ok")]
+    )
+    assert len(clean["pairs"]) > 0 and len(clean["mem"]) > 0
+    messy = _sndi_run(
+        spark,
+        tmp_path,
+        "messy",
+        [(0, "replay"), (1, "crash-out"), (2, "crash-idx")],
+    )
+    assert messy == clean
+    messy2 = _sndi_run(spark, tmp_path, "messy2", [(0, "crash-mem"), (1, "ok"), (2, "crash-rp")])
+    assert messy2 == clean

@@ -11254,3 +11254,500 @@ def dedup_threshold_ablation(spark, sf_dir):
         )
         .orderBy("threshold", "source")
     )
+
+
+# --------------------------------- content-defined chunking dedup (r10)
+
+# CDC (Rabin/FastCDC-style) passage dedup: chunk boundaries are set by the
+# CONTENT — a rolling-hash test on each token — not by fixed offsets, so an
+# insertion near the head of a document disturbs only the chunk it lands
+# in; every later chunk keeps its hash and still dedups against the
+# unedited copy. Fixed-stride chunking (text_chunk_windows) cannot have
+# that property: one inserted token shifts every downstream window. The
+# boundary-stability contract is pinned by tests/test_cdc_chunks.py.
+# Boundary rule: token i ENDS a chunk iff h48('cdc:' || token) % 16 == 0
+# (expected chunk ~16 tokens); the final token always ends the last chunk.
+# Scale shape: chunking is row-local higher-order-function work (filter /
+# zip_with / slice over the token array) — map-only, no shuffle until the
+# per-(source, chunk-hash) aggregate; at 100 TB the only shuffles are the
+# two hash aggs (keyed by (source, chunk hash), then source), both with
+# map-side partials. Sharing is accounted per source: n_shared_chunks =
+# distinct chunk hashes seen in >1 document of that source (the
+# boilerplate-passage signal a curation run acts on).
+_CDC_D = 16
+
+_CDC_SQL = f"""
+WITH t AS ({_TOKS}),
+tok AS (
+  SELECT doc_id, source, t[i] AS tok, i,
+         CASE WHEN {_sql_h48("t[i]", "'cdc:'")} % {_CDC_D} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM (SELECT doc_id, source, t FROM t WHERE LEN(t) > 0),
+       UNNEST(GENERATE_SERIES(1, LEN(t))) AS g(i)
+),
+ck AS (
+  SELECT doc_id, source, i, tok,
+         COALESCE(SUM(bnd) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         MD5(STRING_AGG(tok, ' ' ORDER BY i)) AS h,
+         COUNT(*) AS clen
+  FROM ck GROUP BY doc_id, source, chunk_id
+),
+per_h AS (
+  SELECT source, h, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS nd, SUM(clen) AS sl
+  FROM chunks GROUP BY source, h
+),
+per_src AS (
+  SELECT source,
+         SUM(cnt) AS n_chunks, COUNT(*) AS n_distinct,
+         SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS n_shared,
+         SUM(sl) AS sum_len
+  FROM per_h GROUP BY source
+),
+totals AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(p.n_distinct AS BIGINT) AS n_distinct_chunks,
+       CAST(p.n_shared AS BIGINT) AS n_shared_chunks,
+       ROUND(ROUND((p.n_chunks - p.n_distinct) * 1.0 / p.n_chunks, 8), 4) AS dup_chunk_frac,
+       ROUND(ROUND(p.sum_len * 1.0 / p.n_chunks, 8), 4) AS avg_chunk_tokens
+FROM totals t JOIN per_src p ON p.source = t.source
+ORDER BY t.source
+"""
+
+
+def _cdc_chunk_frame(docs):
+    """(doc_id, source, ctext, clen, h) — one row per CDC chunk, built
+    entirely from row-local array HOFs (no shuffle). Shared by the entry
+    and the boundary-stability test."""
+    toks = (
+        docs.select("doc_id", "source", tokens_expr("text").alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    bnds = F.filter(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: F.pmod(
+            md5_bucket_expr(F.element_at(F.col("t"), i), prefix="cdc:"),
+            F.lit(_CDC_D),
+        )
+        == F.lit(0),
+    )
+    ends = F.array_distinct(F.concat(bnds, F.array(F.col("n"))))
+    with_ends = toks.withColumn("ends", ends)
+    # prev-end per position: ends is ascending, prev[j] = ends[j-1] (0 for j=0)
+    prevs = F.transform(
+        F.col("ends"),
+        lambda _, j: F.when(j == F.lit(0), F.lit(0)).otherwise(
+            F.element_at(F.col("ends"), F.greatest(j, F.lit(1)))
+        ),
+    )
+    chunk = F.zip_with(
+        F.col("ends"),
+        prevs,
+        lambda e, p: F.struct(
+            F.array_join(F.slice(F.col("t"), p + F.lit(1), e - p), " ").alias("ctext"),
+            (e - p).alias("clen"),
+        ),
+    )
+    return (
+        with_ends.select("doc_id", "source", F.explode(chunk).alias("c"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("c.ctext").alias("ctext"),
+            F.col("c.clen").cast("bigint").alias("clen"),
+        )
+        .withColumn("h", F.md5("ctext"))
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    _CDC_SQL,
+    "content-defined chunking (Rabin/FastCDC-style) passage dedup: "
+    f"rolling-hash boundaries (h48(token) % {_CDC_D} == 0, ~{_CDC_D}-token "
+    "chunks) make chunk hashes stable under edits — unlike fixed-stride "
+    "windows; per-source chunk counts, distinct/shared chunk hashes and "
+    "dup mass; chunking is map-only HOF work, shuffles only at the two "
+    "hash aggs",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    ch = _cdc_chunk_frame(docs)
+    per_h = ch.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("doc_id").alias("ndocs"),
+        F.sum("clen").alias("sl"),
+    )
+    per_src = per_h.groupBy("source").agg(
+        F.sum("cnt").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_shared"),
+        F.sum("sl").alias("sum_len"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        F.broadcast(totals)
+        .join(per_src, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct_chunks"),
+            F.col("n_shared").cast("bigint").alias("n_shared_chunks"),
+            R((F.col("n_chunks") - F.col("n_distinct")) * 1.0 / F.col("n_chunks"), 4).alias(
+                "dup_chunk_frac"
+            ),
+            R(F.col("sum_len") * 1.0 / F.col("n_chunks"), 4).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------- two-stage ANN: SQ8 scan + exact rerank (r10)
+
+# The production ANN serving shape (FAISS IVF+refine / ScaNN reorder): a
+# cheap compressed first pass over the WHOLE corpus followed by an exact
+# re-rank of a small candidate set. Stage 1 is the similarity_sq8
+# decomposition — the corpus scan touches only int8 codes (4x less IO than
+# floats; per-query constants broadcast) — kept to the top R=32 per query.
+# Stage 2 gathers just those R float vectors per query (an equi-join on
+# cid — at 100 TB this is the ONLY stage that reads full-precision
+# vectors, R*|Q| rows, not the corpus) and re-scores with the exact dot
+# product. The exact brute-force top-5 is the EVAL arm (same pattern as
+# similarity_ann_recall): it gates recall@5 here, and is not part of the
+# serving path. Deterministic end-to-end (envelope, codes, proxy scores,
+# exact re-scores), so both stages sit under the exact oracle.
+_RERANK_R = 32
+_RERANK_K = 5
+
+_RERANK_SQL = f"""
+WITH dimstats AS (
+  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, MAX(CAST(embedding[i] AS DOUBLE)) AS mx
+  FROM embeddings, UNNEST(GENERATE_SERIES(1, {_SQ8_DIM})) AS g(i)
+  GROUP BY i
+),
+stats AS (
+  SELECT LIST(mn ORDER BY i) AS mns, LIST(mx ORDER BY i) AS mxs FROM dimstats
+),
+codes AS (
+  SELECT vec_id AS cid,
+         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE LEAST({_SQ8_LEVELS - 1}, GREATEST(0, CAST(FLOOR(
+                  (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * {_SQ8_LEVELS}
+                ) AS INT))) END) AS code
+  FROM embeddings, stats
+),
+q AS (
+  SELECT vec_id AS qid,
+         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS}) AS qs,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * mns[i])) AS qmin,
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS})) AS qssum
+  FROM embeddings, stats
+  WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.qid, c.cid,
+         q.qmin + 0.5 * q.qssum +
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
+           q.qs[i] * c.code[i])) AS score
+  FROM q, codes c
+  WHERE c.cid <> q.qid
+),
+cand AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY ROUND(score, 8) DESC, cid) AS rnk
+    FROM scored) WHERE rnk <= {_RERANK_R}
+),
+rer AS (
+  SELECT c.qid, c.cid,
+         {_EMB_DUP_DOT.format(a="eq.embedding", b="ec.embedding")} AS dp
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ec ON ec.vec_id = c.cid
+),
+rer5 AS (
+  SELECT qid, cid, dp, rnk FROM (
+    SELECT qid, cid, dp,
+           ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY ROUND(dp, 8) DESC, cid) AS rnk
+    FROM rer) WHERE rnk <= {_RERANK_K}
+),
+exact5 AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY ROUND({_EMB_DUP_DOT.format(a="a.embedding", b="b.embedding")}, 8) DESC,
+                      b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 5) WHERE rnk <= {_RERANK_K}
+),
+rec AS (
+  SELECT e.qid, COUNT(r.cid) * 1.0 / {_RERANK_K} AS recall5
+  FROM exact5 e LEFT JOIN rer5 r ON r.qid = e.qid AND r.cid = e.cid
+  GROUP BY e.qid
+)
+SELECT r.qid, r.cid,
+       ROUND(ROUND(r.dp, 8), 4) AS score,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       ROUND(ROUND(c.recall5, 8), 4) AS recall5
+FROM rer5 r JOIN rec c ON c.qid = r.qid
+ORDER BY r.qid, r.rnk
+"""
+
+
+@register(
+    "similarity_ann_rerank",
+    _RERANK_SQL,
+    f"two-stage ANN (compressed scan + exact refine): SQ8 int8-code scan "
+    f"keeps top {_RERANK_R} per query, exact-dot re-rank of just those "
+    f"candidates yields top {_RERANK_K} — only stage 2 touches float "
+    "vectors (R rows/query, not the corpus); per-query recall@5 vs "
+    "brute-force truth (eval arm) exact-gated",
+)
+def similarity_ann_rerank(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    dimstats = (
+        emb.select(F.posexplode("embedding").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    stats = dimstats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x["mx"]
+        ).alias("mxs"),
+    )
+    seq = F.sequence(F.lit(1), F.lit(_SQ8_DIM))
+
+    def _at(arr, i):
+        return F.element_at(F.col(arr) if isinstance(arr, str) else arr, i)
+
+    code_expr = F.transform(
+        seq,
+        lambda i: F.when(_at("mxs", i) == _at("mns", i), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SQ8_LEVELS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (_at("embedding", i).cast("double") - _at("mns", i))
+                        / (_at("mxs", i) - _at("mns", i))
+                        * _SQ8_LEVELS
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    codes = emb.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("cid"), code_expr.alias("code")
+    )
+    qs_expr = F.transform(
+        seq,
+        lambda i: _at("embedding", i).cast("double")
+        * (_at("mxs", i) - _at("mns", i))
+        / F.lit(float(_SQ8_LEVELS)),
+    )
+    qmin_expr = F.aggregate(
+        F.zip_with(
+            F.transform(seq, lambda i: _at("embedding", i).cast("double")),
+            F.col("mns"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("qid"),
+            qs_expr.alias("qs"),
+            qmin_expr.alias("qmin"),
+            F.aggregate(qs_expr, F.lit(0.0), lambda acc, x: acc + x).alias("qssum"),
+        )
+    )
+    scored = codes.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid",
+        "cid",
+        (
+            F.col("qmin")
+            + F.lit(0.5) * F.col("qssum")
+            + F.aggregate(
+                F.zip_with(F.col("qs"), F.col("code"), lambda a, c: a * c.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )
+    w_scan = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 8)), F.asc("cid"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w_scan))
+        .filter(F.col("rnk") <= _RERANK_R)
+        .select("qid", "cid")
+    )
+    # stage 2: gather ONLY the candidates' float vectors and re-score exactly
+    corpus = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    rer = (
+        cand.join(corpus, "cid")
+        .join(F.broadcast(queries), "qid")
+        .select("qid", "cid", dot_expr("qemb", "cemb").alias("dp"))
+    )
+    w_rer = Window.partitionBy("qid").orderBy(F.desc(F.round("dp", 8)), F.asc("cid"))
+    rer5 = rer.withColumn("rnk", F.row_number().over(w_rer)).filter(
+        F.col("rnk") <= _RERANK_K
+    )
+    # eval arm: brute-force truth -> per-query recall@5
+    exact = corpus.crossJoin(F.broadcast(queries)).filter(F.col("cid") != F.col("qid"))
+    w_ex = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(dot_expr("qemb", "cemb"), 8)), F.asc("cid")
+    )
+    exact5 = (
+        exact.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= _RERANK_K)
+        .select("qid", "cid")
+    )
+    rec = (
+        exact5.join(rer5.select("qid", "cid", F.lit(1).alias("hit")), ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg((F.count("hit") * 1.0 / _RERANK_K).alias("recall5"))
+    )
+    return (
+        rer5.join(F.broadcast(rec), "qid")
+        .select(
+            "qid",
+            "cid",
+            R(F.round(F.col("dp"), 8), 4).alias("score"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            R(F.round(F.col("recall5"), 8), 4).alias("recall5"),
+        )
+        .orderBy("qid", "rnk")
+    )
+
+
+# --------------------------------- DoReMi domain reweighting (r10)
+
+# The domain-mix artifact a curation run feeds its sampler (DoReMi, Xie et
+# al. 2023): one exponentiated-gradient step from a uniform prior, driven
+# by per-domain EXCESS LOSS. Excess loss is instantiated exactly as
+# KL(domain || corpus) under the corpus unigram model — the same signal
+# text_source_kl_drift gates (cross-entropy of the corpus model on the
+# domain minus the domain's own entropy); the uniform prior cancels in the
+# normalization, and the weights are smoothed with the uniform mix
+# (c=0.2) as in the paper. Output is what the sampler consumes: final
+# weight per domain, the token budget each domain gets at the corpus
+# total, and the implied resample factor (>1 = upsample). KL is rounded
+# to 8dp BEFORE exp on both engines so the transcendental's input is
+# bit-identical; outer R() absorbs the exp/normalization ulps. Scale
+# shape: two hash aggs + one vocab-keyed join (the KL machinery) and a
+# D-row (domain-count) tail — nothing new shuffles beyond the KL pass.
+_DRW_ETA = 1.0
+_DRW_SMOOTH = 0.2
+
+_DRW_SQL = f"""
+WITH toks AS (
+  SELECT source, tk.tok AS tok FROM ({_TOKS}), UNNEST(t) AS tk(tok)
+),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok),
+st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM sc),
+kl AS (
+  SELECT s.source, t.ns,
+         ROUND(SUM(
+           (s.c * 1.0 / t.ns) * LN((s.c * 1.0 / t.ns) / (c.cc * 1.0 / o.na))
+         ), 8) AS kl
+  FROM sc s
+  JOIN st t ON t.source = s.source
+  JOIN ct c ON c.tok = s.tok
+  CROSS JOIN tot o
+  GROUP BY s.source, t.ns
+),
+d AS (SELECT COUNT(*) AS ndom, CAST(SUM(ns) AS BIGINT) AS ntot FROM kl),
+w AS (SELECT source, ns, kl, EXP({_DRW_ETA} * kl) AS ew FROM kl),
+z AS (SELECT SUM(ew) AS z FROM w)
+SELECT w.source,
+       CAST(w.ns AS BIGINT) AS n_tokens,
+       ROUND(ROUND(w.kl, 8), 6) AS excess_loss,
+       ROUND(ROUND((1 - {_DRW_SMOOTH}) * w.ew / z.z + {_DRW_SMOOTH} / d.ndom, 10), 6) AS weight,
+       ROUND(ROUND(((1 - {_DRW_SMOOTH}) * w.ew / z.z + {_DRW_SMOOTH} / d.ndom) * d.ntot, 6), 2) AS target_tokens,
+       ROUND(ROUND(((1 - {_DRW_SMOOTH}) * w.ew / z.z + {_DRW_SMOOTH} / d.ndom) * d.ntot / w.ns, 8), 4) AS resample_factor
+FROM w CROSS JOIN z CROSS JOIN d
+ORDER BY w.source
+"""
+
+
+@register(
+    "pipeline_domain_reweight",
+    _DRW_SQL,
+    "DoReMi-style domain reweighting (Xie et al. 2023): one "
+    f"exponentiated-gradient step (eta={_DRW_ETA}) from a uniform prior "
+    "with per-domain excess loss = KL(domain || corpus) under the corpus "
+    f"unigram model, smoothed c={_DRW_SMOOTH} with uniform; outputs the "
+    "sampler artifact — final weights, per-domain token budget at the "
+    "corpus total, and resample factors",
+)
+def pipeline_domain_reweight(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("source", F.explode(tokens_expr("text")).alias("tok"))
+    sc = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    ct = sc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    tot = sc.agg(F.sum("c").cast("bigint").alias("na"))
+    p = F.col("c") * 1.0 / F.col("ns")
+    qq = F.col("cc") * 1.0 / F.col("na")
+    kl = (
+        sc.join(F.broadcast(st), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(F.round(F.sum(p * F.log(p / qq)), 8).alias("kl"))
+    )
+    d = kl.agg(
+        F.count(F.lit(1)).alias("ndom"), F.sum("ns").cast("bigint").alias("ntot")
+    )
+    w = kl.withColumn("ew", F.exp(F.lit(_DRW_ETA) * F.col("kl")))
+    z = w.agg(F.sum("ew").alias("z"))
+    wt = (
+        F.lit(1.0 - _DRW_SMOOTH) * F.col("ew") / F.col("z")
+        + F.lit(_DRW_SMOOTH) / F.col("ndom")
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "source",
+            F.col("ns").cast("bigint").alias("n_tokens"),
+            R(F.col("kl"), 6).alias("excess_loss"),
+            F.round(F.round(wt, 10), 6).alias("weight"),
+            F.round(F.round(wt * F.col("ntot"), 6), 2).alias("target_tokens"),
+            R(wt * F.col("ntot") / F.col("ns"), 4).alias("resample_factor"),
+        )
+        .orderBy("source")
+    )

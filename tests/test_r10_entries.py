@@ -1,0 +1,145 @@
+"""Round-10 entry semantics beyond the registry oracle: CDC chunk
+boundary stability, two-stage rerank recall, DoReMi weight invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+
+def _h48(tok: str) -> int:
+    return int(hashlib.md5(f"cdc:{tok}".encode()).hexdigest()[:12], 16)
+
+
+def _is_boundary(tok: str, d: int = 16) -> bool:
+    return _h48(tok) % d == 0
+
+
+def _mk_tokens(n: int, boundary: bool, salt: str) -> list[str]:
+    """Deterministically mine tokens whose CDC boundary bit is `boundary`."""
+    out, i = [], 0
+    while len(out) < n:
+        t = f"{salt}{i}"
+        if _is_boundary(t) == boundary:
+            out.append(t)
+        i += 1
+    return out
+
+
+def _chunk_hashes(spark, text: str) -> list[str]:
+    from cassabon_spark.queries.extensions import _cdc_chunk_frame
+
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    rows = _cdc_chunk_frame(docs).select("ctext", "h").collect()
+    # chunks come back in document order (explode preserves array order)
+    return [r["h"] for r in rows]
+
+
+def test_cdc_boundaries_are_content_defined(spark):
+    """The partition into chunks is exactly the one the per-token boundary
+    rule dictates: each chunk ends on a boundary token (except the last)."""
+    from cassabon_spark.queries.extensions import _cdc_chunk_frame
+
+    toks = _mk_tokens(5, False, "p") + _mk_tokens(1, True, "q") + _mk_tokens(3, False, "r")
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks), "en", "s", 0)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    chunks = _cdc_chunk_frame(docs).select("ctext", "clen").collect()
+    assert len(chunks) == 2
+    assert chunks[0]["clen"] == 6 and chunks[0]["ctext"].split()[-1] == toks[5]
+    assert chunks[1]["clen"] == 3 and chunks[1]["ctext"] == " ".join(toks[6:])
+
+
+def test_cdc_chunks_stable_under_head_insertion(spark):
+    """CDC's defining property (vs fixed-stride windows): inserting a token
+    at the head disturbs only the first chunk — every later chunk hash
+    survives, so the edited copy still dedups against the original."""
+    body = []
+    for k in range(6):  # 6 chunks: 9 non-boundary tokens + 1 boundary each
+        body += _mk_tokens(9, False, f"b{k}x") + _mk_tokens(1, True, f"e{k}x")
+    body += _mk_tokens(4, False, "tailx")  # ragged last chunk
+    orig = _chunk_hashes(spark, " ".join(body))
+    ins = _mk_tokens(1, False, "insx")  # non-boundary insert keeps chunk count
+    edited = _chunk_hashes(spark, " ".join(ins + body))
+    assert len(orig) == 7
+    assert len(edited) == 7
+    assert edited[0] != orig[0]  # the landing chunk changes...
+    assert edited[1:] == orig[1:]  # ...every later chunk hash survives
+
+
+def test_cdc_entry_counts_cross_doc_shared_chunks(spark, tmp_path):
+    """Two docs share a passage at DIFFERENT offsets; because boundaries
+    are content-based the passage's interior chunks align and are counted
+    in n_shared_chunks."""
+    from cassabon_spark.queries import load_registry
+
+    # shared passage = two full CDC chunks (boundary-mined), plus a
+    # boundary token in front so both docs start the passage chunk-aligned
+    shared = (
+        _mk_tokens(1, True, "cut")
+        + _mk_tokens(7, False, "s1x") + _mk_tokens(1, True, "s1e")
+        + _mk_tokens(7, False, "s2x") + _mk_tokens(1, True, "s2e")
+    )
+    pre_a = _mk_tokens(3, False, "pa")
+    pre_b = _mk_tokens(11, False, "pb")
+    uniq = _mk_tokens(5, False, "uz")
+    rows = [
+        (1, " ".join(pre_a + shared), "en", "s", 0),
+        (2, " ".join(pre_b + shared), "en", "s", 0),
+        (3, " ".join(uniq), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = load_registry()["dedup_cdc_chunks"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3
+    # the two interior passage chunks are shared across docs 1 and 2
+    assert r["n_shared_chunks"] == 2
+    assert r["n_chunks"] - r["n_distinct_chunks"] == 2  # one dup instance each
+
+
+def test_ann_rerank_recall_and_shape(spark, sf_dir):
+    """Two-stage rerank: 5 rows per query, exact-dot scores non-increasing,
+    and at R=32 candidates the refine stage recovers the exact top-5
+    (recall5 == 1.0 on the test corpus)."""
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["similarity_ann_rerank"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])] == [1, 2, 3, 4, 5]
+        scores = [r["score"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+        assert all(r["recall5"] == 1.0 for r in rs)
+
+
+def test_domain_reweight_invariants(spark, sf_dir):
+    """DoReMi step: weights form a distribution, respect the smoothing
+    floor, order by excess loss, and the token budget spends the corpus."""
+    from cassabon_spark.queries.extensions import _DRW_SMOOTH
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["pipeline_domain_reweight"].fn(spark, sf_dir).collect()
+    nd = len(rows)
+    assert nd > 1
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    floor = _DRW_SMOOTH / nd
+    assert all(r["weight"] >= floor - 1e-9 for r in rows)
+    # exp is monotone: weight order == excess-loss order
+    by_kl = sorted(rows, key=lambda r: r["excess_loss"])
+    by_w = sorted(rows, key=lambda r: r["weight"])
+    assert [r["source"] for r in by_kl] == [r["source"] for r in by_w]
+    ntot = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["target_tokens"] for r in rows) - ntot) < 1.0
+    for r in rows:
+        assert abs(r["resample_factor"] - r["target_tokens"] / r["n_tokens"]) < 1e-3

@@ -11751,3 +11751,384 @@ def pipeline_domain_reweight(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- LSH band-shape ablation (r10)
+
+# The (bands, rows) knob-choice artifact that pairs with
+# dedup_threshold_ablation's threshold sweep: the SAME 8 MinHash
+# components regrouped as (8,1) / (4,2) / (2,4) bands, each config's
+# candidate set measured against the EXACT 3-gram-Jaccard >= 0.7 truth
+# (shingle-join blocked, dedup_ngram_jaccard's machinery — no cross
+# product), alongside the theoretical s-curve hit probability at s=0.7
+# (1-(1-s^r)^b). This is the table a curation run reads to trade
+# candidate-verification volume (precision) against missed near-dups
+# (recall) before committing to a banding. Truth is computed ONCE; each
+# config's self-join rides salted_self_pairs with the row-local
+# first-matching-band predicate (no distinct-shuffle, dup-farm safe).
+_BAND_ABL_CFGS = ((8, 1), (4, 2), (2, 4))
+
+
+def _band_abl_rows_sql(b: int, r: int) -> str:
+    rows = []
+    for j in range(b):
+        parts = " || ',' || ".join(
+            f"CAST(h{j*r + k} AS VARCHAR)" for k in range(r)
+        )
+        rows.append(
+            f"SELECT doc_id, lang, {j} AS band, MD5({parts}) AS bkey FROM mh"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_BAND_ABL_SQL = f"""
+WITH sh AS ({_SHINGLES}),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+tinter AS (
+  SELECT s1.doc_id AS d1, s2.doc_id AS d2, COUNT(*) AS i
+  FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.lang = s2.lang AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT d1, d2
+  FROM tinter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+  WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+),
+{",".join(
+    f'''
+c{b}_{r} AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM ({_band_abl_rows_sql(b, r)}) a
+  JOIN ({_band_abl_rows_sql(b, r)}) b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang
+       AND a.doc_id < b.doc_id
+)'''
+    for b, r in _BAND_ABL_CFGS
+)},
+cand AS (
+  {" UNION ALL ".join(
+    f"SELECT {b} AS b, {r} AS r, d1, d2 FROM c{b}_{r}" for b, r in _BAND_ABL_CFGS
+  )}
+),
+m AS (
+  SELECT c.b, c.r,
+         COUNT(*) AS n_candidates,
+         SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM cand c LEFT JOIN truth t ON t.d1 = c.d1 AND t.d2 = c.d2
+  GROUP BY c.b, c.r
+),
+nt AS (SELECT COUNT(*) AS n_truth FROM truth)
+SELECT CAST(m.b AS BIGINT) AS n_bands,
+       CAST(m.r AS BIGINT) AS rows_per_band,
+       CAST(m.n_candidates AS BIGINT) AS n_candidates,
+       CAST(nt.n_truth AS BIGINT) AS n_truth,
+       CAST(m.n_hits AS BIGINT) AS n_hits,
+       ROUND(ROUND(m.n_hits * 1.0 / nt.n_truth, 8), 4) AS recall,
+       ROUND(ROUND(m.n_hits * 1.0 / m.n_candidates, 8), 4) AS precision,
+       ROUND(ROUND(1 - POWER(1 - POWER(0.7, m.r), m.b), 8), 4) AS s_curve_at_07
+FROM m CROSS JOIN nt
+ORDER BY n_bands DESC
+"""
+
+
+@register(
+    "dedup_lsh_band_ablation",
+    _BAND_ABL_SQL,
+    "LSH (bands, rows) ablation over the same 8 MinHash components — "
+    "(8,1)/(4,2)/(2,4) — candidate count, recall and precision vs the "
+    "EXACT Jaccard>=0.7 truth, plus the theoretical s-curve hit rate at "
+    "s=0.7; per-config self-joins ride salted_self_pairs with the "
+    "first-matching-band predicate",
+)
+def dedup_lsh_band_ablation(spark, sf_dir):
+    prep(spark)
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
+    sh = (
+        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"))).alias("s"))
+        .distinct()
+    )
+    mh = sh.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
+            for seed in range(_N_HASHES)
+        ]
+    ).cache()
+    # exact truth, computed once: shingle-join blocked Jaccard >= 0.7
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("lang").alias("l1"), F.col("s").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("lang").alias("l2"), F.col("s").alias("sh2"))
+    tinter = (
+        s1.join(
+            s2,
+            (F.col("sh1") == F.col("sh2"))
+            & (F.col("l1") == F.col("l2"))
+            & (F.col("sd1") < F.col("sd2")),
+        )
+        .groupBy("sd1", "sd2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    x, y = sz.alias("x"), sz.alias("y")
+    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+    truth = (
+        tinter.join(x, F.col("sd1") == F.col("x.doc_id"))
+        .join(y, F.col("sd2") == F.col("y.doc_id"))
+        .filter(jac >= 0.7)
+        .select(F.col("sd1").alias("d1"), F.col("sd2").alias("d2"))
+    )
+    cands = []
+    for b, r in _BAND_ABL_CFGS:
+        band_keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"h{j*r + k}").cast("string") for k in range(r)]
+                    )
+                )
+                for j in range(b)
+            ]
+        )
+        bands = mh.select("doc_id", "lang", band_keys.alias("bks")).select(
+            "doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")
+        )
+        first_match = F.lit(False)
+        earlier_all_differ = F.lit(True)
+        for bb in range(b):
+            first_match = first_match | (
+                (F.col("a.band") == bb) & earlier_all_differ
+            )
+            earlier_all_differ = earlier_all_differ & (
+                F.element_at(F.col("a.bks"), bb + 1)
+                != F.element_at(F.col("b.bks"), bb + 1)
+            )
+        cands.append(
+            salted_self_pairs(
+                bands,
+                ["band", "bkey", "lang"],
+                "doc_id",
+                pair_cond=first_match,
+                unique_pairs=True,
+            ).select(
+                F.lit(b).alias("b"),
+                F.lit(r).alias("r"),
+                F.col("id1").alias("d1"),
+                F.col("id2").alias("d2"),
+            )
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    m = (
+        cand.join(
+            truth.withColumn("hit", F.lit(1)), ["d1", "d2"], "left"
+        )
+        .groupBy("b", "r")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    s_curve = 1 - F.pow(1 - F.pow(F.lit(0.7), F.col("r").cast("double")), F.col("b").cast("double"))
+    return (
+        m.crossJoin(F.broadcast(nt))
+        .select(
+            F.col("b").cast("bigint").alias("n_bands"),
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            R(F.col("n_hits") * 1.0 / F.col("n_truth"), 4).alias("recall"),
+            R(F.col("n_hits") * 1.0 / F.col("n_candidates"), 4).alias("precision"),
+            R(s_curve, 4).alias("s_curve_at_07"),
+        )
+        .orderBy(F.desc("n_bands"))
+    )
+
+
+# --------------------------------- ANN probe-budget ablation (r10)
+
+# The nprobe tuning table every vector-store deployment produces before
+# fixing its probe budget: over the SAME md5-pivot IVF index as
+# similarity_ivf_topk (16 deterministic cells), sweep nprobe in {1,2,4}
+# and report, per budget, mean recall@5 vs the exact cosine truth and the
+# mean scanned fraction of the corpus (candidates examined per query /
+# (N-1)) — the recall-vs-cost curve. One cell assignment is computed once
+# (corpus x broadcast pivots, N*k work); each budget row reuses it: the
+# probe fan-out is a row-local threshold explode, candidates come from
+# the same cells equi-join, and the exact truth arm (eval-only, as in
+# similarity_ann_recall) is one broadcast-queries pass. At 100 TB the
+# serving path per budget is the pruned cells join; only the eval arm
+# scans the corpus.
+_PROBE_ABL_NS = (1, 2, 4)
+
+_PROBE_ABL_SQL = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe
+  FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, p.pivot_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                    p.pivot_id
+         ) AS prnk
+  FROM embeddings e, pivots p
+),
+cells AS (SELECT vec_id, embedding, pivot_id FROM assigned WHERE prnk = 1),
+ths AS (SELECT CAST(t.np AS INT) AS np
+        FROM (VALUES {", ".join(f"({n})" for n in _PROBE_ABL_NS)}) AS t(np)),
+qprobe AS (
+  SELECT t.np, a.vec_id AS qid, a.embedding AS qe, a.pivot_id
+  FROM assigned a CROSS JOIN ths t
+  WHERE a.vec_id < 5 AND a.prnk <= t.np
+),
+cand AS (
+  SELECT DISTINCT q.np, q.qid, q.qe, c.vec_id AS cid, c.embedding AS ce
+  FROM qprobe q JOIN cells c USING (pivot_id)
+  WHERE c.vec_id <> q.qid
+),
+top5 AS (
+  SELECT np, qid, cid FROM (
+    SELECT np, qid, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY np, qid
+             ORDER BY {_IVF_DOT.format(a="qe", b="ce")}
+                      / ({_IVF_NORM.format(a="qe")} * {_IVF_NORM.format(a="ce")}) DESC, cid
+           ) AS rnk
+    FROM cand) WHERE rnk <= 5
+),
+exact5 AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_IVF_DOT.format(a="a.embedding", b="b.embedding")}
+                      / ({_IVF_NORM.format(a="a.embedding")} * {_IVF_NORM.format(a="b.embedding")}) DESC,
+                      b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id < 5) WHERE rnk <= 5
+),
+hits AS (
+  SELECT t.np, e.qid, COUNT(s.cid) * 1.0 / 5 AS recall5
+  FROM exact5 e CROSS JOIN ths t
+  LEFT JOIN top5 s ON s.np = t.np AND s.qid = e.qid AND s.cid = e.cid
+  GROUP BY t.np, e.qid
+),
+scanned AS (
+  SELECT np, qid, COUNT(*) AS n_scanned FROM cand GROUP BY np, qid
+),
+n AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT CAST(h.np AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(ROUND(AVG(h.recall5), 8), 4) AS mean_recall5,
+       ROUND(ROUND(AVG(s.n_scanned * 1.0 / (n.n - 1)), 8), 4) AS mean_scanned_frac
+FROM hits h JOIN scanned s ON s.np = h.np AND s.qid = h.qid CROSS JOIN n
+GROUP BY h.np
+ORDER BY nprobe
+"""
+
+
+@register(
+    "similarity_probe_ablation",
+    _PROBE_ABL_SQL,
+    "IVF nprobe ablation (the recall-vs-cost tuning curve): over the same "
+    f"md5-pivot {_IVF_K}-cell index as similarity_ivf_topk, sweep nprobe "
+    f"in {_PROBE_ABL_NS} and report mean recall@5 vs exact truth and mean "
+    "scanned corpus fraction per budget; one cell assignment reused by "
+    "every budget row",
+)
+def similarity_probe_ablation(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+    )
+    sim_p = cosine_sim_expr("embedding", "pe")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
+        "prnk", F.row_number().over(w_assign)
+    )
+    cells = assigned.filter(F.col("prnk") == 1).select("vec_id", "embedding", "pivot_id")
+    ths = F.array(*[F.lit(n) for n in _PROBE_ABL_NS])
+    qprobe = (
+        assigned.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            "pivot_id",
+            "prnk",
+            F.explode(ths).alias("np"),
+        )
+        .filter(F.col("prnk") <= F.col("np"))
+        .drop("prnk")
+    )
+    cand = (
+        cells.join(F.broadcast(qprobe), "pivot_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("np", "qid", "qe", F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .distinct()
+    )
+    sim = cosine_sim_expr("qe", "ce")
+    w5 = Window.partitionBy("np", "qid").orderBy(F.desc(sim), F.asc("cid"))
+    top5 = (
+        cand.withColumn("rnk", F.row_number().over(w5))
+        .filter(F.col("rnk") <= 5)
+        .select("np", "qid", "cid", F.lit(1).alias("hit"))
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    exact = (
+        emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("cid") != F.col("qid"))
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.desc(cosine_sim_expr("qe", "ce")), F.asc("cid"))
+    exact5 = (
+        exact.withColumn("rnk", F.row_number().over(w_ex))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid")
+    )
+    hits = (
+        exact5.select("qid", "cid", F.explode(ths).alias("np"))
+        .join(top5, ["np", "qid", "cid"], "left")
+        .groupBy("np", "qid")
+        .agg((F.count("hit") * 1.0 / 5).alias("recall5"))
+    )
+    scanned = cand.groupBy("np", "qid").agg(F.count(F.lit(1)).alias("n_scanned"))
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hits.join(scanned, ["np", "qid"])
+        .crossJoin(F.broadcast(n))
+        .groupBy("np")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            R(F.avg("recall5"), 4).alias("mean_recall5"),
+            R(F.avg(F.col("n_scanned") * 1.0 / (F.col("n") - 1)), 4).alias(
+                "mean_scanned_frac"
+            ),
+        )
+        .select(
+            F.col("np").cast("bigint").alias("nprobe"),
+            "n_queries",
+            "mean_recall5",
+            "mean_scanned_frac",
+        )
+        .orderBy("nprobe")
+    )

@@ -143,3 +143,41 @@ def test_domain_reweight_invariants(spark, sf_dir):
     assert abs(sum(r["target_tokens"] for r in rows) - ntot) < 1.0
     for r in rows:
         assert abs(r["resample_factor"] - r["target_tokens"] / r["n_tokens"]) < 1e-3
+
+
+def test_lsh_band_ablation_tradeoff(spark, sf_dir):
+    """More rows per band => stricter bands: candidate volume shrinks,
+    precision can only rise; hits never exceed truth or candidates."""
+    from cassabon_spark.queries import load_registry
+
+    rows = sorted(
+        load_registry()["dedup_lsh_band_ablation"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rows_per_band"],
+    )
+    assert [(r["n_bands"], r["rows_per_band"]) for r in rows] == [(8, 1), (4, 2), (2, 4)]
+    cands = [r["n_candidates"] for r in rows]
+    assert cands[0] >= cands[1] >= cands[2]
+    precs = [r["precision"] for r in rows]
+    assert precs[0] <= precs[1] <= precs[2]
+    scurve = [r["s_curve_at_07"] for r in rows]
+    assert scurve[0] > scurve[1] > scurve[2]
+    for r in rows:
+        assert r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["precision"] <= 1.0
+
+
+def test_probe_ablation_recall_cost_curve(spark, sf_dir):
+    """A bigger probe budget can only scan more and recall more."""
+    from cassabon_spark.queries import load_registry
+
+    rows = sorted(
+        load_registry()["similarity_probe_ablation"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    assert all(r["n_queries"] == 5 for r in rows)
+    rec = [r["mean_recall5"] for r in rows]
+    frac = [r["mean_scanned_frac"] for r in rows]
+    assert rec[0] <= rec[1] <= rec[2]
+    assert frac[0] <= frac[1] <= frac[2]
+    assert all(0.0 < f <= 1.0 for f in frac)

@@ -11766,6 +11766,11 @@ def pipeline_domain_reweight(spark, sf_dir):
 # (recall) before committing to a banding. Truth is computed ONCE; each
 # config's self-join rides salted_self_pairs with the row-local
 # first-matching-band predicate (no distinct-shuffle, dup-farm safe).
+# Scale honesty: the truth arm is EVAL-ONLY — its shingle join is
+# quadratic in exact-dup group size (identical docs share every shingle),
+# so at corpus scale the ablation runs on a sample, or content-collapses
+# exact dups first exactly as _minhash_pair_frames does; the candidate
+# arms themselves are dup-farm safe.
 _BAND_ABL_CFGS = ((8, 1), (4, 2), (2, 4))
 
 

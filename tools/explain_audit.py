@@ -54,7 +54,20 @@ ADJUDICATED_SINGLE_TASK_SORTS = {
 # per-site-count budget discipline. The runtime detector reads the feeding
 # shuffle's actual row/partition stats, so a waiver here asserts the SHAPE
 # is accepted (documented why), not that the detector misread the plan.
-ADJUDICATED_BOUNDED_ANCHOR = {}
+ADJUDICATED_BOUNDED_ANCHOR = {
+    # r10: the SQ8 candidate scan's top-R window (R=32, anchor = the
+    # 5-query eval set). The plan carries the same map-side
+    # WindowGroupLimit partial as every other per-query top-k entry
+    # (verified: the entry's exact-truth window with K=5 prunes 2495 ->
+    # 800 crossing rows in the SAME run), but R=32 exceeds the per-
+    # (partition, query) row count at audit scale (~16), so the partial
+    # keeps everything and the full 2495 rows cross — no exact top-32
+    # could cross fewer. At corpus scale crossing is bounded by
+    # R x |Q| x map_partitions with |Q|-parallel reduce, the accepted
+    # shape of the whole ANN family; the flag is the R/K calibration
+    # artifact, not a missing group limit.
+    "similarity_ann_rerank": 1,
+}
 
 HEADLINE = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",

@@ -64,6 +64,13 @@ QUERIES = [
     # corpus (banded every raw dup-farm copy); the stress row here IS the
     # round's done-criterion for the collapse
     "streaming_neardup_incremental",
+    # r10 (NEXT #4, no-silent-caps): CDC chunking — chunk construction is
+    # row-local HOF work, so the dup farm costs it only linear re-hashing
+    # of identical chunk text; the control row proving a map-only pipeline
+    # rides the same corpus flat. (The band/probe ablations stay OUT: the
+    # band ablation's exact-truth arm is quadratic in exact-dup mass BY
+    # DESIGN — documented in-entry as eval-only/sample-first.)
+    "dedup_cdc_chunks",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
@@ -292,7 +299,20 @@ def main():
         "embeddings (2M vectors, ~7 min) — re-measures the three-point "
         "N^1.5 fit recorded in SCALE_r08.md instead of trusting it",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma list: restrict the sweep to these QUERIES entries "
+        "(targeted re-measure of one row; skips the pivot-assignment "
+        "exponent section, which needs no query context)",
+    )
     args = ap.parse_args()
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(QUERIES)
+        if unknown:
+            ap.error(f"--only names not in QUERIES: {sorted(unknown)}")
+        QUERIES[:] = [q for q in QUERIES if q in keep]
 
     # get_spark disables the UI; this harness NEEDS the UI REST API for
     # per-stage task summaries, so build an equivalent session with it on
@@ -380,6 +400,27 @@ def main():
             f"{' waived: ' + GROWTH_WAIVERS[name] if waived else ''} |"
         )
         details.append((name, stages))
+
+    if args.only:
+        # targeted query re-measure: the pivot-assignment / ingest
+        # sections have no per-query context — print stage details for
+        # what ran and stop
+        print()
+        for name, stages in details:
+            print(f"## {name} — stages with median >= {MEDIAN_FLOOR_MS:.0f}ms\n")
+            print("| stage | name | tasks | median ms | max ms | ratio |")
+            print("|---|---|---|---|---|---|")
+            for s in sorted(stages, key=lambda s: -s["max_ms"])[:8]:
+                print(
+                    f"| {s['stage']} | {s['name']} | {s['tasks']} | "
+                    f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} |"
+                )
+            print()
+        print(
+            f"**Gate failures ({'/'.join(QUERIES)} only): {n_straggler} straggler "
+            f"+ {n_narrow} narrow-heavy + {n_superlinear} superlinear**"
+        )
+        return
 
     # pivot-assignment exponent A/B (VERDICT r7 #2/#3): the two-level
     # quantizer's assignment work must stay ~N^1.5; measure its task time

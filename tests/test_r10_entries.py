@@ -181,3 +181,83 @@ def test_probe_ablation_recall_cost_curve(spark, sf_dir):
     assert rec[0] <= rec[1] <= rec[2]
     assert frac[0] <= frac[1] <= frac[2]
     assert all(0.0 < f <= 1.0 for f in frac)
+
+
+# ---------------------------------------------------------------- CDC property fuzz
+
+def _py_cdc_chunks(toks: list[str], d: int = 16) -> list[str]:
+    """Pure-python mirror of the CDC partition (validated against the
+    Spark frame below, then fuzzed cheaply without a Spark job per
+    example): token i ends a chunk iff h48('cdc:'||tok) % d == 0; the
+    last token always ends the final chunk."""
+    chunks, cur = [], []
+    for t in toks:
+        cur.append(t)
+        if _is_boundary(t, d):
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+def test_cdc_python_mirror_matches_spark(spark):
+    """One Spark job pins the python mirror to the real chunker on a
+    batch of adversarial docs (boundary at head/tail, all-boundary,
+    no-boundary, mixed)."""
+    import random
+
+    rng = random.Random(1234)
+    docs, expected = [], {}
+    pool_b = _mk_tokens(40, True, "fb")
+    pool_n = _mk_tokens(40, False, "fn")
+    for did in range(1, 21):
+        n = rng.randint(1, 50)
+        toks = [rng.choice(pool_b if rng.random() < 0.2 else pool_n) for _ in range(n)]
+        docs.append((did, " ".join(toks), "en", "s", 0))
+        expected[did] = _py_cdc_chunks(toks)
+    from cassabon_spark.queries.extensions import _cdc_chunk_frame
+
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    got: dict[int, list[str]] = {}
+    for r in _cdc_chunk_frame(df).select("doc_id", "ctext").collect():
+        got.setdefault(r["doc_id"], []).append(r["ctext"])
+    assert got == expected
+
+
+def test_cdc_edit_locality_property():
+    """Fuzzed CDC contract (on the pinned python mirror): ONE token
+    insertion or deletion changes the chunk multiset by at most 3
+    elements — the edited chunk plus at most a split/merge neighbor —
+    regardless of where the edit lands. Fixed-stride chunking violates
+    this for every edit not in the last window."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pool = _mk_tokens(12, False, "hz") + _mk_tokens(4, True, "hb")
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        toks=st.lists(st.sampled_from(pool), min_size=1, max_size=80),
+        pos=st.integers(min_value=0, max_value=80),
+        ins=st.sampled_from(pool),
+        delete=st.booleans(),
+    )
+    def check(toks, pos, ins, delete):
+        if delete:
+            if len(toks) < 2:
+                return
+            p = min(pos, len(toks) - 1)
+            edited = toks[:p] + toks[p + 1 :]
+        else:
+            p = min(pos, len(toks))
+            edited = toks[:p] + [ins] + toks[p:]
+        a, b = Counter(_py_cdc_chunks(toks)), Counter(_py_cdc_chunks(edited))
+        diff = sum(((a - b) + (b - a)).values())
+        assert diff <= 3, (toks, edited, diff)
+
+    check()

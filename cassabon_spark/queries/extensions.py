@@ -12137,3 +12137,259 @@ def similarity_probe_ablation(spark, sf_dir):
         )
         .orderBy("nprobe")
     )
+
+
+# --------------------------------- snapshot time travel (r10)
+
+# The one documented SnapshotTable capability without its own gated entry
+# until now: version time travel. Build a three-commit table from the
+# corpus (append evens -> v0, append odds -> v1, retention-drop the 'en'
+# partition -> head), then read ALL THREE snapshots side by side and
+# aggregate. The oracle states each snapshot's relational definition, so
+# the manifest reconstruction path (action-log replay / checkpoint) is
+# verified value-exact for historical versions, not just the head —
+# time travel at 100 TB is a manifest pin (choose version v's file list
+# driver-side), zero data IO beyond the chosen files.
+_TT_SQL = """
+WITH v0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+v1 AS (SELECT * FROM documents),
+hd AS (SELECT * FROM documents WHERE lang <> 'en'),
+u AS (
+  SELECT 'v0' AS snapshot, lang, n_chars FROM v0
+  UNION ALL SELECT 'v1', lang, n_chars FROM v1
+  UNION ALL SELECT 'head', lang, n_chars FROM hd
+)
+SELECT snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM u GROUP BY snapshot ORDER BY snapshot
+"""
+
+_TT_TABLE_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+@register(
+    "snapshot_time_travel",
+    _TT_SQL,
+    "snapshot-table VERSION TIME TRAVEL: three commits (append evens, "
+    "append odds, retention-drop 'en'); reads AS OF v0, v1 and head in "
+    "one query, each snapshot's aggregate matching its relational "
+    "definition — historical manifests reconstruct exactly, and a "
+    "time-travel read is a driver-side manifest pin, no extra data IO",
+)
+def snapshot_time_travel(spark, sf_dir):
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    per_session = _TT_TABLE_MEMO.setdefault(spark, {})
+    memo_key = _os.path.abspath(str(sf_dir))
+    if memo_key in per_session:
+        t, v0, v1 = per_session[memo_key]
+    else:
+        docs = T(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="cassabon_tt_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        t = SnapshotTable(spark, root)
+        v0 = t.append(docs.filter(F.col("doc_id") % 2 == 0), partition_cols=("lang",))
+        v1 = t.append(docs.filter(F.col("doc_id") % 2 == 1), partition_cols=("lang",))
+        t.drop_partitions(lambda p: p["lang"] == "en")
+        per_session[memo_key] = (t, v0, v1)
+    u = (
+        t.read(version=v0).select(F.lit("v0").alias("snapshot"), "lang", "n_chars")
+        .unionByName(
+            t.read(version=v1).select(F.lit("v1").alias("snapshot"), "lang", "n_chars")
+        )
+        .unionByName(
+            t.read().select(F.lit("head").alias("snapshot"), "lang", "n_chars")
+        )
+    )
+    return (
+        u.groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+        )
+        .orderBy("snapshot")
+    )
+
+
+# --------------------------------- filtered vector search (r10)
+
+# Filtered ANN — top-k among vectors satisfying a metadata predicate —
+# is the production vector-store query shape (every real retrieval call
+# carries a tenant/language/label filter). The index is built ONCE over
+# the FULL corpus (filter-agnostic, the realistic deployment: you cannot
+# rebuild per predicate); the predicate applies at probe time, after the
+# cell cut. Per query: target label = (qid * 7) % 10 (~10% selectivity),
+# exact truth = brute-force top-5 over the filtered corpus (the gated
+# VALUES), the IVF arm probes nprobe=2 of the same md5-pivot cells as
+# similarity_ivf_topk then filters, and its recall@5 is an exact-gated
+# value alongside the per-query eligible-corpus size. At 100 TB the
+# predicate also prunes the SCAN (label partition / footer stats) before
+# the cell probe — filtered ANN stacks the table's pruning layers with
+# the index's. The measured recall (reported per query as a gated
+# value) deliberately shows filtered search's budget problem: at equal
+# nprobe, recall drops vs unfiltered ANN because each probed cell's
+# ELIGIBLE candidate count shrinks ~selectivity-fold (sf0.001 reads
+# 0.2-0.8 at nprobe=4 vs 0.0-0.4 at nprobe=2) — the documented
+# motivation for filter-aware probe budgets in production stores.
+_FANN_NPROBE = 4
+
+_FANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe, (vec_id * 7) % 10 AS target
+  FROM embeddings WHERE vec_id < 5
+),
+elig AS (
+  SELECT q.qid, COUNT(*) AS n_eligible
+  FROM q JOIN embeddings e ON e.label = q.target AND e.vec_id <> q.qid
+  GROUP BY q.qid
+),
+exact5 AS (
+  SELECT qid, cid, cos, rnk FROM (
+    SELECT q.qid, e.vec_id AS cid,
+           {_IVF_DOT.format(a="q.qe", b="e.embedding")}
+             / ({_IVF_NORM.format(a="q.qe")} * {_IVF_NORM.format(a="e.embedding")}) AS cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_IVF_DOT.format(a="q.qe", b="e.embedding")}
+                      / ({_IVF_NORM.format(a="q.qe")} * {_IVF_NORM.format(a="e.embedding")}) DESC,
+                      e.vec_id) AS rnk
+    FROM q JOIN embeddings e ON e.label = q.target AND e.vec_id <> q.qid
+  ) WHERE rnk <= 5
+),
+pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS pe
+  FROM embeddings
+  ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {_IVF_K}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.label, p.pivot_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+                    p.pivot_id
+         ) AS prnk
+  FROM embeddings e, pivots p
+),
+cells AS (SELECT vec_id, embedding, label, pivot_id FROM assigned WHERE prnk = 1),
+qprobe AS (
+  SELECT a.vec_id AS qid, a.embedding AS qe, q.target, a.pivot_id
+  FROM assigned a JOIN q ON q.qid = a.vec_id
+  WHERE a.prnk <= {_FANN_NPROBE}
+),
+ivf5 AS (
+  SELECT qid, cid FROM (
+    SELECT p.qid, c.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.qid
+             ORDER BY {_IVF_DOT.format(a="p.qe", b="c.embedding")}
+                      / ({_IVF_NORM.format(a="p.qe")} * {_IVF_NORM.format(a="c.embedding")}) DESC,
+                      c.vec_id) AS rnk
+    FROM (SELECT DISTINCT qid, qe, target, pivot_id FROM qprobe) p
+    JOIN cells c ON c.pivot_id = p.pivot_id
+                AND c.label = p.target AND c.vec_id <> p.qid
+  ) WHERE rnk <= 5
+),
+rec AS (
+  SELECT e.qid, COUNT(i.cid) * 1.0 / COUNT(*) AS recall5
+  FROM exact5 e LEFT JOIN ivf5 i ON i.qid = e.qid AND i.cid = e.cid
+  GROUP BY e.qid
+)
+SELECT x.qid, x.cid,
+       ROUND(ROUND(x.cos, 8), 4) AS cosine,
+       CAST(x.rnk AS BIGINT) AS rnk,
+       CAST(g.n_eligible AS BIGINT) AS n_eligible,
+       ROUND(ROUND(r.recall5, 8), 4) AS recall5
+FROM exact5 x JOIN elig g ON g.qid = x.qid JOIN rec r ON r.qid = x.qid
+ORDER BY x.qid, x.rnk
+"""
+
+
+@register(
+    "similarity_filtered_ann",
+    _FANN_SQL,
+    "filtered vector search (top-k under a metadata predicate): one "
+    "filter-agnostic md5-pivot IVF index over the full corpus, per-query "
+    f"label predicate (~10% selectivity) applied AFTER the nprobe="
+    f"{_FANN_NPROBE} cell cut; output = exact filtered top-5 truth + the "
+    "filtered-IVF recall@5 and eligible-corpus size as exact-gated values",
+)
+def similarity_filtered_ann(spark, sf_dir):
+    prep(spark)
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings", wide=True)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        ((F.col("vec_id") * 7) % 10).cast("int").alias("target"),
+    )
+    corp = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label"
+    )
+    filt = corp.join(F.broadcast(q), (F.col("label") == F.col("target")) & (F.col("cid") != F.col("qid")))
+    elig = filt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_eligible"))
+    cos = cosine_sim_expr("qe", "ce")
+    exact5 = (
+        filt.select("qid", "cid", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+        .filter(F.col("rnk") <= 5)
+    )
+    # filter-agnostic index: same pivots/cells as similarity_ivf_topk
+    pivots = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(_IVF_K)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+    )
+    sim_p = cosine_sim_expr("embedding", "pe")
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
+        "prnk", F.row_number().over(w_assign)
+    )
+    cells = assigned.filter(F.col("prnk") == 1).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label", "pivot_id"
+    )
+    qprobe = (
+        assigned.filter(F.col("vec_id") < 5)
+        .filter(F.col("prnk") <= _FANN_NPROBE)
+        .join(F.broadcast(q.select("qid", "target")), F.col("vec_id") == F.col("qid"))
+        .select("qid", F.col("embedding").alias("qe"), "target", "pivot_id")
+    )
+    sim_c = cosine_sim_expr("qe", "ce")
+    ivf5 = (
+        cells.join(F.broadcast(qprobe), "pivot_id")
+        .filter((F.col("label") == F.col("target")) & (F.col("cid") != F.col("qid")))
+        .select("qid", "cid", sim_c.alias("cos"))
+        .withColumn("rnk", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "cid", F.lit(1).alias("hit"))
+    )
+    rec = (
+        exact5.select("qid", "cid")
+        .join(ivf5, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg((F.count("hit") * 1.0 / F.count(F.lit(1))).alias("recall5"))
+    )
+    return (
+        exact5.join(F.broadcast(elig), "qid")
+        .join(F.broadcast(rec), "qid")
+        .select(
+            "qid",
+            "cid",
+            R(F.col("cos"), 4).alias("cosine"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+            F.col("n_eligible").cast("bigint").alias("n_eligible"),
+            R(F.col("recall5"), 4).alias("recall5"),
+        )
+        .orderBy("qid", "rnk")
+    )

@@ -261,3 +261,38 @@ def test_cdc_edit_locality_property():
         assert diff <= 3, (toks, edited, diff)
 
     check()
+
+
+def test_snapshot_time_travel_versions(spark, sf_dir):
+    """Historical snapshots reconstruct exactly: v0 ⊂ v1 (appends), head
+    = v1 minus the dropped 'en' partition, and v1 keeps all languages."""
+    from cassabon_spark.queries import load_registry
+
+    rows = {r["snapshot"]: r for r in load_registry()["snapshot_time_travel"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"v0", "v1", "head"}
+    assert rows["v0"]["n_rows"] < rows["v1"]["n_rows"]
+    assert rows["head"]["n_rows"] < rows["v1"]["n_rows"]
+    assert rows["head"]["n_langs"] == rows["v1"]["n_langs"] - 1  # 'en' dropped
+    assert rows["v0"]["chars_total"] < rows["v1"]["chars_total"]
+
+
+def test_filtered_ann_predicate_and_recall(spark, sf_dir):
+    """Filtered search contract: every truth row satisfies the per-query
+    label predicate, 5 rows per query, and the filtered-IVF recall is a
+    value in [0, 1] shared by the query's rows."""
+    from cassabon_spark.queries import load_registry
+
+    rows = load_registry()["similarity_filtered_ann"].fn(spark, sf_dir).collect()
+    emb = {r["vec_id"]: r["label"] for r in
+           spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "label").collect()}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        target = (q * 7) % 10
+        assert all(emb[r["cid"]] == target for r in rs)  # predicate holds
+        assert sorted(r["rnk"] for r in rs) == [1, 2, 3, 4, 5]
+        assert len({r["recall5"] for r in rs}) == 1
+        assert 0.0 <= rs[0]["recall5"] <= 1.0
+        assert all(r["n_eligible"] >= 5 for r in rs)

@@ -4154,18 +4154,64 @@ def _sndi_within_rep_pairs(arr):
 
 
 def _sndi_make_processor(
-    spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app
+    spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app, ttl=None
 ):
     """Build the incremental loop's per-batch probe-then-absorb processor
     (the foreachBatch body of `streaming_neardup_incremental`). Module-
     level so tests can drive the replay semantics DIRECTLY — call it with
     a repeated batch_id (checkpoint replay) or inject an append failure
     between the txn-keyed appends (partial crash) and assert the final
-    state matches a clean run (tests/test_snd_modes.py)."""
+    state matches a clean run (tests/test_snd_modes.py).
+
+    ttl (r11, VERDICT r10 #1 — the rolling-corpus retention the loop
+    lacked; the reference's one retention behavior is the metric TTL at
+    /root/reference/datastore/metricmanager.go:163-171): with ttl=N, the
+    loop becomes a BOUNDED dedup window — an arriving doc pairs with a
+    previous doc iff that doc arrived within the last N microbatches
+    (earlier.bid > current_bid - N; within-batch always pairs). Semantics
+    come from the READ predicate, space from compaction:
+
+      * every state append (members / band index / rep pairs) stamps the
+        writing batch id `bid`; every pruned read filters bid > b - N.
+      * REP-INDEX FRESHNESS is refresh-on-touch: the band-index row and
+        rep-pair rows of a content key are re-appended with the current
+        bid whenever KNOWN content re-arrives (a "touch"), so a content
+        group with fresh members never has an expired index entry —
+        invariant: an X-side state row is unexpired iff X has an
+        unexpired member. Reads keep a SINGLE unexpired copy
+        (dropDuplicates on the content-determined identity; refresh
+        copies are identical except bid, reps excluded) so rep pairs
+        never double-emit.
+      * a content whose members ALL expired is DEAD: its re-arrival is
+        treated as NEW (known derives from the filtered member read), is
+        re-banded and re-probed, and its still-unexpired historical
+        rep-pair rows are EXCLUDED (anti-join vs dead batch cks, both
+        sides) — otherwise the fresh probe pair and the stale stored
+        pair would emit the same member pairs twice (rep-pair rows can
+        carry a bid newer than their side's last member arrival, because
+        pair CREATION stamps both directions).
+      * compaction drops expired rows (filter inside the auto-compact
+        rewrite) — provably safe: a row expired at batch b stays expired
+        at every later batch.
+
+    Doc_ids are arrival-unique (a re-crawled page gets a fresh doc_id;
+    the same doc_id never arrives twice) — the standard crawl-record
+    contract; same-content re-arrivals are the ck-level case above.
+    ttl=None keeps the unbounded r10 semantics bit-identical (reads
+    unfiltered, no refresh appends; bid is stamped either way).
+    tests/test_snd_ttl.py pins the window against an independent python
+    LSH mirror over crafted batch schedules (refresh-on-touch keep-alive,
+    dead re-introduction, the two stale-pair double-emission hazards) and
+    keeps the crash/replay matrix green with ttl set."""
     from cassabon_spark.operators.skew import salted_join, salted_self_pairs
 
     def _process(batch_df, batch_id):
         bid = int(batch_id)
+        # the rolling-window predicate every state read applies when ttl
+        # is set: a row written at batch b' is live at batch b iff
+        # b' > b - ttl (so the window spans this batch plus the ttl-1
+        # before it). Expiry is monotone in b — safe to drop at compaction.
+        live = F.col("bid") > F.lit(bid - ttl) if ttl else None
         ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
         # batch content groups; >= 3-token filter matches the direct
         # path's "no shingles -> never a candidate" semantics (see
@@ -4195,11 +4241,13 @@ def _sndi_make_processor(
             # expansion + known-ck detection), manifest-pruned to the
             # batch's ckpk partitions
             if mem_tbl.version() is not None:
+                mem_r = mem_tbl.read(
+                    partition_filter=lambda p: p.get("ckpk") in b_ckpks
+                )
+                if ttl:
+                    mem_r = mem_r.filter(live)
                 mem_b = (
-                    mem_tbl.read(
-                        partition_filter=lambda p: p.get("ckpk") in b_ckpks
-                    )
-                    .join(bcks, "ck", "left_semi")
+                    mem_r.join(bcks, "ck", "left_semi")
                     .select("ck", "doc_id")
                     .persist()
                 )
@@ -4209,6 +4257,10 @@ def _sndi_make_processor(
                 ).persist()
             persisted.append(mem_b)
             known = mem_b.select("ck").distinct()
+            # batch cks whose content is DEAD (no live member): re-arrivals
+            # of these are treated as new (known excludes them already);
+            # their stale rep-pair rows are excluded from rp_old below
+            dead = bcks.join(known, "ck", "left_anti") if ttl else None
 
             # ONE rep per previously-unseen content: only these are ever
             # banded/verified — the collapse that bounds verified-pair
@@ -4238,6 +4290,13 @@ def _sndi_make_processor(
                     idx = idx_tbl.read(
                         partition_filter=lambda p: p.get("pk") in pks
                     )
+                    if ttl:
+                        # single-unexpired-copy invariant: refresh-on-touch
+                        # re-appends identical band rows (modulo bid and the
+                        # touching batch's rep doc_id, neither join-relevant)
+                        # — keep one live copy per (ck, band) so a new rep
+                        # matches a refreshed content exactly once
+                        idx = idx.filter(live).dropDuplicates(["ck", "band"])
                     rp_new = rp_new.unionByName(_snd_rep_pairs(arr, idx))
             rp_new = rp_new.persist()
             persisted.append(rp_new)
@@ -4245,15 +4304,33 @@ def _sndi_make_processor(
             # historical rep pairs touching the batch's cks (stored BOTH
             # directions, so one ckpk-pruned scan probes by either side)
             if rp_tbl.version() is not None:
-                rp_old = (
-                    rp_tbl.read(
-                        partition_filter=lambda p: p.get("ckpk") in b_ckpks
+                rp_old = rp_tbl.read(
+                    partition_filter=lambda p: p.get("ckpk") in b_ckpks
+                ).join(bcks.withColumnRenamed("ck", "cka"), "cka", "left_semi")
+                if ttl:
+                    # live + one copy per unordered-pair direction (refresh
+                    # re-appends; jraw is content-determined so any copy
+                    # serves), then drop rows touching DEAD batch content on
+                    # EITHER side: a dead re-arrival is re-probed as new, so
+                    # its pairs re-emit through rp_new — keeping the stale
+                    # row would emit the same member pairs twice (creation
+                    # stamps both directions with the creating batch's bid,
+                    # which can outlive the content's own members)
+                    rp_old = (
+                        rp_old.filter(live)
+                        .dropDuplicates(["cka", "ckb"])
+                        .join(
+                            dead.withColumnRenamed("ck", "cka"),
+                            "cka",
+                            "left_anti",
+                        )
+                        .join(
+                            dead.withColumnRenamed("ck", "ckb"),
+                            "ckb",
+                            "left_anti",
+                        )
                     )
-                    .join(
-                        bcks.withColumnRenamed("ck", "cka"), "cka", "left_semi"
-                    )
-                    .select("cka", "ckb", "jraw")
-                )
+                rp_old = rp_old.select("cka", "ckb", "jraw")
             else:
                 rp_old = spark.createDataFrame(
                     [], "cka string, ckb string, jraw double"
@@ -4277,12 +4354,13 @@ def _sndi_make_processor(
                 .collect()
             }
             if mem_tbl.version() is not None and p_ckpks:
-                mem_p = (
-                    mem_tbl.read(
-                        partition_filter=lambda p: p.get("ckpk") in p_ckpks
-                    )
-                    .join(partners, "ck", "left_semi")
-                    .select("ck", "doc_id")
+                mem_pr = mem_tbl.read(
+                    partition_filter=lambda p: p.get("ckpk") in p_ckpks
+                )
+                if ttl:
+                    mem_pr = mem_pr.filter(live)
+                mem_p = mem_pr.join(partners, "ck", "left_semi").select(
+                    "ck", "doc_id"
                 )
             else:
                 mem_p = spark.createDataFrame([], "ck string, doc_id bigint")
@@ -4353,20 +4431,43 @@ def _sndi_make_processor(
                 .select("d1", "d2", F.round("jraw", 4).alias("jaccard"))
             )
 
+            # ---- refresh-on-touch (ttl only): known content that
+            # re-arrived this batch gets its band-index rows re-banded
+            # (one rep per touched ck — signature cost bounded by distinct
+            # re-arriving contents) and its live rep-pair rows re-appended,
+            # both stamped with the current bid, so the index entry of any
+            # content with live members is itself live. rp_exp's non-new
+            # rows ARE the live alive-alive rows touching batch cks — the
+            # exact refresh set.
+            arr_refresh = None
+            if ttl:
+                touch = bg.join(known, "ck", "left_semi")
+                reps_t = touch.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
+                touch_docs = touch.join(reps_t, ["ck", "doc_id"]).select(
+                    "doc_id", "lang", "text", "ck"
+                )
+                arr_refresh = _snd_band_frame(
+                    touch_docs, width=width, extra=("ck",)
+                ).withColumn(
+                    "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
+                )
+
             # ---- absorb, in replay-safe dependency order (docstring)
             out_tbl.append(pairs, txn=(app + ":pairs", bid))
-            rp_store = (
-                rp_new.unionByName(
-                    rp_new.select(
-                        F.col("ckb").alias("cka"),
-                        F.col("cka").alias("ckb"),
-                        "jraw",
-                    )
-                )
-                .withColumn(
-                    "ckpk", F.pmod(F.xxhash64("cka"), F.lit(n_ckpk)).cast("int")
+            rp_store = rp_new.unionByName(
+                rp_new.select(
+                    F.col("ckb").alias("cka"),
+                    F.col("cka").alias("ckb"),
+                    "jraw",
                 )
             )
+            if ttl:
+                rp_store = rp_store.unionByName(
+                    rp_exp.filter(~F.col("is_new")).select("cka", "ckb", "jraw")
+                )
+            rp_store = rp_store.withColumn(
+                "ckpk", F.pmod(F.xxhash64("cka"), F.lit(n_ckpk)).cast("int")
+            ).withColumn("bid", F.lit(bid))
             rp_tbl.append(
                 rp_store.repartition(min(n_ckpk, width), "ckpk"),
                 partition_cols=("ckpk",),
@@ -4376,22 +4477,35 @@ def _sndi_make_processor(
             # under partitionBy(pk) would write up to width x n_pk small
             # files PER BATCH (measured 1280 at sf0.1); clustered, each
             # touched pk lands in ~1 file
+            idx_store = (
+                arr.unionByName(arr_refresh) if arr_refresh is not None else arr
+            ).withColumn("bid", F.lit(bid))
             idx_tbl.append(
-                arr.repartition(min(n_pk, 8 * width), "pk"),
+                idx_store.repartition(min(n_pk, 8 * width), "pk"),
                 partition_cols=("pk",),
                 txn=(app + ":idx", bid),
             )
             mem_tbl.append(
-                bg.select("ck", "doc_id", "lang", "ckpk").repartition(
-                    min(n_ckpk, 8 * width), "ckpk"
-                ),
+                bg.select("ck", "doc_id", "lang", "ckpk")
+                .withColumn("bid", F.lit(bid))
+                .repartition(min(n_ckpk, 8 * width), "ckpk"),
                 partition_cols=("ckpk",),
                 txn=(app + ":mem", bid),
             )
             # lifecycle (VERDICT r9 #3): bounded file/manifest counts under
-            # unbounded appends — threshold check is one manifest read
-            idx_tbl.auto_compact(lambda d: d.coalesce(1), partition_cols=("pk",))
-            mem_tbl.auto_compact(lambda d: d.coalesce(1), partition_cols=("ckpk",))
+            # unbounded appends — threshold check is one manifest read.
+            # With ttl the rewrite also DROPS expired rows (space bounded by
+            # live-window mass; monotone expiry makes the drop safe), and
+            # the rep-pair table compacts too — refresh appends grow it.
+            comp = (
+                (lambda d: d.filter(live).coalesce(1))
+                if ttl
+                else (lambda d: d.coalesce(1))
+            )
+            idx_tbl.auto_compact(comp, partition_cols=("pk",))
+            mem_tbl.auto_compact(comp, partition_cols=("ckpk",))
+            if ttl:
+                rp_tbl.auto_compact(comp, partition_cols=("ckpk",))
         finally:
             for p in persisted:
                 p.unpersist()
@@ -4468,6 +4582,19 @@ def streaming_neardup_incremental_q(spark, sf_dir):
     manifest read), so per-partition file count and manifest count stay
     bounded under unbounded streaming appends —
     tests/test_snd_modes.py::test_incremental_state_tables_bounded."""
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    return _sndi_run_stream(spark, docs)
+
+
+def _sndi_run_stream(spark, docs):
+    """The incremental loop's streaming CARRIER, shared by
+    `streaming_neardup_incremental` (raw text) and
+    `streaming_neardup_normalized` (token-sort-normalized text): write
+    `docs` (doc_id, lang, text) as tab-separated drop files, stream them
+    with availableNow through `_sndi_make_processor`, and return the
+    committed pair table. Behavior-identical extraction of the r10 entry
+    body (r11) — the oracle sweep is the safety net."""
     import os
     import shutil
     import tempfile
@@ -4475,8 +4602,6 @@ def streaming_neardup_incremental_q(spark, sf_dir):
 
     from cassabon_spark.sources.snapshot import SnapshotTable
 
-    prep(spark)
-    docs = T(spark, sf_dir, "documents", wide=True)
     n_docs = docs.count()
     n_pk = _snd_n_pk(n_docs)
     n_ckpk = _snd_n_ckpk(n_docs)
@@ -4528,6 +4653,173 @@ def streaming_neardup_incremental_q(spark, sf_dir):
     if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
         return spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
     return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+# ------------------------------------- rolling-window incremental dedup (r11)
+
+# The bounded dedup window (VERDICT r10 #1): batch index = doc_id % NB (an
+# explicit, oracle-mirrorable schedule — the window is DEFINED in batch
+# units, so the batch assignment must be deterministic, unlike the
+# file-sliced carrier whose slicing invariance is exactly the property a
+# window does NOT have); a near-dup pair is in-window iff its members'
+# batches differ by < TTL.
+_SNDI_TTL_NB = 6
+_SNDI_TTL = 3
+
+_MINHASH_TTL_SQL = _MINHASH_SQL.replace(
+    "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7",
+    "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7\n"
+    f"  AND ABS((d1 % {_SNDI_TTL_NB}) - (d2 % {_SNDI_TTL_NB})) < {_SNDI_TTL}",
+)
+assert _MINHASH_TTL_SQL != _MINHASH_SQL  # surgery anchor must exist
+
+
+@register(
+    "streaming_neardup_ttl",
+    _MINHASH_TTL_SQL,
+    "the incremental dedup loop under ROLLING-CORPUS RETENTION (ttl="
+    f"{_SNDI_TTL} batches over a {_SNDI_TTL_NB}-batch doc_id%"
+    f"{_SNDI_TTL_NB} schedule): state rows are bid-stamped, reads filter "
+    "the window, the rep index stays fresh via refresh-on-touch with a "
+    "single-live-copy read invariant, dead content re-arrivals re-probe "
+    "as new (stale pair rows excluded), and compaction drops expired "
+    "state — emitted pairs are exactly the batch LSH pair set restricted "
+    "to members arriving within ttl batches of each other",
+)
+def streaming_neardup_ttl_q(spark, sf_dir):
+    """Production shape: a crawl pipeline that only dedups against the
+    last N drops (the reference's TTL analog —
+    /root/reference/datastore/metricmanager.go:163-171 expires metric
+    PATHS by age; here dedup STATE expires by arrival age). The carrier
+    drives `_sndi_make_processor(ttl=N)` directly over the deterministic
+    doc_id%NB schedule — the same foreachBatch body the streaming
+    carrier runs (tests drive it the same way), with the schedule pinned
+    so the window semantics are DuckDB-expressible. Window semantics,
+    refresh-on-touch, dead re-introduction and the stale-pair hazards
+    are documented on the processor; tests/test_snd_ttl.py pins them
+    against an independent python LSH mirror on crafted schedules."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n_docs = docs.count()
+    n_pk = _snd_n_pk(n_docs)
+    n_ckpk = _snd_n_ckpk(n_docs)
+    width = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="cassabon_sndttl_")
+    out_dir = os.path.join(tmp, f"sndttl_{uuid.uuid4().hex[:8]}")
+    idx_tbl = SnapshotTable(spark, os.path.join(tmp, "band_index"))
+    mem_tbl = SnapshotTable(spark, os.path.join(tmp, "members"))
+    rp_tbl = SnapshotTable(spark, os.path.join(tmp, "rep_pairs"))
+    out_tbl = SnapshotTable(spark, out_dir)
+    _process = _sndi_make_processor(
+        spark,
+        out_tbl,
+        idx_tbl,
+        mem_tbl,
+        rp_tbl,
+        n_pk,
+        n_ckpk,
+        width,
+        app=os.path.basename(out_dir),
+        ttl=_SNDI_TTL,
+    )
+    try:
+        for b in range(_SNDI_TTL_NB):
+            _process(
+                docs.filter(
+                    F.pmod(F.col("doc_id"), F.lit(_SNDI_TTL_NB)) == b
+                ).select("doc_id", "lang", "text"),
+                b,
+            )
+    finally:
+        for d in ("band_index", "members", "rep_pairs"):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+    if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
+        return spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
+    return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+# --------------------------------- normalized-collapse incremental dedup (r11)
+
+# Token-sort normalization BEFORE the whole pipeline (VERDICT r10 #2 /
+# NEXT r10 #1a): every doc's text is replaced by its sorted-distinct-token
+# string (the dedup_fingerprint key, functions.text.fingerprint_expr's
+# pre-md5 form) and the UNCHANGED incremental loop runs on that. The
+# collapse key md5(lang, text) then IS the fingerprint group — reordered
+# boilerplate ("b a a" vs "a b") collapses to one rep and pairs at 1.0,
+# which the exact-text key can never do — and shingles/Jaccard are
+# computed over the normalized string, so the verify arm is
+# order-insensitive too. Because all group members share ONE normalized
+# text, rep choice cannot affect any signature — the property that keeps
+# the loop slicing-invariant and the pair set DuckDB-expressible (a
+# fingerprint-GROUPED raw-text variant would tie cross-group Jaccard to
+# WHICH member reps the group, i.e. to the batch slicing).
+_NORM_T = (
+    "LIST_SORT(LIST_DISTINCT(CASE WHEN "
+    "LEN(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g')) = 0 "
+    "THEN []::VARCHAR[] ELSE "
+    "STRING_SPLIT_REGEX(REGEXP_REPLACE(LOWER(text), '^\\s+|\\s+$', '', 'g'), "
+    "'\\s+') END))"
+)
+
+_MINHASH_NORM_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, lang, {_NORM_T} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+  FROM nt, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS g(i)
+),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+bands AS ({_band_rows_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "streaming_neardup_normalized",
+    _MINHASH_NORM_SQL,
+    "normalize-before-collapse incremental dedup: each doc's text is "
+    "replaced by its sorted-distinct-token string (the fingerprint key) "
+    "and the unchanged content-collapsed incremental loop runs on it — "
+    "reordered boilerplate collapses to one rep (pairs at 1.0) and "
+    "near-dup verification is word-order-insensitive; emitted pairs "
+    "equal the batch LSH pair set computed over normalized text, under "
+    "any batch slicing",
+)
+def streaming_neardup_normalized_q(spark, sf_dir):
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(tokens_expr("text"))), " "
+    )
+    return _sndi_run_stream(
+        spark, docs.select("doc_id", "lang", norm.alias("text"))
+    )
 
 
 # ---------------------------------------------- snapshot MERGE oracle (r3)
@@ -11264,7 +11556,7 @@ def dedup_threshold_ablation(spark, sf_dir):
 # in; every later chunk keeps its hash and still dedups against the
 # unedited copy. Fixed-stride chunking (text_chunk_windows) cannot have
 # that property: one inserted token shifts every downstream window. The
-# boundary-stability contract is pinned by tests/test_cdc_chunks.py.
+# boundary-stability contract is pinned by tests/test_r10_entries.py.
 # Boundary rule: token i ENDS a chunk iff h48('cdc:' || token) % 16 == 0
 # (expected chunk ~16 tokens); the final token always ends the last chunk.
 # Scale shape: chunking is row-local higher-order-function work (filter /
@@ -11985,8 +12277,8 @@ assigned AS (
   SELECT e.vec_id, e.embedding, p.pivot_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
-                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+           ORDER BY ROUND({_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}), 8) DESC,
                     p.pivot_id
          ) AS prnk
   FROM embeddings e, pivots p
@@ -12009,8 +12301,8 @@ top5 AS (
     SELECT np, qid, cid,
            ROW_NUMBER() OVER (
              PARTITION BY np, qid
-             ORDER BY {_IVF_DOT.format(a="qe", b="ce")}
-                      / ({_IVF_NORM.format(a="qe")} * {_IVF_NORM.format(a="ce")}) DESC, cid
+             ORDER BY ROUND({_IVF_DOT.format(a="qe", b="ce")}
+                      / ({_IVF_NORM.format(a="qe")} * {_IVF_NORM.format(a="ce")}), 8) DESC, cid
            ) AS rnk
     FROM cand) WHERE rnk <= 5
 ),
@@ -12019,8 +12311,8 @@ exact5 AS (
     SELECT a.vec_id AS qid, b.vec_id AS cid,
            ROW_NUMBER() OVER (
              PARTITION BY a.vec_id
-             ORDER BY {_IVF_DOT.format(a="a.embedding", b="b.embedding")}
-                      / ({_IVF_NORM.format(a="a.embedding")} * {_IVF_NORM.format(a="b.embedding")}) DESC,
+             ORDER BY ROUND({_IVF_DOT.format(a="a.embedding", b="b.embedding")}
+                      / ({_IVF_NORM.format(a="a.embedding")} * {_IVF_NORM.format(a="b.embedding")}), 8) DESC,
                       b.vec_id) AS rnk
     FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
     WHERE a.vec_id < 5) WHERE rnk <= 5
@@ -12065,7 +12357,12 @@ def similarity_probe_ablation(spark, sf_dir):
         .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
     )
     sim_p = cosine_sim_expr("embedding", "pe")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    # rank keys rounded to 8dp (ADVICE r10 #2): near-tied cosines must
+    # break on the id column identically in Spark and DuckDB, not on
+    # cross-engine fold-order ulps
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(sim_p, 8)), F.asc("pivot_id")
+    )
     assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
         "prnk", F.row_number().over(w_assign)
     )
@@ -12090,7 +12387,9 @@ def similarity_probe_ablation(spark, sf_dir):
         .distinct()
     )
     sim = cosine_sim_expr("qe", "ce")
-    w5 = Window.partitionBy("np", "qid").orderBy(F.desc(sim), F.asc("cid"))
+    w5 = Window.partitionBy("np", "qid").orderBy(
+        F.desc(F.round(sim, 8)), F.asc("cid")
+    )
     top5 = (
         cand.withColumn("rnk", F.row_number().over(w5))
         .filter(F.col("rnk") <= 5)
@@ -12104,7 +12403,9 @@ def similarity_probe_ablation(spark, sf_dir):
         .crossJoin(F.broadcast(queries))
         .filter(F.col("cid") != F.col("qid"))
     )
-    w_ex = Window.partitionBy("qid").orderBy(F.desc(cosine_sim_expr("qe", "ce")), F.asc("cid"))
+    w_ex = Window.partitionBy("qid").orderBy(
+        F.desc(F.round(cosine_sim_expr("qe", "ce"), 8)), F.asc("cid")
+    )
     exact5 = (
         exact.withColumn("rnk", F.row_number().over(w_ex))
         .filter(F.col("rnk") <= 5)
@@ -12259,8 +12560,8 @@ exact5 AS (
              / ({_IVF_NORM.format(a="q.qe")} * {_IVF_NORM.format(a="e.embedding")}) AS cos,
            ROW_NUMBER() OVER (
              PARTITION BY q.qid
-             ORDER BY {_IVF_DOT.format(a="q.qe", b="e.embedding")}
-                      / ({_IVF_NORM.format(a="q.qe")} * {_IVF_NORM.format(a="e.embedding")}) DESC,
+             ORDER BY ROUND({_IVF_DOT.format(a="q.qe", b="e.embedding")}
+                      / ({_IVF_NORM.format(a="q.qe")} * {_IVF_NORM.format(a="e.embedding")}), 8) DESC,
                       e.vec_id) AS rnk
     FROM q JOIN embeddings e ON e.label = q.target AND e.vec_id <> q.qid
   ) WHERE rnk <= 5
@@ -12275,8 +12576,8 @@ assigned AS (
   SELECT e.vec_id, e.embedding, e.label, p.pivot_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {_IVF_DOT.format(a="e.embedding", b="p.pe")}
-                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}) DESC,
+           ORDER BY ROUND({_IVF_DOT.format(a="e.embedding", b="p.pe")}
+                    / ({_IVF_NORM.format(a="e.embedding")} * {_IVF_NORM.format(a="p.pe")}), 8) DESC,
                     p.pivot_id
          ) AS prnk
   FROM embeddings e, pivots p
@@ -12292,8 +12593,8 @@ ivf5 AS (
     SELECT p.qid, c.vec_id AS cid,
            ROW_NUMBER() OVER (
              PARTITION BY p.qid
-             ORDER BY {_IVF_DOT.format(a="p.qe", b="c.embedding")}
-                      / ({_IVF_NORM.format(a="p.qe")} * {_IVF_NORM.format(a="c.embedding")}) DESC,
+             ORDER BY ROUND({_IVF_DOT.format(a="p.qe", b="c.embedding")}
+                      / ({_IVF_NORM.format(a="p.qe")} * {_IVF_NORM.format(a="c.embedding")}), 8) DESC,
                       c.vec_id) AS rnk
     FROM (SELECT DISTINCT qid, qe, target, pivot_id FROM qprobe) p
     JOIN cells c ON c.pivot_id = p.pivot_id
@@ -12340,9 +12641,18 @@ def similarity_filtered_ann(spark, sf_dir):
     filt = corp.join(F.broadcast(q), (F.col("label") == F.col("target")) & (F.col("cid") != F.col("qid")))
     elig = filt.groupBy("qid").agg(F.count(F.lit(1)).alias("n_eligible"))
     cos = cosine_sim_expr("qe", "ce")
+    # rank keys rounded to 8dp (ADVICE r10 #2): near-tied cosines must
+    # break on cid identically in Spark and DuckDB, not on fold-order ulps
     exact5 = (
         filt.select("qid", "cid", cos.alias("cos"))
-        .withColumn("rnk", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc(F.round(F.col("cos"), 8)), F.asc("cid")
+                )
+            ),
+        )
         .filter(F.col("rnk") <= 5)
     )
     # filter-agnostic index: same pivots/cells as similarity_ivf_topk
@@ -12352,7 +12662,9 @@ def similarity_filtered_ann(spark, sf_dir):
         .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
     )
     sim_p = cosine_sim_expr("embedding", "pe")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(sim_p, 8)), F.asc("pivot_id")
+    )
     assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
         "prnk", F.row_number().over(w_assign)
     )
@@ -12370,7 +12682,14 @@ def similarity_filtered_ann(spark, sf_dir):
         cells.join(F.broadcast(qprobe), "pivot_id")
         .filter((F.col("label") == F.col("target")) & (F.col("cid") != F.col("qid")))
         .select("qid", "cid", sim_c.alias("cos"))
-        .withColumn("rnk", F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.desc(F.round(F.col("cos"), 8)), F.asc("cid")
+                )
+            ),
+        )
         .filter(F.col("rnk") <= 5)
         .select("qid", "cid", F.lit(1).alias("hit"))
     )

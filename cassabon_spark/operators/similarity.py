@@ -475,3 +475,134 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("qid", "cid", "adc", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Shared candidate-stage helpers (r11, VERDICT r10 #3): the similarity_*
+# registry family had grown three verbatim copies of the SQ8 quantization
+# pipeline and three of the md5-pivot coarse assignment. These helpers are
+# the single source; the entries keep only their ranking/eval shapes. The
+# expressions are copied UNCHANGED from the entries — the full oracle sweep
+# (unchanged-exact) is the refactor's safety net.
+
+
+def md5_pivots(emb: DataFrame, k: int) -> DataFrame:
+    """Deterministic md5-chosen coarse pivots (pivot_id, pe) over an
+    (vec_id, embedding) frame — the engine-portable stand-in for trained
+    IVF centroids (identical in DuckDB via ORDER BY MD5(CAST(vec_id AS
+    VARCHAR)), vec_id LIMIT k). Shared by similarity_ivf_topk,
+    similarity_probe_ablation and similarity_filtered_ann."""
+    return (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
+    )
+
+
+def pivot_assigned(
+    emb: DataFrame, pivots: DataFrame, rank_round: int | None = None
+) -> DataFrame:
+    """emb x broadcast(pivots) with prnk = that pivot's cosine rank for the
+    vector (1 = owning cell); every emb column rides through. rank_round:
+    decimals to round the rank key to before ordering — 8 is the
+    engine-independent tie-break (ADVICE r10 #2), None preserves
+    similarity_ivf_topk's original raw-cosine contract."""
+    sim_p = cosine_sim_expr("embedding", "pe")
+    key = F.round(sim_p, rank_round) if rank_round is not None else sim_p
+    w = Window.partitionBy("vec_id").orderBy(F.desc(key), F.asc("pivot_id"))
+    return emb.crossJoin(F.broadcast(pivots)).withColumn(
+        "prnk", F.row_number().over(w)
+    )
+
+
+def sq8_scores(
+    emb: DataFrame, dim: int, levels: int, n_queries: int = 5
+) -> DataFrame:
+    """(qid, cid, score) asymmetric SQ8 scores over an (vec_id, embedding)
+    frame: per-dim [min, max] envelope -> 8-bit corpus codes (the scan
+    touches only int codes); per-query constants (qs, qmin, qssum)
+    broadcast, so score = qmin + 0.5*qssum + sum_i qs[i]*code[i] is a
+    codes-only reduction. Shared by similarity_sq8 (direct top-k) and
+    similarity_ann_rerank (wide scan + exact refine)."""
+    dimstats = (
+        emb.select(F.posexplode("embedding").alias("i0", "v"))
+        .groupBy("i0")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("mn"),
+            F.max(F.col("v").cast("double")).alias("mx"),
+        )
+    )
+    stats = dimstats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x["mn"]
+        ).alias("mns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x["mx"]
+        ).alias("mxs"),
+    )
+    seq = F.sequence(F.lit(1), F.lit(dim))
+
+    def _at(arr, i):
+        return F.element_at(F.col(arr) if isinstance(arr, str) else arr, i)
+
+    code_expr = F.transform(
+        seq,
+        lambda i: F.when(_at("mxs", i) == _at("mns", i), F.lit(0)).otherwise(
+            F.least(
+                F.lit(levels - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (_at("embedding", i).cast("double") - _at("mns", i))
+                        / (_at("mxs", i) - _at("mns", i))
+                        * levels
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+    codes = emb.crossJoin(F.broadcast(stats)).select(
+        F.col("vec_id").alias("cid"), code_expr.alias("code")
+    )
+    qs_expr = F.transform(
+        seq,
+        lambda i: _at("embedding", i).cast("double")
+        * (_at("mxs", i) - _at("mns", i))
+        / F.lit(float(levels)),
+    )
+    qmin_expr = F.aggregate(
+        F.zip_with(
+            F.transform(seq, lambda i: _at("embedding", i).cast("double")),
+            F.col("mns"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("qid"),
+            qs_expr.alias("qs"),
+            qmin_expr.alias("qmin"),
+            F.aggregate(qs_expr, F.lit(0.0), lambda acc, x: acc + x).alias(
+                "qssum"
+            ),
+        )
+    )
+    return codes.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
+        "qid",
+        "cid",
+        (
+            F.col("qmin")
+            + F.lit(0.5) * F.col("qssum")
+            + F.aggregate(
+                F.zip_with(
+                    F.col("qs"), F.col("code"), lambda a, c: a * c.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("score"),
+    )

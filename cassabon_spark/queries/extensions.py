@@ -2072,18 +2072,12 @@ def similarity_ivf(spark, sf_dir):
     prep(spark)
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.similarity import md5_pivots, pivot_assigned
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_IVF_K)
-        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
-    )
-    sim_p = cosine_sim_expr("embedding", "pe")
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc(sim_p), F.asc("pivot_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(pivots))
-        .withColumn("prnk", F.row_number().over(w_assign))
-    )
+    # rank_round=None: this entry predates the 8dp tie-break convention and
+    # its oracle mirrors the raw-cosine ordering — keep the contract
+    assigned = pivot_assigned(emb, md5_pivots(emb, _IVF_K), rank_round=None)
     cells = assigned.filter(F.col("prnk") == 1).select("vec_id", "embedding", "pivot_id")
     qprobe = (
         assigned.filter(F.col("vec_id") < 5)
@@ -6258,8 +6252,11 @@ def dedup_cross_corpus(spark, sf_dir):
 _SQ8_DIM = 64
 _SQ8_LEVELS = 256
 
-_SQ8_SQL = f"""
-WITH dimstats AS (
+# the SQ8 quantization CTE chain (envelope -> codes -> per-query constants
+# -> asymmetric scores), shared verbatim by _SQ8_SQL and _RERANK_SQL
+# (r11, VERDICT r10 #3) — the SQL mirror of
+# operators/similarity.py::sq8_scores
+_SQ8_CTES = f"""dimstats AS (
   SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, MAX(CAST(embedding[i] AS DOUBLE)) AS mx
   FROM embeddings, UNNEST(GENERATE_SERIES(1, {_SQ8_DIM})) AS g(i)
   GROUP BY i
@@ -6294,7 +6291,10 @@ scored AS (
            q.qs[i] * c.code[i])) AS score
   FROM q, codes c
   WHERE c.cid <> q.qid
-),
+)"""
+
+_SQ8_SQL = f"""
+WITH {_SQ8_CTES},
 ranked AS (
   SELECT qid, cid, score,
          ROW_NUMBER() OVER (
@@ -6320,92 +6320,10 @@ def similarity_sq8(spark, sf_dir):
     prep(spark)
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.similarity import sq8_scores
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    # per-dim envelope: map-side partial agg over posexplode, 64-row result
-    # re-assembled into two broadcast arrays
-    dimstats = (
-        emb.select(F.posexplode("embedding").alias("i0", "v"))
-        .groupBy("i0")
-        .agg(
-            F.min(F.col("v").cast("double")).alias("mn"),
-            F.max(F.col("v").cast("double")).alias("mx"),
-        )
-    )
-    stats = dimstats.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x["mn"]
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x["mx"]
-        ).alias("mxs"),
-    )
-    seq = F.sequence(F.lit(1), F.lit(_SQ8_DIM))
-
-    def _at(arr, i):
-        return F.element_at(F.col(arr) if isinstance(arr, str) else arr, i)
-
-    code_expr = F.transform(
-        seq,
-        lambda i: F.when(_at("mxs", i) == _at("mns", i), F.lit(0)).otherwise(
-            F.least(
-                F.lit(_SQ8_LEVELS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (_at("embedding", i).cast("double") - _at("mns", i))
-                        / (_at("mxs", i) - _at("mns", i))
-                        * _SQ8_LEVELS
-                    ).cast("int"),
-                ),
-            )
-        ),
-    )
-    codes = emb.crossJoin(F.broadcast(stats)).select(
-        F.col("vec_id").alias("cid"), code_expr.alias("code")
-    )
-    qs_expr = F.transform(
-        seq,
-        lambda i: _at("embedding", i).cast("double")
-        * (_at("mxs", i) - _at("mns", i))
-        / F.lit(float(_SQ8_LEVELS)),
-    )
-    qmin_expr = F.aggregate(
-        F.zip_with(
-            F.transform(seq, lambda i: _at("embedding", i).cast("double")),
-            F.col("mns"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    q = (
-        emb.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("vec_id").alias("qid"),
-            qs_expr.alias("qs"),
-            qmin_expr.alias("qmin"),
-            F.aggregate(qs_expr, F.lit(0.0), lambda acc, x: acc + x).alias("qssum"),
-        )
-    )
-    scored = (
-        codes.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-        .select(
-            "qid",
-            "cid",
-            (
-                F.col("qmin")
-                + F.lit(0.5) * F.col("qssum")
-                + F.aggregate(
-                    F.zip_with(
-                        F.col("qs"), F.col("code"), lambda a, c: a * c.cast("double")
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ).alias("score"),
-        )
-    )
+    scored = sq8_scores(emb, _SQ8_DIM, _SQ8_LEVELS)
     w = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 8)), F.asc("cid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -11721,42 +11639,7 @@ _RERANK_R = 32
 _RERANK_K = 5
 
 _RERANK_SQL = f"""
-WITH dimstats AS (
-  SELECT i, MIN(CAST(embedding[i] AS DOUBLE)) AS mn, MAX(CAST(embedding[i] AS DOUBLE)) AS mx
-  FROM embeddings, UNNEST(GENERATE_SERIES(1, {_SQ8_DIM})) AS g(i)
-  GROUP BY i
-),
-stats AS (
-  SELECT LIST(mn ORDER BY i) AS mns, LIST(mx ORDER BY i) AS mxs FROM dimstats
-),
-codes AS (
-  SELECT vec_id AS cid,
-         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
-           CASE WHEN mxs[i] = mns[i] THEN 0
-                ELSE LEAST({_SQ8_LEVELS - 1}, GREATEST(0, CAST(FLOOR(
-                  (CAST(embedding[i] AS DOUBLE) - mns[i]) / (mxs[i] - mns[i]) * {_SQ8_LEVELS}
-                ) AS INT))) END) AS code
-  FROM embeddings, stats
-),
-q AS (
-  SELECT vec_id AS qid,
-         LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
-           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS}) AS qs,
-         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
-           CAST(embedding[i] AS DOUBLE) * mns[i])) AS qmin,
-         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
-           CAST(embedding[i] AS DOUBLE) * (mxs[i] - mns[i]) / {_SQ8_LEVELS})) AS qssum
-  FROM embeddings, stats
-  WHERE vec_id < 5
-),
-scored AS (
-  SELECT q.qid, c.cid,
-         q.qmin + 0.5 * q.qssum +
-         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {_SQ8_DIM}), i ->
-           q.qs[i] * c.code[i])) AS score
-  FROM q, codes c
-  WHERE c.cid <> q.qid
-),
+WITH {_SQ8_CTES},
 cand AS (
   SELECT qid, cid FROM (
     SELECT qid, cid,
@@ -11815,85 +11698,10 @@ def similarity_ann_rerank(spark, sf_dir):
     prep(spark)
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.similarity import sq8_scores
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    dimstats = (
-        emb.select(F.posexplode("embedding").alias("i0", "v"))
-        .groupBy("i0")
-        .agg(
-            F.min(F.col("v").cast("double")).alias("mn"),
-            F.max(F.col("v").cast("double")).alias("mx"),
-        )
-    )
-    stats = dimstats.groupBy().agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i0", "mn"))), lambda x: x["mn"]
-        ).alias("mns"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i0", "mx"))), lambda x: x["mx"]
-        ).alias("mxs"),
-    )
-    seq = F.sequence(F.lit(1), F.lit(_SQ8_DIM))
-
-    def _at(arr, i):
-        return F.element_at(F.col(arr) if isinstance(arr, str) else arr, i)
-
-    code_expr = F.transform(
-        seq,
-        lambda i: F.when(_at("mxs", i) == _at("mns", i), F.lit(0)).otherwise(
-            F.least(
-                F.lit(_SQ8_LEVELS - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (_at("embedding", i).cast("double") - _at("mns", i))
-                        / (_at("mxs", i) - _at("mns", i))
-                        * _SQ8_LEVELS
-                    ).cast("int"),
-                ),
-            )
-        ),
-    )
-    codes = emb.crossJoin(F.broadcast(stats)).select(
-        F.col("vec_id").alias("cid"), code_expr.alias("code")
-    )
-    qs_expr = F.transform(
-        seq,
-        lambda i: _at("embedding", i).cast("double")
-        * (_at("mxs", i) - _at("mns", i))
-        / F.lit(float(_SQ8_LEVELS)),
-    )
-    qmin_expr = F.aggregate(
-        F.zip_with(
-            F.transform(seq, lambda i: _at("embedding", i).cast("double")),
-            F.col("mns"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    q = (
-        emb.filter(F.col("vec_id") < 5)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col("vec_id").alias("qid"),
-            qs_expr.alias("qs"),
-            qmin_expr.alias("qmin"),
-            F.aggregate(qs_expr, F.lit(0.0), lambda acc, x: acc + x).alias("qssum"),
-        )
-    )
-    scored = codes.join(F.broadcast(q), F.col("cid") != F.col("qid")).select(
-        "qid",
-        "cid",
-        (
-            F.col("qmin")
-            + F.lit(0.5) * F.col("qssum")
-            + F.aggregate(
-                F.zip_with(F.col("qs"), F.col("code"), lambda a, c: a * c.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("score"),
-    )
+    scored = sq8_scores(emb, _SQ8_DIM, _SQ8_LEVELS)
     w_scan = Window.partitionBy("qid").orderBy(F.desc(F.round("score", 8)), F.asc("cid"))
     cand = (
         scored.withColumn("rnk", F.row_number().over(w_scan))
@@ -12350,22 +12158,12 @@ def similarity_probe_ablation(spark, sf_dir):
     prep(spark)
     from pyspark.sql import Window
 
+    from cassabon_spark.operators.similarity import md5_pivots, pivot_assigned
+
     emb = T(spark, sf_dir, "embeddings", wide=True)
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_IVF_K)
-        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
-    )
-    sim_p = cosine_sim_expr("embedding", "pe")
-    # rank keys rounded to 8dp (ADVICE r10 #2): near-tied cosines must
-    # break on the id column identically in Spark and DuckDB, not on
-    # cross-engine fold-order ulps
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(sim_p, 8)), F.asc("pivot_id")
-    )
-    assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
-        "prnk", F.row_number().over(w_assign)
-    )
+    # rank_round=8 (ADVICE r10 #2): near-tied cosines break on the id
+    # column identically in Spark and DuckDB, not on fold-order ulps
+    assigned = pivot_assigned(emb, md5_pivots(emb, _IVF_K), rank_round=8)
     cells = assigned.filter(F.col("prnk") == 1).select("vec_id", "embedding", "pivot_id")
     ths = F.array(*[F.lit(n) for n in _PROBE_ABL_NS])
     qprobe = (
@@ -12656,18 +12454,10 @@ def similarity_filtered_ann(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
     )
     # filter-agnostic index: same pivots/cells as similarity_ivf_topk
-    pivots = (
-        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-        .limit(_IVF_K)
-        .select(F.col("vec_id").alias("pivot_id"), F.col("embedding").alias("pe"))
-    )
-    sim_p = cosine_sim_expr("embedding", "pe")
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(sim_p, 8)), F.asc("pivot_id")
-    )
-    assigned = emb.crossJoin(F.broadcast(pivots)).withColumn(
-        "prnk", F.row_number().over(w_assign)
-    )
+    # (rank_round=8 per ADVICE r10 #2 — engine-independent tie-break)
+    from cassabon_spark.operators.similarity import md5_pivots, pivot_assigned
+
+    assigned = pivot_assigned(emb, md5_pivots(emb, _IVF_K), rank_round=8)
     cells = assigned.filter(F.col("prnk") == 1).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), "label", "pivot_id"
     )

@@ -447,6 +447,11 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
             "rep_pairs": None,
             "grp": None,
             "reps": None,
+            # the cached signature stages (r11, VERDICT r10 #5): exposed so
+            # dedup_lsh_band_ablation re-bands the SAME sh/mh instead of
+            # rebuilding the tokenize/shingle/minhash pipeline per call
+            "sh": sh,
+            "mh": mh,
             "_pairs_persisted": False,
         }
         per_session[memo_key] = out
@@ -487,6 +492,11 @@ def _minhash_pair_frames(spark, sf_dir) -> dict:
         "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
+        # cached signature stages over the REPS (r11, VERDICT r10 #5):
+        # consumers that band differently (the (bands, rows) ablation)
+        # ride these plus grp/reps expansion arithmetic
+        "sh": sh,
+        "mh": mh,
     }
     per_session[memo_key] = out
     return out
@@ -4656,24 +4666,44 @@ def _sndi_run_stream(spark, docs):
 # units, so the batch assignment must be deterministic, unlike the
 # file-sliced carrier whose slicing invariance is exactly the property a
 # window does NOT have); a near-dup pair is in-window iff its members'
-# batches differ by < TTL.
-_SNDI_TTL_NB = 6
+# batches differ by < TTL. NB is CORPUS-SCALED (like the carrier's drop
+# file count): batch size is pinned near the measured 10-15k-doc optimum
+# — 2 batches of 30k docs blew past 300 s at the r10 stress while 4x15k
+# ran 177 s — and the oracle recomputes the same NB from COUNT(*)
+# (correctly-rounded double division cannot cross the CEIL boundary for
+# exactly-representable int inputs, so the two ceils agree).
+_SNDI_TTL_DOCS_PER_BATCH = 10_000
 _SNDI_TTL = 3
 
+
+def _sndi_ttl_nb(n_docs: int) -> int:
+    return max(6, -(-n_docs // _SNDI_TTL_DOCS_PER_BATCH))
+
+
 _MINHASH_TTL_SQL = _MINHASH_SQL.replace(
+    "WITH sh AS",
+    "WITH nbt AS (\n"
+    f"  SELECT GREATEST(6, CAST(CEIL(COUNT(*) / {_SNDI_TTL_DOCS_PER_BATCH}.0)"
+    " AS BIGINT)) AS nb FROM documents\n"
+    "),\nsh AS",
+).replace(
+    "FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2",
+    "FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2 CROSS JOIN nbt",
+).replace(
     "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7",
     "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7\n"
-    f"  AND ABS((d1 % {_SNDI_TTL_NB}) - (d2 % {_SNDI_TTL_NB})) < {_SNDI_TTL}",
+    f"  AND ABS((d1 % nbt.nb) - (d2 % nbt.nb)) < {_SNDI_TTL}",
 )
-assert _MINHASH_TTL_SQL != _MINHASH_SQL  # surgery anchor must exist
+assert "nbt.nb" in _MINHASH_TTL_SQL and "CROSS JOIN nbt" in _MINHASH_TTL_SQL
 
 
 @register(
     "streaming_neardup_ttl",
     _MINHASH_TTL_SQL,
     "the incremental dedup loop under ROLLING-CORPUS RETENTION (ttl="
-    f"{_SNDI_TTL} batches over a {_SNDI_TTL_NB}-batch doc_id%"
-    f"{_SNDI_TTL_NB} schedule): state rows are bid-stamped, reads filter "
+    f"{_SNDI_TTL} batches over a corpus-scaled doc_id%NB schedule, NB = "
+    f"max(6, ceil(n/{_SNDI_TTL_DOCS_PER_BATCH}))): state rows are "
+    "bid-stamped, reads filter "
     "the window, the rep index stays fresh via refresh-on-touch with a "
     "single-live-copy read invariant, dead content re-arrivals re-probe "
     "as new (stale pair rows excluded), and compaction drops expired "
@@ -4723,11 +4753,12 @@ def streaming_neardup_ttl_q(spark, sf_dir):
         app=os.path.basename(out_dir),
         ttl=_SNDI_TTL,
     )
+    nb = _sndi_ttl_nb(n_docs)
     try:
-        for b in range(_SNDI_TTL_NB):
+        for b in range(nb):
             _process(
                 docs.filter(
-                    F.pmod(F.col("doc_id"), F.lit(_SNDI_TTL_NB)) == b
+                    F.pmod(F.col("doc_id"), F.lit(nb)) == b
                 ).select("doc_id", "lang", "text"),
                 b,
             )
@@ -11951,22 +11982,25 @@ ORDER BY n_bands DESC
     "first-matching-band predicate",
 )
 def dedup_lsh_band_ablation(spark, sf_dir):
+    """r11 (VERDICT r10 #4+#5): the signature stages ride
+    `_minhash_pair_frames`' session memo (sh/mh are now exposed), and in
+    collapse mode the WHOLE ablation — truth arm included — runs at the
+    content-representative level with member counts recovered by
+    expansion arithmetic: a rep pair (r1, r2) stands for n1*n2 member
+    pairs, and every group of n identical docs contributes C(n, 2) pairs
+    to candidates (identical signatures share every band), truth
+    (Jaccard exactly 1) and hits alike. That removes the exact-dup-mass
+    quadratic from the truth arm's shingle join — the reason the entry
+    was excluded from the dup-farm stress sweep — without changing a
+    single output value (the counts are equal by the expansion theorem;
+    the oracle stays member-level)."""
     prep(spark)
     from cassabon_spark.operators.skew import salted_self_pairs
 
-    docs = T(spark, sf_dir, "documents", wide=True)
-    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
-    sh = (
-        toks.select("doc_id", "lang", F.explode(word_shingles_expr(F.col("t"))).alias("s"))
-        .distinct()
-    )
-    mh = sh.groupBy("doc_id", "lang").agg(
-        *[
-            F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
-            for seed in range(_N_HASHES)
-        ]
-    ).cache()
+    fr = _minhash_pair_frames(spark, sf_dir)
+    sh, mh = fr["sh"], fr["mh"]
     # exact truth, computed once: shingle-join blocked Jaccard >= 0.7
+    # (over reps only in collapse mode — no exact-dup mass in the join)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("lang").alias("l1"), F.col("s").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("lang").alias("l2"), F.col("s").alias("sh2"))
@@ -12030,17 +12064,60 @@ def dedup_lsh_band_ablation(spark, sf_dir):
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
-    m = (
-        cand.join(
-            truth.withColumn("hit", F.lit(1)), ["d1", "d2"], "left"
+    if fr["collapse"]:
+        # expansion arithmetic: rep pair -> n1*n2 member pairs; each
+        # group's C(n,2) identical-doc pairs are candidates under every
+        # config AND truth (Jaccard 1), so one shared `within` term joins
+        # all three counts. Integer `div` keeps C(n,2) exact at any group
+        # size (a double round-trip loses precision past 2^53).
+        gsz = fr["grp"].groupBy("ck").agg(F.count(F.lit(1)).alias("gn"))
+        rep_n = fr["reps"].join(gsz, "ck").select("rep", "gn")
+        n1 = rep_n.select(F.col("rep").alias("d1"), F.col("gn").alias("gn1"))
+        n2 = rep_n.select(F.col("rep").alias("d2"), F.col("gn").alias("gn2"))
+        wexp = (F.col("gn1") * F.col("gn2")).cast("bigint")
+        within = gsz.agg(
+            F.coalesce(
+                F.sum(F.expr("gn * (gn - 1) div 2")), F.lit(0)
+            ).alias("w")
         )
-        .groupBy("b", "r")
-        .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        m = (
+            cand.join(truth.withColumn("hit", F.lit(1)), ["d1", "d2"], "left")
+            .join(n1, "d1")
+            .join(n2, "d2")
+            .groupBy("b", "r")
+            .agg(
+                F.sum(wexp).alias("cross_cand"),
+                F.sum(
+                    F.when(F.col("hit").isNotNull(), wexp).otherwise(F.lit(0))
+                ).alias("cross_hits"),
+            )
+            .crossJoin(F.broadcast(within))
+            .select(
+                "b",
+                "r",
+                (F.col("cross_cand") + F.col("w")).alias("n_candidates"),
+                (F.col("cross_hits") + F.col("w")).alias("n_hits"),
+            )
         )
-    )
-    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        nt = (
+            truth.join(n1, "d1")
+            .join(n2, "d2")
+            .agg(F.coalesce(F.sum(wexp), F.lit(0)).alias("cross_truth"))
+            .crossJoin(F.broadcast(within))
+            .select((F.col("cross_truth") + F.col("w")).alias("n_truth"))
+        )
+    else:
+        m = (
+            cand.join(
+                truth.withColumn("hit", F.lit(1)), ["d1", "d2"], "left"
+            )
+            .groupBy("b", "r")
+            .agg(
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+        )
+        nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     s_curve = 1 - F.pow(1 - F.pow(F.lit(0.7), F.col("r").cast("double")), F.col("b").cast("double"))
     return (
         m.crossJoin(F.broadcast(nt))

@@ -67,10 +67,19 @@ QUERIES = [
     # r10 (NEXT #4, no-silent-caps): CDC chunking — chunk construction is
     # row-local HOF work, so the dup farm costs it only linear re-hashing
     # of identical chunk text; the control row proving a map-only pipeline
-    # rides the same corpus flat. (The band/probe ablations stay OUT: the
-    # band ablation's exact-truth arm is quadratic in exact-dup mass BY
-    # DESIGN — documented in-entry as eval-only/sample-first.)
+    # rides the same corpus flat.
     "dedup_cdc_chunks",
+    # r11 (VERDICT r10 #4): the band ablation joins the sweep now that
+    # its exact-truth arm is content-collapsed — truth/candidates/hits
+    # all run at rep level with member counts from expansion arithmetic,
+    # so the dup farm contributes ONE rep to the truth shingle join
+    # instead of a quadratic pair stream. The r10 exclusion reason
+    # (quadratic-in-exact-dup-mass truth arm) no longer exists.
+    "dedup_lsh_band_ablation",
+    # r11: the rolling-window and normalized variants of the incremental
+    # loop — same collapse machinery, so the dup farm must stay linear
+    "streaming_neardup_ttl",
+    "streaming_neardup_normalized",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
@@ -118,6 +127,12 @@ EMB1000_GATE = 65.0
 GROWTH_WAIVERS = {
     "streaming_neardup_lsh": "re-streams whole corpus; per-batch cost is the contract",
     "streaming_neardup_incremental": "re-streams whole corpus; per-batch cost is the contract",
+    # r11: same incremental-loop class — the harness re-drives the whole
+    # corpus batch-by-batch (NB corpus-scaled), so total work is
+    # batch_count x probe cost by construction; per-batch cost is gated
+    # by tools/snd_perbatch.py on the shared processor
+    "streaming_neardup_ttl": "re-drives whole corpus; per-batch cost is the contract",
+    "streaming_neardup_normalized": "re-streams whole corpus; per-batch cost is the contract",
 }
 
 

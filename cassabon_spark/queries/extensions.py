@@ -4650,7 +4650,7 @@ def _sndi_run_stream(spark, docs):
         .start()
     )
     try:
-        _await_or_raise(q, "streaming_neardup_incremental")
+        _await_or_raise(q, "sndi stream carrier")
     finally:
         for d in ("band_index", "members", "rep_pairs"):
             shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
@@ -4837,6 +4837,19 @@ ORDER BY d1, d2
     "any batch slicing",
 )
 def streaming_neardup_normalized_q(spark, sf_dir):
+    """SCALE ENVELOPE (measured r11, recorded per the no-silent-caps
+    rule): normalization DENSIFIES the near-dup relation — on the 10x
+    stress corpus, where every base doc has 10 token-appended mutated
+    generations, sorted-token shingles collapse each generation family
+    into hot LSH buckets: 78,642,071 rep-level candidate pairs vs
+    791,248 in raw space (max bucket 6,087 reps vs 50). Those candidates
+    are mostly TRUE normalized near-dups, so the pair output itself is
+    quadratic in mutation-family size by the operator's semantics; the
+    entry is therefore excluded from tools/scale_stress.py with these
+    numbers (content collapse cannot help — the colliding contents are
+    distinct; a cluster-emitting variant is the output-bounded scale
+    path). At corpora without dense reorder/mutation families the cost
+    profile equals the raw incremental entry's."""
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     norm = F.array_join(

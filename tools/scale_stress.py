@@ -76,10 +76,20 @@ QUERIES = [
     # instead of a quadratic pair stream. The r10 exclusion reason
     # (quadratic-in-exact-dup-mass truth arm) no longer exists.
     "dedup_lsh_band_ablation",
-    # r11: the rolling-window and normalized variants of the incremental
-    # loop — same collapse machinery, so the dup farm must stay linear
+    # r11: the rolling-window variant of the incremental loop — same
+    # collapse machinery, so the dup farm must stay linear.
+    # streaming_neardup_normalized is REJECTED from this sweep with
+    # numbers (the no-silent-caps rule): on this corpus the normalized
+    # near-dup RELATION itself is ~100x denser — token-sort shingles
+    # collapse each base doc's 10 mutated generations into hot LSH
+    # buckets (measured r11: 78,642,071 rep-level candidate pairs vs
+    # 791,248 raw, max bucket 6,087 vs 50 reps) — so the pair OUTPUT is
+    # quadratic in mutation-family size by the operator's own semantics
+    # and no execution strategy makes it linear; DNF at the 300 s stream
+    # guard. Content collapse cannot help: the colliding contents are
+    # DISTINCT. A cluster-emitting variant is the output-bounded scale
+    # path if normalized dedup is ever needed on a corpus like this.
     "streaming_neardup_ttl",
-    "streaming_neardup_normalized",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
@@ -132,7 +142,6 @@ GROWTH_WAIVERS = {
     # batch_count x probe cost by construction; per-batch cost is gated
     # by tools/snd_perbatch.py on the shared processor
     "streaming_neardup_ttl": "re-drives whole corpus; per-batch cost is the contract",
-    "streaming_neardup_normalized": "re-streams whole corpus; per-batch cost is the contract",
 }
 
 

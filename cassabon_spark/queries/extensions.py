@@ -4846,10 +4846,14 @@ def streaming_neardup_normalized_q(spark, sf_dir):
     are mostly TRUE normalized near-dups, so the pair output itself is
     quadratic in mutation-family size by the operator's semantics; the
     entry is therefore excluded from tools/scale_stress.py with these
-    numbers (content collapse cannot help — the colliding contents are
-    distinct; a cluster-emitting variant is the output-bounded scale
-    path). At corpora without dense reorder/mutation families the cost
-    profile equals the raw incremental entry's."""
+    numbers. Exact-content collapse cannot help (the colliding contents
+    are DISTINCT), and a cluster-emitting output would not either — the
+    candidate-VERIFY mass, not pair emission, is the floor, the same
+    candidate-mass envelope class as dedup_semdedup's (SCALE_r10). The
+    honest scale levers on such a corpus are semantic: a stricter band
+    scheme (more rows/band) or signature-level grouping before verify.
+    At corpora without dense reorder/mutation families the cost profile
+    equals the raw incremental entry's."""
     prep(spark)
     docs = T(spark, sf_dir, "documents", wide=True)
     norm = F.array_join(

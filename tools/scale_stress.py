@@ -86,9 +86,10 @@ QUERIES = [
     # 791,248 raw, max bucket 6,087 vs 50 reps) — so the pair OUTPUT is
     # quadratic in mutation-family size by the operator's own semantics
     # and no execution strategy makes it linear; DNF at the 300 s stream
-    # guard. Content collapse cannot help: the colliding contents are
-    # DISTINCT. A cluster-emitting variant is the output-bounded scale
-    # path if normalized dedup is ever needed on a corpus like this.
+    # guard. Content collapse cannot help (the colliding contents are
+    # DISTINCT), and neither would a cluster-emitting output: the
+    # candidate-VERIFY mass is the floor — the same candidate-mass
+    # envelope class as dedup_semdedup's. See the entry docstring.
     "streaming_neardup_ttl",
 ]
 STRAGGLER_RATIO = 10.0

@@ -69,6 +69,10 @@ QUERIES = [
     # of identical chunk text; the control row proving a map-only pipeline
     # rides the same corpus flat.
     "dedup_cdc_chunks",
+    # r11: the IVF nprobe ablation — its exact arm is bounded by |Q|=5
+    # queries x corpus, so unlike the band ablation it never needed a
+    # collapse to be sweep-safe; measured once (NEXT r11 #4) and kept.
+    "similarity_probe_ablation",
     # r11 (VERDICT r10 #4): the band ablation joins the sweep now that
     # its exact-truth arm is content-collapsed — truth/candidates/hits
     # all run at rep level with member counts from expansion arithmetic,

@@ -313,3 +313,47 @@ def test_ttl_compaction_drops_expired_state(spark, tmp_path):
             key = tuple(sorted(f["partition"].items()))
             per_part[key] = per_part.get(key, 0) + 1
         assert max(per_part.values()) <= 17, (name, per_part)
+
+
+def test_ttl_nb_ceil_parity_with_duckdb():
+    """The corpus-scaled NB must be computed identically by python's exact
+    integer ceil and the oracle's double-division CEIL — including at the
+    exact-multiple boundaries where a rounding slip would flip NB."""
+    import duckdb
+
+    from cassabon_spark.queries.extensions import (
+        _SNDI_TTL_DOCS_PER_BATCH as D,
+        _sndi_ttl_nb,
+    )
+
+    con = duckdb.connect()
+    ns = [1, 5, D - 1, D, D + 1, 6 * D - 1, 6 * D, 6 * D + 1,
+          60_000, 70_001, 123_456_789, 10**12, 10**12 + 1]
+    for n in ns:
+        sql_nb = con.execute(
+            f"SELECT GREATEST(6, CAST(CEIL({n} / {D}.0) AS BIGINT))"
+        ).fetchone()[0]
+        assert _sndi_ttl_nb(n) == sql_nb, (n, _sndi_ttl_nb(n), sql_nb)
+
+
+def test_ttl_randomized_schedules_match_mirror(spark, tmp_path):
+    """Seeded random batch schedules (contents drawn from a small pool of
+    identical/near-dup/unrelated texts, batches with gaps) must match the
+    independent mirror — randomized coverage beyond the crafted hazard
+    scenarios."""
+    import random
+
+    rng = random.Random(1107)
+    pool = [_BASE, _NEAR, _BASE + " whiskey", _OTHER, "too tiny"]
+    for trial in range(3):
+        ttl = rng.choice([2, 3])
+        sched = {}
+        doc = trial * 1000
+        for b in range(7):
+            for _ in range(rng.randint(0, 3)):
+                sched[doc] = (b, "en", rng.choice(pool))
+                doc += 1
+        if not sched:
+            continue
+        got, _ = _run_ttl(spark, tmp_path, f"rand{trial}", sched, ttl=ttl)
+        _assert_matches(got, _mirror_pairs(sched, ttl))

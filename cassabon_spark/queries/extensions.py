@@ -3642,9 +3642,13 @@ def streaming_session_window_q(spark, sf_dir):
 # ---------------------------------------------- streaming near-dup LSH (r3)
 
 
-def _lsh_row_frame(df, extra=()):
+def _lsh_row_frame(df, extra=(), band_w=_BAND_W):
     """Row-LOCAL MinHash + LSH banding: shingle set, 8-component signature
-    and the 4 band keys, all computed per row (no explode/groupBy). The
+    and the 8//band_w band keys, all computed per row (no explode/groupBy).
+    band_w (r12, VERDICT r11 #3): rows per band over the SAME 8-component
+    signature — band_w=2 is the family default (4 bands); band_w=4 is the
+    stricter (2, 4) scheme the band ablation ranks, raising the LSH
+    s-curve threshold for candidate-dense corpora. The
     same expressions run identically on a batch frame and a streaming
     frame, which is what makes the stream-static near-dup join below
     stateless and therefore microbatch-invariant. `extra` column names are
@@ -3688,11 +3692,15 @@ def _lsh_row_frame(df, extra=()):
             F.md5(
                 F.concat_ws(
                     ",",
-                    F.element_at(F.col("p.minh"), 2 * b + 1).cast("string"),
-                    F.element_at(F.col("p.minh"), 2 * b + 2).cast("string"),
+                    *[
+                        F.element_at(
+                            F.col("p.minh"), b * band_w + k + 1
+                        ).cast("string")
+                        for k in range(band_w)
+                    ],
                 )
             )
-            for b in range(_N_HASHES // _BAND_W)
+            for b in range(_N_HASHES // band_w)
         ]
     )
     return sig.select(
@@ -3758,12 +3766,12 @@ def _snd_n_ckpk(n_docs: int) -> int:
     return max(16, -(-n_docs // _SND_MEM_ROWS_PER_PK))
 
 
-def _snd_first_match():
+def _snd_first_match(band_w=_BAND_W):
     """Row-local 'band b is the pair's FIRST shared band' predicate over
     join aliases a/b (each side carries its full band-key array bks) —
     the codegen-only pair dedup every LSH join here shares: no distinct
     shuffle over the pair stream."""
-    n_bands = _N_HASHES // _BAND_W
+    n_bands = _N_HASHES // band_w
     first_match = F.lit(False)
     earlier_all_differ = F.lit(True)
     for bb in range(n_bands):
@@ -3775,11 +3783,11 @@ def _snd_first_match():
     return first_match
 
 
-def _snd_band_frame(df, width=None, extra=()):
+def _snd_band_frame(df, width=None, extra=(), band_w=_BAND_W):
     """(doc_id, lang, [extra...,] shs, bks, band, bkey): one row per
     (doc, band); `extra` columns of df ride along unchanged."""
     rep = df.repartition(width, F.col("doc_id")) if width else df.repartition(F.col("doc_id"))
-    return _lsh_row_frame(rep, extra=extra).select(
+    return _lsh_row_frame(rep, extra=extra, band_w=band_w).select(
         "doc_id", "lang", *extra, "shs", "bks",
         F.posexplode("bks").alias("band", "bkey"),
     )
@@ -4102,7 +4110,7 @@ def streaming_neardup_q(spark, sf_dir):
     return spark.read.parquet(out_dir).orderBy("d1", "d2")
 
 
-def _snd_rep_pairs(arr, static):
+def _snd_rep_pairs(arr, static, band_w=_BAND_W):
     """Content-REP-level near-dup pairs for the incremental collapse loop
     (r10, VERDICT r9 #1): join this batch's NEW content reps (`arr`, band
     rows carrying ck) against the absorbed rep band index (`static`, same
@@ -4117,7 +4125,7 @@ def _snd_rep_pairs(arr, static):
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.lang") == F.col("b.lang")),
-    ).filter(_snd_first_match())
+    ).filter(_snd_first_match(band_w))
     inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
     union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
     jac = inter / union_n
@@ -4131,7 +4139,7 @@ def _snd_rep_pairs(arr, static):
     )
 
 
-def _sndi_within_rep_pairs(arr):
+def _sndi_within_rep_pairs(arr, band_w=_BAND_W):
     """Rep-level near-dup pairs WITHIN one batch's new reps (both sides
     new content), skew-safe on degenerate band buckets via the salted
     grid. Output (cka, ckb, jraw), each unordered pair once (id1 < id2
@@ -4142,7 +4150,7 @@ def _sndi_within_rep_pairs(arr):
         arr,
         ["band", "bkey", "lang"],
         "doc_id",
-        pair_cond=_snd_first_match(),
+        pair_cond=_snd_first_match(band_w),
         unique_pairs=True,
         extra=[
             F.col("a.shs").alias("shs1"),
@@ -4158,7 +4166,18 @@ def _sndi_within_rep_pairs(arr):
 
 
 def _sndi_make_processor(
-    spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app, ttl=None
+    spark,
+    out_tbl,
+    idx_tbl,
+    mem_tbl,
+    rp_tbl,
+    n_pk,
+    n_ckpk,
+    width,
+    app,
+    ttl=None,
+    ttl_ts=None,
+    band_w=_BAND_W,
 ):
     """Build the incremental loop's per-batch probe-then-absorb processor
     (the foreachBatch body of `streaming_neardup_incremental`). Module-
@@ -4206,16 +4225,76 @@ def _sndi_make_processor(
     tests/test_snd_ttl.py pins the window against an independent python
     LSH mirror over crafted batch schedules (refresh-on-touch keep-alive,
     dead re-introduction, the two stale-pair double-emission hazards) and
-    keeps the crash/replay matrix green with ttl set."""
+    keeps the crash/replay matrix green with ttl set.
+
+    ttl_ts (r12, VERDICT r11 #2 — wall-clock retention): with ttl_ts=S,
+    the window is EVENT-TIME instead of batch-count — batch_df carries an
+    `ets` column (event timestamp, integer units), the liveness stamp
+    `bid` holds event times instead of batch ids, and the read predicate
+    is WATERMARK-driven: stamp > wm - S, where wm is the running max
+    event time over all PRIOR batches (Spark's lag-one withWatermark
+    semantics — the current batch reads state under the watermark as of
+    the end of the previous batch). Stamps keep the r11 invariants exact:
+      * member rows stamp the member's OWN ets (the pair semantic);
+      * group rows (band index, rep pairs) stamp the group's live-member
+        horizon max(ets) — event-time liveness is MONOTONE in ets at any
+        fixed watermark, so "group has a live member" <=> "its max-ets
+        member is live" <=> "the index row's stamp is live": the
+        rep-index-freshness invariant holds with equality, and
+        refresh-on-touch re-stamps exactly as in batch mode.
+    A doc arriving LATER than its event time + S ("too late" under the
+    watermark) still pairs within its own batch and against live state,
+    but its own state rows are dead on arrival for future batches — the
+    standard late-data contract. The watermark survives restarts without
+    extra state: wm reconstructs as max(stamp) over the member table
+    (compaction provably never drops the max-ets row — it is the least
+    expired), and it only ADVANCES after a batch's appends commit, so an
+    in-run retry recomputes under the same watermark. Oracle-expressible
+    over a deterministic per-doc timestamp schedule; the window and
+    out-of-order arrivals are pinned against the independent mirror in
+    tests/test_snd_ttl.py."""
     from cassabon_spark.operators.skew import salted_join, salted_self_pairs
+
+    # ttl must be a positive batch count or None (ADVICE r11): ttl=0 is
+    # neither "unbounded" nor "empty window" — reject it loudly instead of
+    # silently flipping to unbounded through falsiness. Same for ttl_ts,
+    # and the two window units are mutually exclusive.
+    if ttl is not None and (not isinstance(ttl, int) or ttl < 1):
+        raise ValueError(f"ttl must be a positive int or None, got {ttl!r}")
+    if ttl_ts is not None and (not isinstance(ttl_ts, int) or ttl_ts < 1):
+        raise ValueError(
+            f"ttl_ts must be a positive int or None, got {ttl_ts!r}"
+        )
+    if ttl is not None and ttl_ts is not None:
+        raise ValueError("ttl (batch window) and ttl_ts (event-time window) "
+                         "are mutually exclusive")
+    event = ttl_ts is not None
+    windowed = ttl is not None or event
+    wm_state = [None]  # running watermark (event mode): max ets, lag-one
 
     def _process(batch_df, batch_id):
         bid = int(batch_id)
-        # the rolling-window predicate every state read applies when ttl
-        # is set: a row written at batch b' is live at batch b iff
-        # b' > b - ttl (so the window spans this batch plus the ttl-1
-        # before it). Expiry is monotone in b — safe to drop at compaction.
-        live = F.col("bid") > F.lit(bid - ttl) if ttl else None
+        # the rolling-window predicate every state read applies when a
+        # window is set. Batch mode: a row written at batch b' is live at
+        # batch b iff b' > b - ttl (the window spans this batch plus the
+        # ttl-1 before it). Event mode: a row stamped with event time t is
+        # live iff t > wm - ttl_ts under the PRIOR batches' watermark.
+        # Either way expiry is monotone (in b / in wm) — safe to drop at
+        # compaction.
+        if event:
+            wm = wm_state[0]
+            if wm is None and mem_tbl.version() is not None:
+                # crash-restart: reconstruct the watermark from the member
+                # table's max stamp (= max ets through the last committed
+                # batch; compaction never drops the max-ets row)
+                wm = mem_tbl.read().agg(F.max("bid")).first()[0]
+            live = F.col("bid") > F.lit(wm - ttl_ts) if wm is not None else None
+            # the batch's own watermark contribution, applied AFTER the
+            # appends commit (an in-run crash retry must recompute under
+            # the unadvanced watermark; post-commit replays are txn no-ops)
+            bmax = batch_df.agg(F.max("ets")).first()[0]
+        else:
+            live = F.col("bid") > F.lit(bid - ttl) if ttl else None
         ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
         # batch content groups; >= 3-token filter matches the direct
         # path's "no shingles -> never a candidate" semantics (see
@@ -4228,6 +4307,7 @@ def _sndi_make_processor(
                 "text",
                 ck.alias("ck"),
                 F.pmod(F.xxhash64(ck), F.lit(n_ckpk)).cast("int").alias("ckpk"),
+                *(["ets"] if event else []),
             )
             .repartition(width, "doc_id")
             .persist()
@@ -4237,34 +4317,42 @@ def _sndi_make_processor(
             # bounded pruning predicate (<= n_ckpk ints), not data movement
             b_ckpks = {str(r[0]) for r in bg.select("ckpk").distinct().collect()}
             if not b_ckpks:
-                return  # all-tiny batch: nothing pairs, nothing absorbs
+                # all-tiny batch: nothing pairs, nothing absorbs — but the
+                # arrivals still advance the event-time watermark
+                if event and bmax is not None:
+                    wm_state[0] = bmax if wm is None else max(wm, bmax)
+                return
             bcks = bg.select("ck").distinct()
             bmem = bg.select("ck", "doc_id")
 
             # absorbed members of the batch's OWN content keys (same-ck
             # expansion + known-ck detection), manifest-pruned to the
             # batch's ckpk partitions
+            # event mode carries the stamp column through so group
+            # horizons (max live-member ets) are computable downstream
+            mem_cols = ["ck", "doc_id"] + (["bid"] if event else [])
             if mem_tbl.version() is not None:
                 mem_r = mem_tbl.read(
                     partition_filter=lambda p: p.get("ckpk") in b_ckpks
                 )
-                if ttl:
+                if live is not None:
                     mem_r = mem_r.filter(live)
                 mem_b = (
                     mem_r.join(bcks, "ck", "left_semi")
-                    .select("ck", "doc_id")
+                    .select(*mem_cols)
                     .persist()
                 )
             else:
                 mem_b = spark.createDataFrame(
                     [], "ck string, doc_id bigint"
+                    + (", bid bigint" if event else "")
                 ).persist()
             persisted.append(mem_b)
             known = mem_b.select("ck").distinct()
             # batch cks whose content is DEAD (no live member): re-arrivals
             # of these are treated as new (known excludes them already);
             # their stale rep-pair rows are excluded from rp_old below
-            dead = bcks.join(known, "ck", "left_anti") if ttl else None
+            dead = bcks.join(known, "ck", "left_anti") if windowed else None
 
             # ONE rep per previously-unseen content: only these are ever
             # banded/verified — the collapse that bounds verified-pair
@@ -4275,7 +4363,7 @@ def _sndi_make_processor(
                 "doc_id", "lang", "text", "ck"
             )
             arr = (
-                _snd_band_frame(rep_docs, width=width, extra=("ck",))
+                _snd_band_frame(rep_docs, width=width, extra=("ck",), band_w=band_w)
                 .withColumn(
                     "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
                 )
@@ -4287,21 +4375,25 @@ def _sndi_make_processor(
             # batch's new reps (salted grid) + new reps vs the absorbed
             # rep index (manifest pk-pruned scan, fresh exchanges so AQE
             # skew-join stays live)
-            rp_new = _sndi_within_rep_pairs(arr)
+            rp_new = _sndi_within_rep_pairs(arr, band_w=band_w)
             if idx_tbl.version() is not None:
                 pks = {str(r[0]) for r in arr.select("pk").distinct().collect()}
                 if pks:
                     idx = idx_tbl.read(
                         partition_filter=lambda p: p.get("pk") in pks
                     )
-                    if ttl:
+                    if windowed:
                         # single-unexpired-copy invariant: refresh-on-touch
                         # re-appends identical band rows (modulo bid and the
                         # touching batch's rep doc_id, neither join-relevant)
                         # — keep one live copy per (ck, band) so a new rep
                         # matches a refreshed content exactly once
-                        idx = idx.filter(live).dropDuplicates(["ck", "band"])
-                    rp_new = rp_new.unionByName(_snd_rep_pairs(arr, idx))
+                        if live is not None:
+                            idx = idx.filter(live)
+                        idx = idx.dropDuplicates(["ck", "band"])
+                    rp_new = rp_new.unionByName(
+                        _snd_rep_pairs(arr, idx, band_w=band_w)
+                    )
             rp_new = rp_new.persist()
             persisted.append(rp_new)
 
@@ -4311,7 +4403,7 @@ def _sndi_make_processor(
                 rp_old = rp_tbl.read(
                     partition_filter=lambda p: p.get("ckpk") in b_ckpks
                 ).join(bcks.withColumnRenamed("ck", "cka"), "cka", "left_semi")
-                if ttl:
+                if windowed:
                     # live + one copy per unordered-pair direction (refresh
                     # re-appends; jraw is content-determined so any copy
                     # serves), then drop rows touching DEAD batch content on
@@ -4319,9 +4411,11 @@ def _sndi_make_processor(
                     # its pairs re-emit through rp_new — keeping the stale
                     # row would emit the same member pairs twice (creation
                     # stamps both directions with the creating batch's bid,
-                    # which can outlive the content's own members)
+                    # which can outlive the content's own members; in event
+                    # mode the stamps track each side's member horizon
+                    # exactly, so the anti-join is belt-and-braces there)
                     rp_old = (
-                        rp_old.filter(live)
+                        (rp_old.filter(live) if live is not None else rp_old)
                         .dropDuplicates(["cka", "ckb"])
                         .join(
                             dead.withColumnRenamed("ck", "cka"),
@@ -4361,13 +4455,17 @@ def _sndi_make_processor(
                 mem_pr = mem_tbl.read(
                     partition_filter=lambda p: p.get("ckpk") in p_ckpks
                 )
-                if ttl:
+                if live is not None:
                     mem_pr = mem_pr.filter(live)
                 mem_p = mem_pr.join(partners, "ck", "left_semi").select(
-                    "ck", "doc_id"
+                    *mem_cols
                 )
             else:
-                mem_p = spark.createDataFrame([], "ck string, doc_id bigint")
+                mem_p = spark.createDataFrame(
+                    [],
+                    "ck string, doc_id bigint"
+                    + (", bid bigint" if event else ""),
+                )
 
             # ---- member-pair emission: four DISJOINT sources (each
             # unordered pair belongs to exactly one (ck1, ck2) pair, and
@@ -4444,17 +4542,55 @@ def _sndi_make_processor(
             # rows ARE the live alive-alive rows touching batch cks — the
             # exact refresh set.
             arr_refresh = None
-            if ttl:
+            if windowed:
                 touch = bg.join(known, "ck", "left_semi")
                 reps_t = touch.groupBy("ck").agg(F.min("doc_id").alias("doc_id"))
                 touch_docs = touch.join(reps_t, ["ck", "doc_id"]).select(
                     "doc_id", "lang", "text", "ck"
                 )
                 arr_refresh = _snd_band_frame(
-                    touch_docs, width=width, extra=("ck",)
+                    touch_docs, width=width, extra=("ck",), band_w=band_w
                 ).withColumn(
                     "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
                 )
+
+            # ---- liveness stamps. Batch mode: the current batch id, for
+            # every row. Event mode: member rows carry their OWN ets; group
+            # rows (index, rep pairs) carry their group's live-member
+            # horizon max(ets) — exact, because event-time liveness is
+            # monotone in ets: the group has a live member iff its max-ets
+            # member is live iff the stamp is live (docstring). hz covers
+            # every batch ck (new groups: batch max; touched groups: max of
+            # batch and live absorbed members); partner horizons come from
+            # the live partner-member read.
+            if event:
+                hz = (
+                    bg.groupBy("ck")
+                    .agg(F.max("ets").alias("hb"))
+                    .join(
+                        mem_b.groupBy("ck").agg(F.max("bid").alias("ha")),
+                        "ck",
+                        "left",
+                    )
+                    .select("ck", F.greatest("hb", "ha").alias("h"))
+                )
+                p_hz = mem_p.groupBy("ck").agg(F.max("bid").alias("hp"))
+                hz_all = (
+                    hz.join(p_hz, "ck", "full")
+                    .select("ck", F.greatest("h", "hp").alias("h"))
+                )
+
+                def stamp_by_ck(df, horizons, key="ck"):
+                    # inner join: every stored group row's key is in its
+                    # horizon frame by construction (a key absent there has
+                    # no live member — such a row would be dead on write
+                    # and unreadable anyway)
+                    h = horizons.withColumnRenamed("ck", key)
+                    return (
+                        df.join(h, key)
+                        .withColumn("bid", F.col("h"))
+                        .drop("h")
+                    )
 
             # ---- absorb, in replay-safe dependency order (docstring)
             out_tbl.append(pairs, txn=(app + ":pairs", bid))
@@ -4465,13 +4601,18 @@ def _sndi_make_processor(
                     "jraw",
                 )
             )
-            if ttl:
+            if windowed:
                 rp_store = rp_store.unionByName(
                     rp_exp.filter(~F.col("is_new")).select("cka", "ckb", "jraw")
                 )
             rp_store = rp_store.withColumn(
                 "ckpk", F.pmod(F.xxhash64("cka"), F.lit(n_ckpk)).cast("int")
-            ).withColumn("bid", F.lit(bid))
+            )
+            rp_store = (
+                stamp_by_ck(rp_store, hz_all, key="cka")
+                if event
+                else rp_store.withColumn("bid", F.lit(bid))
+            )
             rp_tbl.append(
                 rp_store.repartition(min(n_ckpk, width), "ckpk"),
                 partition_cols=("ckpk",),
@@ -4483,33 +4624,48 @@ def _sndi_make_processor(
             # touched pk lands in ~1 file
             idx_store = (
                 arr.unionByName(arr_refresh) if arr_refresh is not None else arr
-            ).withColumn("bid", F.lit(bid))
+            )
+            idx_store = (
+                stamp_by_ck(idx_store, hz)
+                if event
+                else idx_store.withColumn("bid", F.lit(bid))
+            )
             idx_tbl.append(
                 idx_store.repartition(min(n_pk, 8 * width), "pk"),
                 partition_cols=("pk",),
                 txn=(app + ":idx", bid),
             )
+            mem_store = bg.select(
+                "ck",
+                "doc_id",
+                "lang",
+                "ckpk",
+                (F.col("ets") if event else F.lit(bid)).alias("bid"),
+            )
             mem_tbl.append(
-                bg.select("ck", "doc_id", "lang", "ckpk")
-                .withColumn("bid", F.lit(bid))
-                .repartition(min(n_ckpk, 8 * width), "ckpk"),
+                mem_store.repartition(min(n_ckpk, 8 * width), "ckpk"),
                 partition_cols=("ckpk",),
                 txn=(app + ":mem", bid),
             )
             # lifecycle (VERDICT r9 #3): bounded file/manifest counts under
             # unbounded appends — threshold check is one manifest read.
-            # With ttl the rewrite also DROPS expired rows (space bounded by
-            # live-window mass; monotone expiry makes the drop safe), and
-            # the rep-pair table compacts too — refresh appends grow it.
+            # With a window set the rewrite also DROPS expired rows (space
+            # bounded by live-window mass; monotone expiry makes the drop
+            # safe), and the rep-pair table compacts too — refresh appends
+            # grow it.
             comp = (
                 (lambda d: d.filter(live).coalesce(1))
-                if ttl
+                if live is not None
                 else (lambda d: d.coalesce(1))
             )
             idx_tbl.auto_compact(comp, partition_cols=("pk",))
             mem_tbl.auto_compact(comp, partition_cols=("ckpk",))
-            if ttl:
+            if windowed:
                 rp_tbl.auto_compact(comp, partition_cols=("ckpk",))
+            if event and bmax is not None:
+                # commit the watermark advance only after the batch's
+                # appends landed (crash retries recompute under the old wm)
+                wm_state[0] = bmax if wm is None else max(wm, bmax)
         finally:
             for p in persisted:
                 p.unpersist()
@@ -4591,14 +4747,15 @@ def streaming_neardup_incremental_q(spark, sf_dir):
     return _sndi_run_stream(spark, docs)
 
 
-def _sndi_run_stream(spark, docs):
+def _sndi_run_stream(spark, docs, band_w=_BAND_W):
     """The incremental loop's streaming CARRIER, shared by
-    `streaming_neardup_incremental` (raw text) and
-    `streaming_neardup_normalized` (token-sort-normalized text): write
-    `docs` (doc_id, lang, text) as tab-separated drop files, stream them
-    with availableNow through `_sndi_make_processor`, and return the
-    committed pair table. Behavior-identical extraction of the r10 entry
-    body (r11) — the oracle sweep is the safety net."""
+    `streaming_neardup_incremental` (raw text),
+    `streaming_neardup_normalized` (token-sort-normalized text) and
+    `streaming_neardup_normalized_strict` (normalized + the (2, 4) band
+    scheme): write `docs` (doc_id, lang, text) as tab-separated drop
+    files, stream them with availableNow through `_sndi_make_processor`,
+    and return the committed pair table. Behavior-identical extraction of
+    the r10 entry body (r11) — the oracle sweep is the safety net."""
     import os
     import shutil
     import tempfile
@@ -4640,7 +4797,8 @@ def _sndi_run_stream(spark, docs):
     )
 
     _process = _sndi_make_processor(
-        spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app
+        spark, out_tbl, idx_tbl, mem_tbl, rp_tbl, n_pk, n_ckpk, width, app,
+        band_w=band_w,
     )
 
     q = (
@@ -4770,6 +4928,322 @@ def streaming_neardup_ttl_q(spark, sf_dir):
     return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
+# ------------------------------ event-time (wall-clock) dedup window (r12)
+
+# VERDICT r11 #2: the r11 window counts BATCHES; a production crawl
+# expires by EVENT TIME under a watermark. Deterministic per-doc schedule
+# (the doc_id%NB trick generalized): batch b = doc_id % NB as before, and
+# event time ts = b*3600 + (doc_id*1103515245 + 12345) % 3000 — a ~50-min
+# spread inside each hour-spaced batch, so with a 7800 s window the pair
+# predicate is genuinely event-time-dependent: 1- and 2-batch gaps always
+# pair, 3-batch gaps pair only for high-spread earlier members
+# (sp > 2399), 4+ never — no batch-count window reproduces it. The
+# watermark is lag-one (max ts over PRIOR batches, Spark's withWatermark
+# contract), mirrored in SQL by a 1-PRECEDING running max over per-batch
+# maxima.
+_SNDI_TTL_EVENT_TS = 7800
+
+_MINHASH_TTL_EVENT_SQL = _MINHASH_SQL.replace(
+    "WITH sh AS",
+    "WITH nbt AS (\n"
+    f"  SELECT GREATEST(6, CAST(CEIL(COUNT(*) / {_SNDI_TTL_DOCS_PER_BATCH}.0)"
+    " AS BIGINT)) AS nb FROM documents\n"
+    "),\n"
+    "etst AS (\n"
+    "  SELECT doc_id, doc_id % nbt.nb AS b,\n"
+    "         (doc_id % nbt.nb) * 3600"
+    " + (doc_id * 1103515245 + 12345) % 3000 AS ts\n"
+    "  FROM documents CROSS JOIN nbt\n"
+    "),\n"
+    "wmt AS (\n"
+    "  SELECT b, MAX(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING"
+    " AND 1 PRECEDING) AS wm\n"
+    "  FROM (SELECT b, MAX(ts) AS mx FROM etst GROUP BY b) q\n"
+    "),\nsh AS",
+).replace(
+    "FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2",
+    "FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2\n"
+    "  JOIN etst ea ON ea.doc_id = d1 JOIN etst eb ON eb.doc_id = d2\n"
+    "  LEFT JOIN wmt w ON w.b = GREATEST(ea.b, eb.b)",
+).replace(
+    "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7",
+    "WHERE i * 1.0 / (x.n + y.n - i) >= 0.7\n"
+    "  AND (ea.b = eb.b OR (CASE WHEN ea.b < eb.b THEN ea.ts ELSE eb.ts END)"
+    f" > w.wm - {_SNDI_TTL_EVENT_TS})",
+)
+assert "wmt" in _MINHASH_TTL_EVENT_SQL and "GREATEST(ea.b" in _MINHASH_TTL_EVENT_SQL
+
+
+@register(
+    "streaming_neardup_ttl_event",
+    _MINHASH_TTL_EVENT_SQL,
+    "the incremental dedup loop under EVENT-TIME (wall-clock) retention: "
+    f"a watermark-driven window of {_SNDI_TTL_EVENT_TS} s over a "
+    "deterministic per-doc timestamp schedule — state rows carry event-"
+    "time liveness stamps (members: own ts; band-index/rep-pair rows: "
+    "their group's live-member horizon), every read filters stamp > "
+    "watermark - window under the lag-one watermark, and a pair emits iff "
+    "the earlier member's event time is inside the window when the later "
+    "member's batch runs",
+)
+def streaming_neardup_ttl_event_q(spark, sf_dir):
+    """Production shape: crawl dedup that expires state by AGE (the
+    reference's metric TTL is wall-clock too —
+    /root/reference/datastore/metricmanager.go:163-171 compares stored
+    timestamps against time.Now minus the configured TTL), not by drop
+    count — drops can be irregular, so `the last 3 drops` and `the last
+    130 minutes` are different windows. Same carrier as
+    `streaming_neardup_ttl` (the deterministic doc_id%NB schedule keeps
+    the semantics DuckDB-expressible) with `ttl_ts` instead of `ttl`;
+    watermark semantics, event-time stamps, out-of-order arrivals and
+    crash/replay are documented on `_sndi_make_processor` and pinned
+    against the independent mirror in tests/test_snd_ttl.py."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n_docs = docs.count()
+    n_pk = _snd_n_pk(n_docs)
+    n_ckpk = _snd_n_ckpk(n_docs)
+    width = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="cassabon_sndevt_")
+    out_dir = os.path.join(tmp, f"sndevt_{uuid.uuid4().hex[:8]}")
+    idx_tbl = SnapshotTable(spark, os.path.join(tmp, "band_index"))
+    mem_tbl = SnapshotTable(spark, os.path.join(tmp, "members"))
+    rp_tbl = SnapshotTable(spark, os.path.join(tmp, "rep_pairs"))
+    out_tbl = SnapshotTable(spark, out_dir)
+    _process = _sndi_make_processor(
+        spark,
+        out_tbl,
+        idx_tbl,
+        mem_tbl,
+        rp_tbl,
+        n_pk,
+        n_ckpk,
+        width,
+        app=os.path.basename(out_dir),
+        ttl_ts=_SNDI_TTL_EVENT_TS,
+    )
+    nb = _sndi_ttl_nb(n_docs)
+    ets = (
+        F.pmod(F.col("doc_id"), F.lit(nb)) * F.lit(3600)
+        + F.pmod(
+            F.col("doc_id") * F.lit(1103515245) + F.lit(12345), F.lit(3000)
+        )
+    ).cast("bigint")
+    try:
+        for b in range(nb):
+            _process(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(nb)) == b).select(
+                    "doc_id", "lang", "text", ets.alias("ets")
+                ),
+                b,
+            )
+    finally:
+        for d in ("band_index", "members", "rep_pairs"):
+            shutil.rmtree(os.path.join(tmp, d), ignore_errors=True)
+    if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
+        return spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
+    return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
+# ------------------------------ rolling-window static-index probe path (r12)
+
+
+def _snd_ttl_index_processor(spark, out_tbl, idx_tbl, n_pk, width, app, ttl):
+    """Rolling-window retention for the STATIC-INDEX probe path (r12,
+    VERDICT r11 #1 — completes the TTL story the reference's metric-path
+    expiry motivates, /root/reference/datastore/metricmanager.go:163-171):
+    `streaming_neardup_lsh`'s pruned mode probes an append-only band
+    index with no retention; this processor gives that probe-then-absorb
+    loop the same bid-stamp + windowed-read + compaction-drop treatment
+    as `_sndi_make_processor(ttl=)` — WITHOUT the collapse machinery.
+    The band index is the ONLY state, which dissolves every subtlety the
+    incremental loop had to manage:
+
+      * no rep-index freshness: each doc_id arrives exactly once and its
+        band rows are appended exactly once with its arrival bid — there
+        is no group whose liveness outlives a row's stamp, so no
+        refresh-on-touch and no single-live-copy dedup on reads.
+      * no stale-pair hazard: pairs are not state here (no rep-pair
+        table); every pair is recomputed from the live index at the later
+        member's arrival, so nothing can double-emit.
+      * semantics from the READ: every probe filters bid > b - ttl — an
+        arrival pairs with a previous arrival iff it landed within the
+        last ttl-1 batches; within-batch arrivals always pair (salted
+        self-join arm). Space from COMPACTION: the auto-compact rewrite
+        drops expired rows (monotone expiry — a row expired at batch b
+        stays expired at every later batch).
+
+    EXACTLY-ONCE: pairs append before the index append, both txn-keyed.
+    A replay between them recomputes the pairs from an index state that
+    does not yet contain this batch (identical inputs), and both appends
+    are SetTransaction no-ops on replay.
+
+    tests/test_snd_ttl.py pins the window against the same independent
+    hashlib LSH mirror as the incremental ttl loop (the raw path has no
+    collapse, so the mirror's doc-level window predicate applies
+    verbatim), plus crash/replay and compaction-drop coverage."""
+    from cassabon_spark.operators.skew import salted_self_pairs
+
+    if not isinstance(ttl, int) or ttl < 1:
+        raise ValueError(f"ttl must be a positive int, got {ttl!r}")
+
+    def _process(batch_df, batch_id):
+        bid = int(batch_id)
+        live = F.col("bid") > F.lit(bid - ttl)
+        arr = (
+            _snd_band_frame(batch_df, width=width)
+            .withColumn("pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int"))
+            .persist()  # one signature compute feeds probe AND absorb
+        )
+        try:
+            # bounded pruning predicate (<= n_pk ints), not data movement
+            pks = {str(r[0]) for r in arr.select("pk").distinct().collect()}
+            if not pks:
+                return  # all-tiny batch: nothing pairs, nothing absorbs
+            # within-batch pairs: skew-safe salted grid (a dup-farm batch
+            # shares one band bucket), each unordered pair once (id1 < id2)
+            cand = salted_self_pairs(
+                arr,
+                ["band", "bkey", "lang"],
+                "doc_id",
+                pair_cond=_snd_first_match(),
+                unique_pairs=True,
+                extra=[
+                    F.col("a.shs").alias("shs1"),
+                    F.col("b.shs").alias("shs2"),
+                ],
+            )
+            inter_w = F.size(F.array_intersect("shs1", "shs2"))
+            jac_w = inter_w / (F.size("shs1") + F.size("shs2") - inter_w)
+            pairs = cand.filter(jac_w >= 0.7).select(
+                F.col("id1").alias("d1"),
+                F.col("id2").alias("d2"),
+                F.round(jac_w, 4).alias("jaccard"),
+            )
+            # cross-batch pairs: arrivals vs the LIVE window of the index
+            # (manifest-pruned scan; both sides fresh exchanges so AQE
+            # skew-join stays available — same shape as _snd_probe_batch).
+            # No doc-id ordering in the join: the live index holds only
+            # strictly earlier batches (this batch appends AFTER the
+            # probe), so the sides are disjoint doc populations and each
+            # unordered pair forms exactly once, in the later member's
+            # batch; canonicalize ids at emit (the doc_id%NB schedule does
+            # not make arrival order follow doc_id order).
+            if idx_tbl.version() is not None:
+                idx = idx_tbl.read(
+                    partition_filter=lambda p: p.get("pk") in pks
+                ).filter(live)
+                a, b = arr.alias("a"), idx.alias("b")
+                joined = a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.lang") == F.col("b.lang")),
+                ).filter(_snd_first_match())
+                inter = F.size(
+                    F.array_intersect(F.col("a.shs"), F.col("b.shs"))
+                )
+                jac = inter / (
+                    F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
+                )
+                pairs = pairs.unionByName(
+                    joined.filter(jac >= 0.7).select(
+                        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                            "d1"
+                        ),
+                        F.greatest(
+                            F.col("a.doc_id"), F.col("b.doc_id")
+                        ).alias("d2"),
+                        F.round(jac, 4).alias("jaccard"),
+                    )
+                )
+            out_tbl.append(pairs, txn=(app + ":pairs", bid))
+            idx_tbl.append(
+                arr.withColumn("bid", F.lit(bid)).repartition(
+                    min(n_pk, 8 * width), "pk"
+                ),
+                partition_cols=("pk",),
+                txn=(app + ":idx", bid),
+            )
+            idx_tbl.auto_compact(
+                lambda d: d.filter(live).coalesce(1), partition_cols=("pk",)
+            )
+        finally:
+            arr.unpersist()
+
+    return _process
+
+
+@register(
+    "streaming_neardup_lsh_ttl",
+    _MINHASH_TTL_SQL,
+    "rolling-window retention for the static-index probe path: arriving "
+    f"batches (corpus-scaled doc_id%NB schedule, ttl={_SNDI_TTL}) probe "
+    "the bid-stamped band index window-filtered, then append their own "
+    "band rows; compaction drops expired index rows — emitted pairs are "
+    "exactly the batch LSH pair set restricted to members arriving "
+    "within ttl batches of each other (no collapse machinery: the index "
+    "is the only state)",
+)
+def streaming_neardup_lsh_ttl_q(spark, sf_dir):
+    """Production shape: the `streaming_neardup_lsh` pruned-mode loop
+    (probe the on-disk band index, absorb the batch) run as a ROLLING
+    window — a crawl pipeline that only dedups each drop against the
+    last N drops and whose index stays bounded by live-window mass
+    instead of growing with crawl history. The same deterministic
+    doc_id%NB batch schedule as `streaming_neardup_ttl` keeps the window
+    DuckDB-expressible; the two entries share oracle SQL by design (same
+    spec, two engines: raw per-doc probe here, content-collapsed
+    incremental loop there — a cross-implementation check the oracle
+    gate executes at every SF)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    n_docs = docs.count()
+    n_pk = _snd_n_pk(n_docs)
+    width = spark.sparkContext.defaultParallelism
+    tmp = tempfile.mkdtemp(prefix="cassabon_sndlshttl_")
+    out_dir = os.path.join(tmp, f"sndlshttl_{uuid.uuid4().hex[:8]}")
+    idx_tbl = SnapshotTable(spark, os.path.join(tmp, "band_index"))
+    out_tbl = SnapshotTable(spark, out_dir)
+    _process = _snd_ttl_index_processor(
+        spark,
+        out_tbl,
+        idx_tbl,
+        n_pk,
+        width,
+        app=os.path.basename(out_dir),
+        ttl=_SNDI_TTL,
+    )
+    nb = _sndi_ttl_nb(n_docs)
+    try:
+        for b in range(nb):
+            _process(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(nb)) == b).select(
+                    "doc_id", "lang", "text"
+                ),
+                b,
+            )
+    finally:
+        shutil.rmtree(os.path.join(tmp, "band_index"), ignore_errors=True)
+    if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
+        return spark.createDataFrame([], "d1 bigint, d2 bigint, jaccard double")
+    return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
+
+
 # --------------------------------- normalized-collapse incremental dedup (r11)
 
 # Token-sort normalization BEFORE the whole pipeline (VERDICT r10 #2 /
@@ -4861,6 +5335,60 @@ def streaming_neardup_normalized_q(spark, sf_dir):
     )
     return _sndi_run_stream(
         spark, docs.select("doc_id", "lang", norm.alias("text"))
+    )
+
+
+# ----------------------------- normalized dedup, strict band scheme (r12)
+
+# VERDICT r11 #3: the one semantic lever left for dense mutation-family
+# corpora after r11's measured rejection of signature-level grouping
+# (1.1% of verifications) — FEWER, WIDER bands. The (2, 4) scheme from
+# the band ablation raises the LSH s-curve: P(candidate | jaccard s) =
+# 1-(1-s^4)^2 vs 1-(1-s^2)^4, i.e. 0.50 vs 0.94 at s=0.7 and 0.11 vs
+# 0.61 at s=0.5 — the dense sub-threshold mass between 0.4 and 0.7 that
+# normalization creates mostly stops becoming candidates, at the cost of
+# missing true pairs near the 0.7 threshold (recall is the ablation's
+# measured trade). Same 8-component signature, so the oracle only swaps
+# the bands CTE.
+_NORM_BANDS_24_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, lang, {j} AS band, MD5("
+    + " || ',' || ".join(f"CAST(h{j*4 + k} AS VARCHAR)" for k in range(4))
+    + ") AS bkey FROM mh"
+    for j in range(2)
+)
+_MINHASH_NORM_STRICT_SQL = _MINHASH_NORM_SQL.replace(
+    _band_rows_sql, _NORM_BANDS_24_SQL
+)
+assert _NORM_BANDS_24_SQL in _MINHASH_NORM_STRICT_SQL
+assert _MINHASH_NORM_STRICT_SQL != _MINHASH_NORM_SQL
+
+
+@register(
+    "streaming_neardup_normalized_strict",
+    _MINHASH_NORM_STRICT_SQL,
+    "normalize-before-collapse incremental dedup under the STRICTER "
+    "(2 bands x 4 rows) LSH scheme over the same 8-component signature: "
+    "the band-ablation-ranked config that raises the candidate s-curve "
+    "threshold for the dense mutation-family corpora where normalization "
+    "densifies the near-dup relation ~100x — emitted pairs equal the "
+    "batch LSH pair set at (2,4) banding over normalized text, under any "
+    "batch slicing",
+)
+def streaming_neardup_normalized_strict_q(spark, sf_dir):
+    """The band scheme is a first-class knob of the incremental loop
+    (`_sndi_make_processor(band_w=)` threads it through banding, the
+    first-shared-band dedup predicate and both pair joins), so this entry
+    is the normalized entry with band_w=4 — everything else (collapse,
+    state tables, exactly-once, slicing invariance) is shared code.
+    Candidate-mass numbers at both schemes on the stress corpus are
+    recorded in SCALE_r12.md (the VERDICT r11 #3 done-criterion)."""
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(tokens_expr("text"))), " "
+    )
+    return _sndi_run_stream(
+        spark, docs.select("doc_id", "lang", norm.alias("text")), band_w=4
     )
 
 
@@ -12097,7 +12625,15 @@ def dedup_lsh_band_ablation(spark, sf_dir):
                 F.sum(F.expr("gn * (gn - 1) div 2")), F.lit(0)
             ).alias("w")
         )
-        m = (
+        # every config emits a row even when the REP-LEVEL candidate set
+        # is empty (ADVICE r11): within-group pairs are candidates under
+        # every config (identical docs share every band) and collapse
+        # guarantees a group of size >= 2, so the member-level oracle
+        # always has all |_BAND_ABL_CFGS| rows — a groupBy over empty
+        # rep-level cand would silently drop configs. Materialize the
+        # config list and left-join the cross-pair aggregates onto it.
+        cfgs = spark.createDataFrame(list(_BAND_ABL_CFGS), "b int, r int")
+        cross = (
             cand.join(truth.withColumn("hit", F.lit(1)), ["d1", "d2"], "left")
             .join(n1, "d1")
             .join(n2, "d2")
@@ -12108,12 +12644,19 @@ def dedup_lsh_band_ablation(spark, sf_dir):
                     F.when(F.col("hit").isNotNull(), wexp).otherwise(F.lit(0))
                 ).alias("cross_hits"),
             )
+        )
+        m = (
+            cfgs.join(cross, ["b", "r"], "left")
             .crossJoin(F.broadcast(within))
             .select(
                 "b",
                 "r",
-                (F.col("cross_cand") + F.col("w")).alias("n_candidates"),
-                (F.col("cross_hits") + F.col("w")).alias("n_hits"),
+                (F.coalesce(F.col("cross_cand"), F.lit(0)) + F.col("w")).alias(
+                    "n_candidates"
+                ),
+                (F.coalesce(F.col("cross_hits"), F.lit(0)) + F.col("w")).alias(
+                    "n_hits"
+                ),
             )
         )
         nt = (
@@ -12547,8 +13090,12 @@ def similarity_filtered_ann(spark, sf_dir):
         )
         .filter(F.col("rnk") <= 5)
     )
-    # filter-agnostic index: same pivots/cells as similarity_ivf_topk
-    # (rank_round=8 per ADVICE r10 #2 — engine-independent tie-break)
+    # filter-agnostic index: the same md5-pivot scheme as
+    # similarity_ivf_topk, but with the 8dp tie-break (ADVICE r10 #2 —
+    # engine-independent on near-tied cosines); ivf_topk itself keeps the
+    # raw-cosine contract (extensions: similarity_ivf_topk docstring), so
+    # cell ASSIGNMENTS can differ between the two entries on exact ties —
+    # each entry is self-consistent with its own oracle (ADVICE r11)
     from cassabon_spark.operators.similarity import md5_pivots, pivot_assigned
 
     assigned = pivot_assigned(emb, md5_pivots(emb, _IVF_K), rank_round=8)

@@ -336,6 +336,407 @@ def test_ttl_nb_ceil_parity_with_duckdb():
         assert _sndi_ttl_nb(n) == sql_nb, (n, _sndi_ttl_nb(n), sql_nb)
 
 
+# ------------------------- event-time (watermark) window (r12)
+# VERDICT r11 #2: same mirror philosophy, wall-clock semantics — a pair
+# emits iff same batch, or the earlier-batch member's event time is
+# inside the window under the LAG-ONE watermark (max event time over
+# strictly prior batches) at the later member's batch.
+
+
+def _mirror_pairs_event(sched: dict, ttl_ts: int) -> dict:
+    """Expected {(d1, d2): jaccard} for a {doc_id: (batch, lang, text, ts)}
+    schedule under an event-time window with a lag-one watermark."""
+    bmax: dict = {}
+    for b, _, _, ts in sched.values():
+        bmax[b] = max(bmax.get(b, float("-inf")), ts)
+    wm, run = {}, float("-inf")
+    for b in sorted(bmax):
+        wm[b] = run
+        run = max(run, bmax[b])
+    out = {}
+    ids = sorted(sched)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            b1, l1, t1, ts1 = sched[d1]
+            b2, l2, t2, ts2 = sched[d2]
+            if l1 != l2:
+                continue
+            if b1 != b2:
+                ets_earlier = ts1 if b1 < b2 else ts2
+                if not (ets_earlier > wm[max(b1, b2)] - ttl_ts):
+                    continue
+            s1, s2 = _shingles(t1), _shingles(t2)
+            if not s1 or not s2:
+                continue
+            if not any(x == y for x, y in zip(_bands(t1), _bands(t2))):
+                continue
+            j = len(s1 & s2) / len(s1 | s2)
+            if j >= 0.7:
+                out[(d1, d2)] = j
+    return out
+
+
+def _run_ttl_event(spark, tmp_path, name, sched, ttl_ts, crash_plan=None,
+                   restart_at=None):
+    """Drive the event-time processor over a {doc_id: (batch, lang, text,
+    ts)} schedule. restart_at=k builds a FRESH processor before batch k
+    (exercising the watermark reconstruction from the member table);
+    crash_plan has the same contract as _run_ttl."""
+    base = tmp_path / name
+    t = {
+        "out": SnapshotTable(spark, str(base / "pairs")),
+        "idx": SnapshotTable(spark, str(base / "idx")),
+        "mem": SnapshotTable(spark, str(base / "mem")),
+        "rp": SnapshotTable(spark, str(base / "rp")),
+    }
+
+    def make_proc():
+        return _sndi_make_processor(
+            spark, t["out"], t["idx"], t["mem"], t["rp"],
+            16, 16, spark.sparkContext.defaultParallelism, app=name,
+            ttl_ts=ttl_ts,
+        )
+
+    proc = make_proc()
+    n_batches = max(b for b, _, _, _ in sched.values()) + 1
+    for b in range(n_batches):
+        if restart_at is not None and b == restart_at:
+            proc = make_proc()
+        rows = [
+            (d, lang, text, ts)
+            for d, (bb, lang, text, ts) in sched.items()
+            if bb == b
+        ]
+        df = spark.createDataFrame(
+            rows or [], "doc_id bigint, lang string, text string, ets bigint"
+        )
+        action = (crash_plan or {}).get(b, "ok")
+        if action == "ok":
+            proc(df, b)
+        elif action == "replay":
+            proc(df, b)
+            proc(df, b)
+        elif action.startswith("crash-"):
+            victim = t[action.split("-", 1)[1]]
+            orig = victim.append
+            state = {"armed": True}
+
+            def flaky(*a, **k):
+                if state["armed"]:
+                    state["armed"] = False
+                    raise RuntimeError("injected append crash")
+                return orig(*a, **k)
+
+            victim.append = flaky
+            with pytest.raises(RuntimeError, match="injected"):
+                proc(df, b)
+            victim.append = orig
+            proc(df, b)
+        else:  # pragma: no cover
+            raise ValueError(action)
+    if t["out"].version() is None:
+        return {}, t
+    got = {}
+    for r in t["out"].read().select("d1", "d2", "jaccard").collect():
+        key = (r[0], r[1])
+        assert key not in got, f"duplicate pair emitted: {key}"
+        got[key] = r[2]
+    return got, t
+
+
+_WHISKEY = _BASE + " whiskey"  # near-dup of both _BASE (0.947) and _NEAR (0.9)
+
+
+def test_event_window_boundary(spark, tmp_path):
+    """The event-time window must cut on TIME, not batch count: with
+    ttl_ts=45, a 2-batch gap whose earlier member is time-stale
+    (ts=10 vs watermark 60) must NOT pair while the 1-batch gap does."""
+    sched = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (2, "en", _WHISKEY, 120),
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=45)
+    assert (1, 2) in expected and (2, 3) in expected
+    assert (1, 3) not in expected  # 10 <= wm(2)=60 - 45: time-expired
+    got, _ = _run_ttl_event(spark, tmp_path, "evt_bound", sched, ttl_ts=45)
+    _assert_matches(got, expected)
+
+
+def test_event_out_of_order_late_arrival(spark, tmp_path):
+    """A doc arriving LATER than its event time + window (too late under
+    the watermark) still pairs against live state in its own batch, but
+    its state rows are dead on arrival: nothing in later batches may pair
+    with it. The watermark itself must not regress either."""
+    sched = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (2, "en", _WHISKEY, 120),
+        4: (3, "en", _BASE, 5),    # too late: wm(3)=120, 5 <= 120-45
+        5: (4, "en", _BASE, 200),
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=45)
+    # scenario sanity: the late doc pairs backward with the live doc 3
+    # (ts=120 > wm(3)-45=75) but nothing pairs forward with it
+    assert (3, 4) in expected and (4, 5) not in expected
+    assert (1, 4) not in expected  # same content, earlier member expired
+    assert (3, 5) in expected
+    got, _ = _run_ttl_event(spark, tmp_path, "evt_late", sched, ttl_ts=45)
+    _assert_matches(got, expected)
+
+
+def test_event_refresh_and_dead_reintroduction(spark, tmp_path):
+    """The r11 hazard schedules under event time: refresh-on-touch must
+    re-stamp a touched group's horizon (keep-alive), and a dead content's
+    re-arrival re-probes as new without double emission."""
+    sched = {
+        10: (0, "en", _BASE, 0),
+        11: (1, "en", _BASE, 200),    # touch: horizon -> 200
+        12: (2, "en", _NEAR, 300),    # wm=200: pairs with 11, not 10 (0<=50)
+        13: (3, "en", _OTHER, 400),   # advances the watermark only
+        24: (4, "en", _BASE, 500),    # wm=400: _BASE dead (0,200<=250),
+                                      # re-probes as new, re-pairs with 12
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=150)
+    assert (11, 12) in expected and (10, 12) not in expected
+    assert (12, 24) in expected and (10, 24) not in expected
+    assert (11, 24) not in expected and all(13 not in k for k in expected)
+    got, _ = _run_ttl_event(spark, tmp_path, "evt_dead", sched, ttl_ts=150)
+    _assert_matches(got, expected)
+
+
+def test_event_crash_replay_and_restart(spark, tmp_path):
+    """Exactly-once under event time: crash at each append point and a
+    full replay converge; a FRESH processor mid-stream (watermark
+    reconstructed from the member table's max stamp) changes nothing."""
+    sched = {
+        40: (0, "en", _BASE, 0),
+        41: (1, "en", _BASE, 100),
+        42: (2, "en", _NEAR, 200),
+        43: (4, "en", _BASE, 400),
+    }
+    clean, _ = _run_ttl_event(spark, tmp_path, "evt_clean", sched, ttl_ts=150)
+    assert clean  # non-trivial
+    messy, _ = _run_ttl_event(
+        spark, tmp_path, "evt_messy", sched, ttl_ts=150,
+        crash_plan={0: "replay", 1: "crash-rp", 2: "crash-out", 4: "crash-idx"},
+    )
+    assert messy == clean
+    restarted, _ = _run_ttl_event(
+        spark, tmp_path, "evt_restart", sched, ttl_ts=150, restart_at=2
+    )
+    assert restarted == clean
+
+
+def test_event_randomized_schedules_match_mirror(spark, tmp_path):
+    """Seeded random schedules with random (possibly out-of-order) event
+    times vs the mirror."""
+    import random
+
+    rng = random.Random(1208)
+    pool = [_BASE, _NEAR, _WHISKEY, _OTHER, "too tiny"]
+    for trial in range(2):
+        ttl_ts = rng.choice([80, 150])
+        sched, doc = {}, trial * 1000
+        for b in range(6):
+            for _ in range(rng.randint(0, 3)):
+                sched[doc] = (b, "en", rng.choice(pool), rng.randint(0, 60 * b + 40))
+                doc += 1
+        if not sched:
+            continue
+        got, _ = _run_ttl_event(
+            spark, tmp_path, f"evt_rand{trial}", sched, ttl_ts=ttl_ts
+        )
+        _assert_matches(got, _mirror_pairs_event(sched, ttl_ts))
+
+
+def test_event_compaction_drops_expired_state(spark, tmp_path):
+    """Bounded-window space under event time: expired rows are physically
+    dropped once auto-compaction trips."""
+    n, ttl_ts = 20, 250
+    sched = {200 + b: (b, "en", _BASE, 100 * b) for b in range(n)}
+    for b in range(n):
+        sched[300 + b] = (b, "en", _NEAR, 100 * b + 50)
+    got, t = _run_ttl_event(spark, tmp_path, "evt_expire", sched, ttl_ts=ttl_ts)
+    _assert_matches(got, _mirror_pairs_event(sched, ttl_ts))
+    mem = t["mem"].read().select("bid").collect()
+    assert len(mem) < 2 * n, "compaction never dropped expired member rows"
+    # the last compaction ran at some batch in [16, n): its watermark was
+    # at least wm_16 = 100*15+50, so no stamp at or below wm_16 - ttl_ts
+    # survives; loose bound (compaction timing varies with file layout)
+    assert min(r[0] for r in mem) > 100 * (n - 1) + 50 - 3 * ttl_ts
+
+
+def test_event_ttl_param_validation(spark):
+    """ttl_ts must be a positive int; ttl and ttl_ts are exclusive."""
+    for kw in ({"ttl_ts": 0}, {"ttl_ts": -5}, {"ttl_ts": 1.5},
+               {"ttl": 2, "ttl_ts": 100}):
+        with pytest.raises((ValueError, TypeError)):
+            _sndi_make_processor(
+                spark, None, None, None, None, 16, 16, 4, "app", **kw
+            )
+
+
+# ------------------------- static-index probe path under TTL (r12)
+# Same window spec, second engine: `_snd_ttl_index_processor` is the raw
+# per-doc probe-then-absorb loop (no collapse, the band index is the only
+# state) — the SAME mirror applies verbatim, and the hazard schedules the
+# incremental loop needed (refresh, dead re-introduction) double here as
+# regression coverage that the raw path emits them right WITHOUT any of
+# that machinery.
+
+
+def _run_lsh_ttl(spark, tmp_path, name, sched, ttl, crash_plan=None):
+    """Drive the static-index TTL processor over a {doc_id: (batch, lang,
+    text)} schedule; same crash contract as _run_ttl ('crash-out',
+    'crash-idx', 'replay')."""
+    from cassabon_spark.queries.extensions import _snd_ttl_index_processor
+
+    base = tmp_path / name
+    t = {
+        "out": SnapshotTable(spark, str(base / "pairs")),
+        "idx": SnapshotTable(spark, str(base / "idx")),
+    }
+    proc = _snd_ttl_index_processor(
+        spark, t["out"], t["idx"], 16,
+        spark.sparkContext.defaultParallelism, app=name, ttl=ttl,
+    )
+    n_batches = max(b for b, _, _ in sched.values()) + 1
+    for b in range(n_batches):
+        rows = [
+            (d, lang, text)
+            for d, (bb, lang, text) in sched.items()
+            if bb == b
+        ]
+        df = spark.createDataFrame(
+            rows or [], "doc_id bigint, lang string, text string"
+        )
+        action = (crash_plan or {}).get(b, "ok")
+        if action == "ok":
+            proc(df, b)
+        elif action == "replay":
+            proc(df, b)
+            proc(df, b)
+        elif action.startswith("crash-"):
+            victim = t[action.split("-", 1)[1]]
+            orig = victim.append
+            state = {"armed": True}
+
+            def flaky(*a, **k):
+                if state["armed"]:
+                    state["armed"] = False
+                    raise RuntimeError("injected append crash")
+                return orig(*a, **k)
+
+            victim.append = flaky
+            with pytest.raises(RuntimeError, match="injected"):
+                proc(df, b)
+            victim.append = orig
+            proc(df, b)
+        else:  # pragma: no cover
+            raise ValueError(action)
+    if t["out"].version() is None:
+        return {}, t
+    got = {}
+    for r in t["out"].read().select("d1", "d2", "jaccard").collect():
+        key = (r[0], r[1])
+        assert key not in got, f"duplicate pair emitted: {key}"
+        got[key] = r[2]
+    return got, t
+
+
+def test_lsh_ttl_hazard_schedules_match_mirror(spark, tmp_path):
+    """The incremental loop's crafted hazard schedules, replayed through
+    the raw static-index processor: window expiry across re-arrivals of
+    identical content must come out right with no refresh/dead machinery
+    (each doc row expires individually)."""
+    scheds = {
+        "refresh": {10: (0, "en", _BASE), 11: (1, "en", _BASE), 12: (2, "en", _NEAR)},
+        "dead": {20: (0, "en", _BASE), 21: (2, "en", _NEAR), 24: (4, "en", _BASE)},
+        "e2hazard": {
+            30: (0, "en", _BASE),
+            31: (2, "en", _NEAR),
+            34: (4, "en", _NEAR),
+            35: (4, "en", _BASE),
+        },
+    }
+    for name, sched in scheds.items():
+        ttl = 2 if name == "refresh" else 3
+        got, _ = _run_lsh_ttl(spark, tmp_path, f"lsh_{name}", sched, ttl=ttl)
+        _assert_matches(got, _mirror_pairs(sched, ttl=ttl))
+
+
+def test_lsh_ttl_mixed_corpus_and_randomized(spark, tmp_path):
+    """Broad sweep + seeded random schedules vs the mirror (the same
+    coverage style as the incremental loop's)."""
+    import random
+
+    sched = {}
+    for b in range(6):
+        sched[100 + b] = (b, "en", _BASE)
+    sched[110] = (1, "en", _NEAR)
+    sched[111] = (4, "en", _NEAR)
+    sched[120] = (2, "en", _OTHER)
+    sched[121] = (3, "en", "too tiny")
+    sched[130] = (2, "fr", _BASE)
+    got, _ = _run_lsh_ttl(spark, tmp_path, "lsh_mixed", sched, ttl=3)
+    _assert_matches(got, _mirror_pairs(sched, ttl=3))
+
+    rng = random.Random(1207)
+    pool = [_BASE, _NEAR, _BASE + " whiskey", _OTHER, "too tiny"]
+    for trial in range(2):
+        ttl = rng.choice([2, 3])
+        rs, doc = {}, trial * 1000
+        for b in range(7):
+            for _ in range(rng.randint(0, 3)):
+                rs[doc] = (b, "en", rng.choice(pool))
+                doc += 1
+        if not rs:
+            continue
+        got, _ = _run_lsh_ttl(spark, tmp_path, f"lsh_rand{trial}", rs, ttl=ttl)
+        _assert_matches(got, _mirror_pairs(rs, ttl))
+
+
+def test_lsh_ttl_crash_replay_matrix(spark, tmp_path):
+    """Exactly-once for the static-index TTL loop: replay and a crash at
+    each append point converge to the clean run's pair set."""
+    sched = {
+        40: (0, "en", _BASE),
+        41: (1, "en", _BASE),
+        42: (2, "en", _NEAR),
+        43: (4, "en", _BASE),
+    }
+    clean, _ = _run_lsh_ttl(spark, tmp_path, "lsh_clean", sched, ttl=2)
+    assert clean  # non-trivial
+    for i, plan in enumerate(
+        [{0: "replay", 2: "crash-out"}, {1: "crash-idx", 4: "replay"}]
+    ):
+        messy, _ = _run_lsh_ttl(
+            spark, tmp_path, f"lsh_messy{i}", sched, ttl=2, crash_plan=plan
+        )
+        assert messy == clean
+
+
+def test_lsh_ttl_compaction_drops_expired_index(spark, tmp_path):
+    """Bounded-window space for the static-index loop: a content arriving
+    every batch accumulates index files until auto-compaction trips, and
+    the rewrite physically drops rows outside the bid window."""
+    n, ttl = 20, 3
+    sched = {200 + b: (b, "en", _BASE) for b in range(n)}
+    for b in range(n):
+        sched[300 + b] = (b, "en", _NEAR)
+    got, t = _run_lsh_ttl(spark, tmp_path, "lsh_expire", sched, ttl=ttl)
+    _assert_matches(got, _mirror_pairs(sched, ttl=ttl))
+    idx = t["idx"].read().select("bid").collect()
+    assert len(idx) < 2 * n * 4, "compaction never dropped expired index rows"
+    assert min(r[0] for r in idx) > n - 1 - 2 * ttl
+    per_part: dict = {}
+    for f in t["idx"].snapshot()["files"]:
+        key = tuple(sorted(f["partition"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert max(per_part.values()) <= 17, per_part
+
+
 def test_ttl_randomized_schedules_match_mirror(spark, tmp_path):
     """Seeded random batch schedules (contents drawn from a small pool of
     identical/near-dup/unrelated texts, batches with gaps) must match the

@@ -161,6 +161,18 @@ def main():
 
         if SnapshotTable(spark, idx_dir).version() is None:
             X._snd_build_index(docs, idx_dir, n_pk)
+        # r12 (VERDICT r11 #1 done-criterion): a bid-stamped twin of the
+        # index for the TTL probe path — same band rows, one liveness
+        # stamp column, built once per scale and reused across runs
+        ttl_idx_dir = f"/tmp/snd_ttlidx_{scale}_{X._SND_ROWS_PER_PK}"
+        if SnapshotTable(spark, ttl_idx_dir).version() is None:
+            bands_b = X._snd_band_frame(docs, width=width).withColumn(
+                "pk", F.pmod(F.xxhash64("bkey"), F.lit(n_pk)).cast("int")
+            ).withColumn("bid", F.lit(0))
+            SnapshotTable(spark, ttl_idx_dir).append(
+                bands_b.repartition(min(n_pk, 8 * width), "pk"),
+                partition_cols=("pk",),
+            )
         touched = (
             X._snd_band_frame(batch, width=width)
             .select(
@@ -194,10 +206,39 @@ def main():
             # to the shared /tmp table; harmless for the measurement.
             X._snd_append_index(batch, idx_dir, n_pk)
 
+        def _run_ttl():
+            # r12: the FULL rolling-window batch — windowed pruned probe
+            # + within-batch salted self-pairs + pair/index txn appends +
+            # the compaction threshold check — through the real processor
+            # (_snd_ttl_index_processor). Per-batch cost must stay flat in
+            # index size for the same reason the pruned probe's does: the
+            # read is manifest-pruned and the live filter is row-local on
+            # the pruned slice. Unique app per rep so the txn dedup
+            # doesn't turn the warm rep into a no-op; each rep absorbs
+            # one 25-doc batch into the shared twin index (harmless, same
+            # as absorb mode).
+            import tempfile
+            import uuid
+
+            out_tbl = SnapshotTable(
+                spark, tempfile.mkdtemp(prefix="cassabon_ttlprobe_")
+            )
+            proc = X._snd_ttl_index_processor(
+                spark,
+                out_tbl,
+                SnapshotTable(spark, ttl_idx_dir),
+                n_pk,
+                width,
+                app=uuid.uuid4().hex[:8],
+                ttl=3,
+            )
+            proc(batch, 1)  # window covers the bid-0 build
+
         for mode, run in (
             ("pruned", _run_pruned),
             ("cached", _run_cached),
             ("absorb", _run_absorb),
+            ("ttl", _run_ttl),
         ):
             best_wall, best_tt = None, None
             for _ in range(2):
@@ -217,8 +258,8 @@ def main():
         static_cached.unpersist()
 
     print("\n## Growth across 10x index jumps (per-batch task time AND wall)\n")
-    print("| jump | pruned (task) | pruned (WALL) | cached (task) | absorb (WALL) | gate |")
-    print("|---|---|---|---|---|---|")
+    print("| jump | pruned (task) | pruned (WALL) | cached (task) | absorb (WALL) | ttl (WALL) | gate |")
+    print("|---|---|---|---|---|---|---|")
     failures = 0
     jumps = [(scales[i][0], scales[i + 1][0]) for i in range(len(scales) - 1)]
     for lo, hi in jumps:
@@ -227,15 +268,23 @@ def main():
         wg = walls[(hi, "pruned")] / max(walls[(lo, "pruned")], floor)
         cg = results[(hi, "cached")] / max(results[(lo, "cached")], floor)
         ag = walls[(hi, "absorb")] / max(walls[(lo, "absorb")], floor)
+        tg = walls[(hi, "ttl")] / max(walls[(lo, "ttl")], floor)
         # r10 (VERDICT r9 #2/#3): WALL is gated too — the r9 residual was
         # a flat task time hiding a 7.1 s driver directory-listing wall at
         # the 100x index — and the ABSORB commit (txn append + action-log
-        # manifest) must stay batch-bounded as the index grows.
-        bad = pg > SUBLINEAR_GATE or wg > SUBLINEAR_GATE or ag > SUBLINEAR_GATE
+        # manifest) must stay batch-bounded as the index grows. r12: the
+        # full TTL batch (windowed probe + self-pairs + appends) rides
+        # the same gate.
+        bad = (
+            pg > SUBLINEAR_GATE
+            or wg > SUBLINEAR_GATE
+            or ag > SUBLINEAR_GATE
+            or tg > SUBLINEAR_GATE
+        )
         failures += int(bad)
         print(
             f"| {lo} -> {hi} | {pg:.2f}x | {wg:.2f}x | {cg:.2f}x | "
-            f"absorb {ag:.2f}x | "
+            f"absorb {ag:.2f}x | ttl {tg:.2f}x | "
             f"{'FAIL: SUPERLINEAR (> ' + str(SUBLINEAR_GATE) + 'x)' if bad else 'pass'} |"
         )
     print(

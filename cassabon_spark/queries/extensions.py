@@ -3766,21 +3766,29 @@ def _snd_n_ckpk(n_docs: int) -> int:
     return max(16, -(-n_docs // _SND_MEM_ROWS_PER_PK))
 
 
-def _snd_first_match(band_w=_BAND_W):
+def _snd_first_match_cols(band_col, bks1, bks2, band_w=_BAND_W):
     """Row-local 'band b is the pair's FIRST shared band' predicate over
-    join aliases a/b (each side carries its full band-key array bks) —
-    the codegen-only pair dedup every LSH join here shares: no distinct
-    shuffle over the pair stream."""
+    explicit columns (the alias-free form for joins whose sides were
+    renamed apart, e.g. the salted probe join) — the codegen-only pair
+    dedup every LSH join here shares: no distinct shuffle over the pair
+    stream."""
     n_bands = _N_HASHES // band_w
     first_match = F.lit(False)
     earlier_all_differ = F.lit(True)
     for bb in range(n_bands):
-        first_match = first_match | ((F.col("a.band") == bb) & earlier_all_differ)
+        first_match = first_match | ((band_col == bb) & earlier_all_differ)
         earlier_all_differ = earlier_all_differ & (
-            F.element_at(F.col("a.bks"), bb + 1)
-            != F.element_at(F.col("b.bks"), bb + 1)
+            F.element_at(bks1, bb + 1) != F.element_at(bks2, bb + 1)
         )
     return first_match
+
+
+def _snd_first_match(band_w=_BAND_W):
+    """`_snd_first_match_cols` over join aliases a/b (each side carrying
+    its full band-key array bks)."""
+    return _snd_first_match_cols(
+        F.col("a.band"), F.col("a.bks"), F.col("b.bks"), band_w
+    )
 
 
 def _snd_band_frame(df, width=None, extra=(), band_w=_BAND_W):
@@ -4118,25 +4126,49 @@ def _snd_rep_pairs(arr, static, band_w=_BAND_W):
     is DIRECTED new -> absorbed; each unordered rep pair appears exactly
     once because the sides are disjoint content populations (a new ck is
     by definition not absorbed) and the first-shared-band predicate
-    dedups across bands row-locally."""
-    a, b = arr.alias("a"), static.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.lang") == F.col("b.lang")),
-    ).filter(_snd_first_match(band_w))
-    inter = F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs")))
-    union_n = F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
-    jac = inter / union_n
-    return (
-        joined.filter(jac >= 0.7)
-        .select(
-            F.col("a.ck").alias("cka"),
-            F.col("b.ck").alias("ckb"),
-            jac.alias("jraw"),
+    dedups across bands row-locally.
+
+    r12: the probe join rides `salted_join` (output-volume skew grid).
+    The r10 shape relied on AQE skew-join, which splits by INPUT bytes —
+    correct for the dup-farm case (thousands of IDENTICAL docs collapse
+    to one rep before ever reaching this join), but normalized/strict
+    corpora produce band buckets holding thousands of DISTINCT content
+    reps (max 2,099 on the 10x stress corpus after token-sort
+    normalization): a few MB of input exploding into millions of
+    verify-pair rows in whichever tasks own the hot keys — measured 12-15
+    s straggler tasks against ~0.6 s medians on the strict entry's first
+    stress run (SCALE_r12.md). The salted grid splits exactly that class;
+    on bucket-small corpora it degenerates to the plain join plus one
+    lazy bucket-volume probe."""
+    from cassabon_spark.operators.skew import salted_join
+
+    lt = arr.select(
+        "band",
+        "bkey",
+        "lang",
+        F.col("ck").alias("cka"),
+        F.col("shs").alias("shs_a"),
+        F.col("bks").alias("bks_a"),
+    )
+    rt = static.select(
+        "band",
+        "bkey",
+        "lang",
+        F.col("ck").alias("ckb"),
+        F.col("shs").alias("shs_b"),
+        F.col("bks").alias("bks_b"),
+    )
+    joined = salted_join(
+        lt, rt, ["band", "bkey", "lang"], left_salt_col="cka"
+    ).filter(
+        _snd_first_match_cols(
+            F.col("band"), F.col("bks_a"), F.col("bks_b"), band_w
         )
     )
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b")))
+    union_n = F.size(F.col("shs_a")) + F.size(F.col("shs_b")) - inter
+    jac = inter / union_n
+    return joined.filter(jac >= 0.7).select("cka", "ckb", jac.alias("jraw"))
 
 
 def _sndi_within_rep_pairs(arr, band_w=_BAND_W):

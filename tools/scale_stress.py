@@ -95,6 +95,17 @@ QUERIES = [
     # candidate-VERIFY mass is the floor — the same candidate-mass
     # envelope class as dedup_semdedup's. See the entry docstring.
     "streaming_neardup_ttl",
+    # r12 (VERDICT r11 #1): the rolling-window STATIC-INDEX probe path —
+    # raw per-doc probe of a bid-stamped band index, no collapse
+    # machinery; same dup-farm exposure as streaming_neardup_ttl.
+    "streaming_neardup_lsh_ttl",
+    # r12 (VERDICT r11 #3): normalized dedup at the STRICTER (2, 4) band
+    # scheme — the measured lever for the ~100x densification that keeps
+    # streaming_neardup_normalized out of this sweep: candidate-VERIFY
+    # mass on this corpus drops 78,642,071 -> 8,107,434 (9.7x; max
+    # bucket 6,087 -> 2,099 reps) at the ablation-ranked s-curve cost
+    # (tools/norm_band_mass.py, SCALE_r12.md).
+    "streaming_neardup_normalized_strict",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
@@ -147,6 +158,8 @@ GROWTH_WAIVERS = {
     # batch_count x probe cost by construction; per-batch cost is gated
     # by tools/snd_perbatch.py on the shared processor
     "streaming_neardup_ttl": "re-drives whole corpus; per-batch cost is the contract",
+    "streaming_neardup_lsh_ttl": "re-drives whole corpus; per-batch cost is the contract",
+    "streaming_neardup_normalized_strict": "re-streams whole corpus; per-batch cost is the contract",
 }
 
 

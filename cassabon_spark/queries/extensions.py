@@ -4159,7 +4159,7 @@ def _snd_rep_pairs(arr, static, band_w=_BAND_W):
         F.col("bks").alias("bks_b"),
     )
     joined = salted_join(
-        lt, rt, ["band", "bkey", "lang"], left_salt_col="cka"
+        lt, rt, ["band", "bkey", "lang"], left_salt_col="cka", n_cells=32
     ).filter(
         _snd_first_match_cols(
             F.col("band"), F.col("bks_a"), F.col("bks_b"), band_w
@@ -5121,7 +5121,7 @@ def _snd_ttl_index_processor(spark, out_tbl, idx_tbl, n_pk, width, app, ttl):
     hashlib LSH mirror as the incremental ttl loop (the raw path has no
     collapse, so the mirror's doc-level window predicate applies
     verbatim), plus crash/replay and compaction-drop coverage."""
-    from cassabon_spark.operators.skew import salted_self_pairs
+    from cassabon_spark.operators.skew import salted_join, salted_self_pairs
 
     if not isinstance(ttl, int) or ttl < 1:
         raise ValueError(f"ttl must be a positive int, got {ttl!r}")
@@ -5160,39 +5160,63 @@ def _snd_ttl_index_processor(spark, out_tbl, idx_tbl, n_pk, width, app, ttl):
                 F.round(jac_w, 4).alias("jaccard"),
             )
             # cross-batch pairs: arrivals vs the LIVE window of the index
-            # (manifest-pruned scan; both sides fresh exchanges so AQE
-            # skew-join stays available — same shape as _snd_probe_batch).
-            # No doc-id ordering in the join: the live index holds only
-            # strictly earlier batches (this batch appends AFTER the
-            # probe), so the sides are disjoint doc populations and each
-            # unordered pair forms exactly once, in the later member's
-            # batch; canonicalize ids at emit (the doc_id%NB schedule does
-            # not make arrival order follow doc_id order).
+            # (manifest-pruned scan). No doc-id ordering in the join: the
+            # live index holds only strictly earlier batches (this batch
+            # appends AFTER the probe), so the sides are disjoint doc
+            # populations and each unordered pair forms exactly once, in
+            # the later member's batch; canonicalize ids at emit (the
+            # doc_id%NB schedule does not make arrival order follow
+            # doc_id order). The join rides salted_join (r12): this RAW
+            # path bands EVERY copy — no content collapse — so a dup-farm
+            # content puts thousands of identical-band rows on BOTH sides
+            # (~1.7k arrivals x ~3.3k live index rows per batch on the
+            # 10x stress shard), a few MB of input exploding into ~20M
+            # join rows in whichever task owns the hot key: output-volume
+            # skew AQE cannot see (first sweep run: 232x straggler,
+            # 1391 s wall — SCALE_r12.md).
             if idx_tbl.version() is not None:
                 idx = idx_tbl.read(
                     partition_filter=lambda p: p.get("pk") in pks
                 ).filter(live)
-                a, b = arr.alias("a"), idx.alias("b")
-                joined = a.join(
-                    b,
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.bkey") == F.col("b.bkey"))
-                    & (F.col("a.lang") == F.col("b.lang")),
-                ).filter(_snd_first_match())
+                lt = arr.select(
+                    "band",
+                    "bkey",
+                    "lang",
+                    F.col("doc_id").alias("did_a"),
+                    F.col("shs").alias("shs_a"),
+                    F.col("bks").alias("bks_a"),
+                )
+                rt = idx.select(
+                    "band",
+                    "bkey",
+                    "lang",
+                    F.col("doc_id").alias("did_b"),
+                    F.col("shs").alias("shs_b"),
+                    F.col("bks").alias("bks_b"),
+                )
+                joined = salted_join(
+                    lt,
+                    rt,
+                    ["band", "bkey", "lang"],
+                    left_salt_col="did_a",
+                    n_cells=32,
+                ).filter(
+                    _snd_first_match_cols(
+                        F.col("band"), F.col("bks_a"), F.col("bks_b")
+                    )
+                )
                 inter = F.size(
-                    F.array_intersect(F.col("a.shs"), F.col("b.shs"))
+                    F.array_intersect(F.col("shs_a"), F.col("shs_b"))
                 )
                 jac = inter / (
-                    F.size(F.col("a.shs")) + F.size(F.col("b.shs")) - inter
+                    F.size(F.col("shs_a")) + F.size(F.col("shs_b")) - inter
                 )
                 pairs = pairs.unionByName(
                     joined.filter(jac >= 0.7).select(
-                        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias(
-                            "d1"
+                        F.least(F.col("did_a"), F.col("did_b")).alias("d1"),
+                        F.greatest(F.col("did_a"), F.col("did_b")).alias(
+                            "d2"
                         ),
-                        F.greatest(
-                            F.col("a.doc_id"), F.col("b.doc_id")
-                        ).alias("d2"),
                         F.round(jac, 4).alias("jaccard"),
                     )
                 )

@@ -109,6 +109,17 @@ QUERIES = [
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
+# r12: a straggler must also be ABSOLUTELY slow. The ratio on a stage
+# whose median sits at the ~100 ms scheduling floor measures emptiness,
+# not skew: the incremental loop's salted probe-volume stages are wide
+# and near-empty on late batches (most content already known), so one
+# task holding the few real rows reads 1.2 s against a 107 ms floor
+# median — 11-12x, flagged in two consecutive sweeps while every REAL
+# straggler this harness ever caught ran 7-295 s (SCALE_r12.md). A task
+# that finishes in under MAX_FLOOR_MS cannot delay a stage materially at
+# this corpus; systematic hot-spots that stay individually fast are the
+# growth gate's job (they inflate total task time superlinearly).
+MAX_FLOOR_MS = 3000.0
 # r7 (VERDICT r6 #4): a compute-heavy stage (median >= HEAVY_MS) running
 # with fewer tasks than the cluster width is the AQE-byte-coalescing
 # failure mode (SCALE_r06: a quadratic pair stage shrunk to 5 tasks) —
@@ -412,7 +423,11 @@ def main():
         stages = stage_straggler_report(spark, t0_ms)
         tt10 = total_task_time_ms(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
-        bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
+        bad = [
+            s
+            for s in stages
+            if s["ratio"] > STRAGGLER_RATIO and s["max_ms"] > MAX_FLOOR_MS
+        ]
         n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
@@ -574,7 +589,11 @@ def main():
         wall = time.time() - t0
         stages = stage_straggler_report(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
-        bad = [s for s in stages if s["ratio"] > STRAGGLER_RATIO]
+        bad = [
+            s
+            for s in stages
+            if s["ratio"] > STRAGGLER_RATIO and s["max_ms"] > MAX_FLOOR_MS
+        ]
         n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"

@@ -528,6 +528,60 @@ def test_event_crash_replay_and_restart(spark, tmp_path):
     assert restarted == clean
 
 
+def test_event_restart_watermark_from_tiny_doc(spark, tmp_path):
+    """ADVICE r12 (medium): a TINY (<3-token) doc can carry the running
+    max event time, but it never lands in the member table — a restarted
+    processor that reconstructed the watermark from member stamps alone
+    would under-read wm and resurrect expired state (emit pairs the
+    semantics exclude). The per-batch sentinel row persists the
+    full-batch max: a mid-stream restart must change nothing."""
+    sched = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (1, "en", "too tiny", 500),  # tiny doc holds the batch-1 max
+        4: (2, "en", _WHISKEY, 400),
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=150)
+    # scenario real: under wm(2)=500 both docs 1 and 2 are time-expired
+    # (10, 60 <= 350) — a wm reconstructed from member stamps alone
+    # (max 60) would leak both pairs
+    assert (1, 2) in expected
+    assert (1, 4) not in expected and (2, 4) not in expected
+    got, _ = _run_ttl_event(
+        spark, tmp_path, "evt_wm_tiny", sched, ttl_ts=150, restart_at=2
+    )
+    _assert_matches(got, expected)
+
+
+def test_event_restart_watermark_from_all_tiny_batch(spark, tmp_path):
+    """The all-tiny-batch variant of the same ADVICE r12 hazard: a batch
+    with no >=3-token doc appends no member rows at all, yet its arrivals
+    advance the watermark — the sentinel append (txn-keyed, replay-safe)
+    must persist it across a restart."""
+    sched = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", "too tiny", 500),  # all-tiny batch carries the max
+        3: (2, "en", _NEAR, 400),
+        4: (2, "en", _WHISKEY, 420),
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=150)
+    # doc 1 is expired under wm(2)=500 (10 <= 350); the batch-2 docs pair
+    # with each other in-batch
+    assert (3, 4) in expected
+    assert (1, 3) not in expected and (1, 4) not in expected
+    got, _ = _run_ttl_event(
+        spark, tmp_path, "evt_wm_tinybatch", sched, ttl_ts=150, restart_at=2
+    )
+    _assert_matches(got, expected)
+    # and a replay of the all-tiny batch is a txn no-op (not a double
+    # sentinel / double advance)
+    replayed, _ = _run_ttl_event(
+        spark, tmp_path, "evt_wm_tinyreplay", sched, ttl_ts=150,
+        crash_plan={1: "replay"},
+    )
+    assert replayed == got
+
+
 def test_event_randomized_schedules_match_mirror(spark, tmp_path):
     """Seeded random schedules with random (possibly out-of-order) event
     times vs the mirror."""
@@ -735,6 +789,215 @@ def test_lsh_ttl_compaction_drops_expired_index(spark, tmp_path):
         key = tuple(sorted(f["partition"].items()))
         per_part[key] = per_part.get(key, 0) + 1
     assert max(per_part.values()) <= 17, per_part
+
+
+# ------------------- static-index probe path, EVENT-TIME window (r13)
+# VERDICT r12 #2: the same event mirror, third engine — the raw per-doc
+# probe loop windowed by watermark instead of batch count. No collapse,
+# so the mirror's doc-level predicate applies verbatim.
+
+
+def _run_lsh_ttl_event(spark, tmp_path, name, sched, ttl_ts, crash_plan=None,
+                       restart_at=None):
+    """Drive the static-index EVENT-TIME processor over a {doc_id:
+    (batch, lang, text, ts)} schedule; same crash/restart contract as
+    _run_ttl_event ('crash-out', 'crash-idx', 'replay', restart_at)."""
+    from cassabon_spark.queries.extensions import _snd_ttl_index_processor
+
+    base = tmp_path / name
+    t = {
+        "out": SnapshotTable(spark, str(base / "pairs")),
+        "idx": SnapshotTable(spark, str(base / "idx")),
+    }
+
+    def make_proc():
+        return _snd_ttl_index_processor(
+            spark, t["out"], t["idx"], 16,
+            spark.sparkContext.defaultParallelism, app=name, ttl_ts=ttl_ts,
+        )
+
+    proc = make_proc()
+    n_batches = max(b for b, _, _, _ in sched.values()) + 1
+    for b in range(n_batches):
+        if restart_at is not None and b == restart_at:
+            proc = make_proc()
+        rows = [
+            (d, lang, text, ts)
+            for d, (bb, lang, text, ts) in sched.items()
+            if bb == b
+        ]
+        df = spark.createDataFrame(
+            rows or [], "doc_id bigint, lang string, text string, ets bigint"
+        )
+        action = (crash_plan or {}).get(b, "ok")
+        if action == "ok":
+            proc(df, b)
+        elif action == "replay":
+            proc(df, b)
+            proc(df, b)
+        elif action.startswith("crash-"):
+            victim = t[action.split("-", 1)[1]]
+            orig = victim.append
+            state = {"armed": True}
+
+            def flaky(*a, **k):
+                if state["armed"]:
+                    state["armed"] = False
+                    raise RuntimeError("injected append crash")
+                return orig(*a, **k)
+
+            victim.append = flaky
+            with pytest.raises(RuntimeError, match="injected"):
+                proc(df, b)
+            victim.append = orig
+            proc(df, b)
+        else:  # pragma: no cover
+            raise ValueError(action)
+    if t["out"].version() is None:
+        return {}, t
+    got = {}
+    for r in t["out"].read().select("d1", "d2", "jaccard").collect():
+        key = (r[0], r[1])
+        assert key not in got, f"duplicate pair emitted: {key}"
+        got[key] = r[2]
+    return got, t
+
+
+def test_lsh_ttl_event_window_and_late_arrivals(spark, tmp_path):
+    """The incremental loop's event-boundary and late-arrival schedules,
+    replayed through the raw static-index processor: the window must cut
+    on TIME (not batch count) and a too-late doc pairs backward but is
+    dead on arrival forward."""
+    bound = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (2, "en", _WHISKEY, 120),
+    }
+    expected = _mirror_pairs_event(bound, ttl_ts=45)
+    assert (1, 2) in expected and (2, 3) in expected and (1, 3) not in expected
+    got, _ = _run_lsh_ttl_event(spark, tmp_path, "levt_bound", bound, ttl_ts=45)
+    _assert_matches(got, expected)
+
+    late = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (2, "en", _WHISKEY, 120),
+        4: (3, "en", _BASE, 5),    # too late: wm(3)=120, 5 <= 120-45
+        5: (4, "en", _BASE, 200),
+    }
+    expected = _mirror_pairs_event(late, ttl_ts=45)
+    assert (3, 4) in expected and (4, 5) not in expected
+    got, _ = _run_lsh_ttl_event(spark, tmp_path, "levt_late", late, ttl_ts=45)
+    _assert_matches(got, expected)
+
+
+def test_lsh_ttl_event_restart_watermark_from_tiny_doc(spark, tmp_path):
+    """The ADVICE r12 watermark-reconstruction hazard, on the raw path:
+    tiny docs never reach the band index, so without the sentinel a
+    restart would under-read wm from index stamps alone and resurrect
+    expired rows. Covers both the tiny-doc-in-batch and the all-tiny-
+    batch carrier."""
+    sched = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", _NEAR, 60),
+        3: (1, "en", "too tiny", 500),  # tiny doc holds the batch-1 max
+        4: (2, "en", _WHISKEY, 400),
+    }
+    expected = _mirror_pairs_event(sched, ttl_ts=150)
+    assert (1, 2) in expected
+    assert (1, 4) not in expected and (2, 4) not in expected
+    got, _ = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_wm_tiny", sched, ttl_ts=150, restart_at=2
+    )
+    _assert_matches(got, expected)
+
+    allt = {
+        1: (0, "en", _BASE, 10),
+        2: (1, "en", "too tiny", 500),  # all-tiny batch carries the max
+        3: (2, "en", _NEAR, 400),
+        4: (2, "en", _WHISKEY, 420),
+    }
+    expected = _mirror_pairs_event(allt, ttl_ts=150)
+    assert (3, 4) in expected
+    assert (1, 3) not in expected and (1, 4) not in expected
+    got, _ = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_wm_tinybatch", allt, ttl_ts=150, restart_at=2
+    )
+    _assert_matches(got, expected)
+
+
+def test_lsh_ttl_event_crash_replay_and_randomized(spark, tmp_path):
+    """Exactly-once for the raw event-time loop (replay + crash at each
+    append point converge, mid-stream restart changes nothing), plus
+    seeded random schedules with out-of-order event times vs the mirror."""
+    import random
+
+    sched = {
+        40: (0, "en", _BASE, 0),
+        41: (1, "en", _BASE, 100),
+        42: (2, "en", _NEAR, 200),
+        43: (4, "en", _BASE, 400),
+    }
+    clean, _ = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_clean", sched, ttl_ts=150
+    )
+    assert clean  # non-trivial
+    messy, _ = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_messy", sched, ttl_ts=150,
+        crash_plan={0: "replay", 1: "crash-idx", 2: "crash-out"},
+    )
+    assert messy == clean
+    restarted, _ = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_restart", sched, ttl_ts=150, restart_at=2
+    )
+    assert restarted == clean
+
+    rng = random.Random(1306)
+    pool = [_BASE, _NEAR, _WHISKEY, _OTHER, "too tiny"]
+    for trial in range(2):
+        ttl_ts = rng.choice([80, 150])
+        rs, doc = {}, trial * 1000
+        for b in range(6):
+            for _ in range(rng.randint(0, 3)):
+                rs[doc] = (b, "en", rng.choice(pool), rng.randint(0, 60 * b + 40))
+                doc += 1
+        if not rs:
+            continue
+        got, _ = _run_lsh_ttl_event(
+            spark, tmp_path, f"levt_rand{trial}", rs, ttl_ts=ttl_ts
+        )
+        _assert_matches(got, _mirror_pairs_event(rs, ttl_ts))
+
+
+def test_lsh_ttl_event_compaction_drops_expired_index(spark, tmp_path):
+    """Bounded-window space for the raw event-time loop: expired index
+    rows (and expired watermark sentinels) are physically dropped once
+    auto-compaction trips; the newest sentinel always survives."""
+    n, ttl_ts = 20, 250
+    sched = {200 + b: (b, "en", _BASE, 100 * b) for b in range(n)}
+    for b in range(n):
+        sched[300 + b] = (b, "en", _NEAR, 100 * b + 50)
+    got, t = _run_lsh_ttl_event(
+        spark, tmp_path, "levt_expire", sched, ttl_ts=ttl_ts
+    )
+    _assert_matches(got, _mirror_pairs_event(sched, ttl_ts))
+    idx = t["idx"].read().select("bid").collect()
+    # 2 docs x 4 band rows + 1 sentinel per batch appended; compaction
+    # must have dropped expired rows
+    assert len(idx) < n * 9, "compaction never dropped expired index rows"
+    assert min(r[0] for r in idx) > 100 * (n - 1) + 50 - 3 * ttl_ts
+    # the max-stamp sentinel survives (watermark reconstruction intact)
+    assert max(r[0] for r in idx) == 100 * (n - 1) + 50
+
+
+def test_lsh_ttl_param_validation(spark):
+    """Exactly one of ttl / ttl_ts, both positive ints."""
+    from cassabon_spark.queries.extensions import _snd_ttl_index_processor
+
+    for kw in ({}, {"ttl": 0}, {"ttl_ts": 0}, {"ttl_ts": -5},
+               {"ttl": 1.5}, {"ttl": 2, "ttl_ts": 100}):
+        with pytest.raises((ValueError, TypeError)):
+            _snd_ttl_index_processor(spark, None, None, 16, 4, "app", **kw)
 
 
 def test_ttl_randomized_schedules_match_mirror(spark, tmp_path):

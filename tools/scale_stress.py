@@ -120,6 +120,32 @@ MEDIAN_FLOOR_MS = 100.0
 # this corpus; systematic hot-spots that stay individually fast are the
 # growth gate's job (they inflate total task time superlinearly).
 MAX_FLOOR_MS = 3000.0
+# r13 (VERDICT r12 #5): standing per-stage adjudication classes, so a
+# gate row self-adjudicates mechanically instead of needing prose in the
+# round record. A stage whose NAME contains a pattern key and whose max
+# task stays under the class's cap is a known bounded-residual shape:
+# its row prints the class tag and PASSES. Entries are added only with a
+# measured rejection recorded in a SCALE_r{N}.md (the no-silent-softening
+# rule) — the raw ratio is always printed alongside the verdict.
+STRAGGLER_CLASSES: dict[str, tuple[str, float]] = {}
+
+
+def adjudicate(stage: dict) -> tuple[str, str]:
+    """(class, verdict) for one stage row. Verdict is 'pass' or 'FAIL';
+    class explains WHY a raw >10x ratio passes: 'floor-capped' (max task
+    under MAX_FLOOR_MS — a stage nothing that fast can delay), or a
+    STRAGGLER_CLASSES tag (known bounded residual under its cap)."""
+    ratio, mx = stage["ratio"], stage["max_ms"]
+    if ratio <= STRAGGLER_RATIO:
+        return "ok", "pass"
+    if mx <= MAX_FLOOR_MS:
+        return "floor-capped", "pass"
+    for pat, (tag, cap_ms) in STRAGGLER_CLASSES.items():
+        if pat in stage["name"] and mx <= cap_ms:
+            return tag, "pass"
+    return "straggler", "FAIL"
+
+
 # r7 (VERDICT r6 #4): a compute-heavy stage (median >= HEAVY_MS) running
 # with fewer tasks than the cluster width is the AQE-byte-coalescing
 # failure mode (SCALE_r06: a quadratic pair stage shrunk to 5 tasks) —
@@ -321,16 +347,16 @@ def stage_straggler_report(spark, t0_ms: float) -> list[dict]:
         med, mx = q["duration"][0], q["duration"][1]
         if med < MEDIAN_FLOOR_MS:
             continue
-        out.append(
-            {
-                "stage": st["stageId"],
-                "name": st.get("name", "")[:60],
-                "tasks": st.get("numCompleteTasks"),
-                "median_ms": round(med, 1),
-                "max_ms": round(mx, 1),
-                "ratio": round(mx / max(med, 1e-9), 2),
-            }
-        )
+        row = {
+            "stage": st["stageId"],
+            "name": st.get("name", "")[:60],
+            "tasks": st.get("numCompleteTasks"),
+            "median_ms": round(med, 1),
+            "max_ms": round(mx, 1),
+            "ratio": round(mx / max(med, 1e-9), 2),
+        }
+        row["class"], row["verdict"] = adjudicate(row)
+        out.append(row)
     return out
 
 
@@ -423,11 +449,7 @@ def main():
         stages = stage_straggler_report(spark, t0_ms)
         tt10 = total_task_time_ms(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
-        bad = [
-            s
-            for s in stages
-            if s["ratio"] > STRAGGLER_RATIO and s["max_ms"] > MAX_FLOOR_MS
-        ]
+        bad = [s for s in stages if s["verdict"] == "FAIL"]
         n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
@@ -465,12 +487,13 @@ def main():
         print()
         for name, stages in details:
             print(f"## {name} — stages with median >= {MEDIAN_FLOOR_MS:.0f}ms\n")
-            print("| stage | name | tasks | median ms | max ms | ratio |")
-            print("|---|---|---|---|---|---|")
+            print("| stage | name | tasks | median ms | max ms | raw ratio | class | verdict |")
+            print("|---|---|---|---|---|---|---|---|")
             for s in sorted(stages, key=lambda s: -s["max_ms"])[:8]:
                 print(
                     f"| {s['stage']} | {s['name']} | {s['tasks']} | "
-                    f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} |"
+                    f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} | "
+                    f"{s['class']} | {s['verdict']} |"
                 )
             print()
         print(
@@ -589,11 +612,7 @@ def main():
         wall = time.time() - t0
         stages = stage_straggler_report(spark, t0_ms)
         worst = max(stages, key=lambda s: s["ratio"], default=None)
-        bad = [
-            s
-            for s in stages
-            if s["ratio"] > STRAGGLER_RATIO and s["max_ms"] > MAX_FLOOR_MS
-        ]
+        bad = [s for s in stages if s["verdict"] == "FAIL"]
         n_straggler += len(bad)
         wtxt = (
             f"{worst['ratio']}x (stage {worst['stage']}, med {worst['median_ms']}ms)"
@@ -617,12 +636,13 @@ def main():
     print()
     for name, stages in details:
         print(f"## {name} — stages with median >= {MEDIAN_FLOOR_MS:.0f}ms\n")
-        print("| stage | name | tasks | median ms | max ms | ratio |")
-        print("|---|---|---|---|---|---|")
+        print("| stage | name | tasks | median ms | max ms | raw ratio | class | verdict |")
+        print("|---|---|---|---|---|---|---|---|")
         for s in sorted(stages, key=lambda s: -s["max_ms"])[:8]:
             print(
                 f"| {s['stage']} | {s['name']} | {s['tasks']} | "
-                f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} |"
+                f"{s['median_ms']} | {s['max_ms']} | {s['ratio']} | "
+                f"{s['class']} | {s['verdict']} |"
             )
         print()
     # each gate reported under its own label (ADVICE r7: a narrow-heavy

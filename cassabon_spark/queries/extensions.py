@@ -4334,6 +4334,25 @@ def _sndi_make_processor(
     event = ttl_ts is not None
     windowed = ttl is not None or event
     wm_state = [None]  # running watermark (event mode): max ets, lag-one
+    # the sentinel rows' ckpk partition, computed once at build (r13): a
+    # restart reconstruction only needs the SENTINEL max — every batch's
+    # sentinel carries its full-batch max(ets) and every other stamp is
+    # bounded by some batch's max, so max-over-sentinels IS the watermark
+    # — which turns the restart read from a full-table scan into one
+    # manifest-pruned partition (O(live sentinels), not O(state))
+    wm_part = (
+        str(
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(_SNDI_WM_CK)), F.lit(n_ckpk)).cast(
+                    "int"
+                )
+            )
+            .first()[0]
+        )
+        if event
+        else None
+    )
 
     def _wm_sentinel(bmax):
         # one row persisting the FULL-batch max(ets) in the member table
@@ -4360,10 +4379,20 @@ def _sndi_make_processor(
         if event:
             wm = wm_state[0]
             if wm is None and mem_tbl.version() is not None:
-                # crash-restart: reconstruct the watermark from the member
-                # table's max stamp (= max ets through the last committed
-                # batch; compaction never drops the max-ets row)
-                wm = mem_tbl.read().agg(F.max("bid")).first()[0]
+                # crash-restart: reconstruct the watermark from the
+                # SENTINEL rows' max stamp (= max full-batch ets through
+                # the last committed batch; every committed event-mode mem
+                # append carries one, and compaction never drops the
+                # max-stamp row). Manifest-pruned to the sentinel ckpk —
+                # O(live sentinels), never a full state scan (r13).
+                wm = (
+                    mem_tbl.read(
+                        partition_filter=lambda p: p.get("ckpk") == wm_part
+                    )
+                    .filter(F.col("ck") == F.lit(_SNDI_WM_CK))
+                    .agg(F.max("bid"))
+                    .first()[0]
+                )
             live = F.col("bid") > F.lit(wm - ttl_ts) if wm is not None else None
             # the batch's own watermark contribution, applied AFTER the
             # appends commit (an in-run crash retry must recompute under
@@ -5214,6 +5243,22 @@ def _snd_ttl_index_processor(
         )
     event = ttl_ts is not None
     wm_state = [None]  # running watermark (event mode): max ets, lag-one
+    # sentinel pk, computed once at build: restart reconstruction is
+    # manifest-pruned to the sentinel partition — O(live sentinels), not
+    # a full index scan (r13; the incremental processor does the same)
+    wm_part = (
+        str(
+            spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(_SNDI_WM_CK)), F.lit(n_pk)).cast(
+                    "int"
+                )
+            )
+            .first()[0]
+        )
+        if event
+        else None
+    )
 
     def _wm_sentinel(bmax):
         # one row persisting the FULL-batch max(ets) in the index table
@@ -5238,10 +5283,19 @@ def _snd_ttl_index_processor(
         if event:
             wm = wm_state[0]
             if wm is None and idx_tbl.version() is not None:
-                # crash-restart: reconstruct from the index table's max
-                # stamp (sentinels carry every batch's full max, so this
-                # is exact even when a tiny doc held the running max)
-                wm = idx_tbl.read().agg(F.max("bid")).first()[0]
+                # crash-restart: reconstruct from the SENTINEL rows' max
+                # stamp (each carries its batch's full max(ets), so this
+                # is exact even when a tiny doc held the running max);
+                # manifest-pruned to the sentinel pk partition — O(live
+                # sentinels), never a full index scan
+                wm = (
+                    idx_tbl.read(
+                        partition_filter=lambda p: p.get("pk") == wm_part
+                    )
+                    .filter(F.col("bkey") == F.lit(_SNDI_WM_CK))
+                    .agg(F.max("bid"))
+                    .first()[0]
+                )
             live = (
                 F.col("bid") > F.lit(wm - ttl_ts) if wm is not None else None
             )
@@ -5670,6 +5724,130 @@ def streaming_neardup_normalized_strict_q(spark, sf_dir):
     return _sndi_run_stream(
         spark, docs.select("doc_id", "lang", norm.alias("text")), band_w=4
     )
+
+
+# ------------------------- adaptive band-scheme selection (r13)
+
+# VERDICT r12 #6: the engine has both schemes as entries plus a measured
+# candidate-mass probe (tools/norm_band_mass.py) — fold the probe into a
+# deterministic scalar aggregate that picks the scheme per corpus, the
+# same measure-then-switch shape as the r4 adaptive dedup collapse.
+# Statistic: MEAN (4,2)-band candidate mass per content rep —
+# sum-over-buckets C(n,2) / n_reps — scale-free (a healthy corpus's reps
+# collide with a bounded family, so the ratio is flat in corpus size;
+# mutation-family densification blows it up ~15x). Measured r13:
+# sf0.001/0.01 = 15.7/15.6, sf0.1 = 111.4, normalized 10x stress corpus
+# = 1596.3 (mass 78,642,071 over 49,266 reps — the exact r11 number).
+# THETA=500 splits the regimes with >3x margin on both sides.
+_SNDN_ADAPT_THETA = 500
+
+_MINHASH_NORM_ADAPT_SQL = f"""
+WITH nt AS (
+  SELECT doc_id, lang, {_NORM_T} AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, lang, ARRAY_TO_STRING(t[i:i+2], ' ') AS s
+  FROM nt, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 0))) AS g(i)
+),
+mh AS (
+  SELECT doc_id, lang,
+       {_mh_cols_sql}
+  FROM sh GROUP BY doc_id, lang
+),
+rep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM nt WHERE LEN(t) >= 3
+  GROUP BY lang, ARRAY_TO_STRING(t, ' ')
+),
+b42 AS ({_band_rows_sql}),
+b24 AS ({_NORM_BANDS_24_SQL}),
+mass AS (
+  SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS m
+  FROM (
+    SELECT COUNT(*) AS c
+    FROM b42 JOIN rep USING (doc_id)
+    GROUP BY band, bkey, lang
+  )
+),
+ch AS (
+  SELECT CASE WHEN mass.m > {_SNDN_ADAPT_THETA} * nr.n THEN 4 ELSE 2 END AS w
+  FROM mass, (SELECT COUNT(*) AS n FROM rep) nr
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM b42 a JOIN b42 b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE (SELECT w FROM ch) = 2
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM b24 a JOIN b24 b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE (SELECT w FROM ch) = 4
+),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS i
+  FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s1.s = s2.s
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ROUND(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+FROM inter JOIN sz x ON x.doc_id = d1 JOIN sz y ON y.doc_id = d2
+WHERE i * 1.0 / (x.n + y.n - i) >= 0.7
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "streaming_neardup_normalized_adaptive",
+    _MINHASH_NORM_ADAPT_SQL,
+    "normalize-before-collapse incremental dedup with ADAPTIVE band-scheme "
+    "selection: a deterministic scalar probe (mean (4,2)-band candidate "
+    "mass per content rep, sum-over-buckets C(n,2)/n_reps) picks the "
+    f"strict (2,4) scheme when the ratio exceeds {_SNDN_ADAPT_THETA} "
+    "(mutation-family densification regime, measured ~1596 on the 10x "
+    "stress corpus vs <= 111 on healthy corpora) and the 0.94-s-curve "
+    "(4,2) default otherwise; emitted pairs equal the chosen scheme's "
+    "batch LSH pair set over normalized text",
+)
+def streaming_neardup_normalized_adaptive_q(spark, sf_dir):
+    """The measure-then-switch entry VERDICT r12 #6 asked for: production
+    curation should not hand-pick a band scheme per corpus — the probe is
+    one signature pass over content reps plus a groupBy (no join, no pair
+    stream), and the switch is oracle-mirrored (the SQL computes the same
+    integer mass and the same CASE). On densified corpora the plan
+    provably avoids the (4,2) candidate floor (78.6M rep candidates on
+    the stress corpus, 9.7x cut at (2,4) — SCALE_r12.md) and completes
+    where the fixed default DNFs; on healthy corpora it keeps the 0.94
+    s-curve recall the strict scheme gives up (recall vs exact truth
+    measured in dedup_lsh_band_ablation_normalized and SCALE_r13.md).
+    The probe is a PRE-PASS over the corpus (the streaming carrier then
+    replays it batch-by-batch) — a live deployment would probe the first
+    drops or a sample and pin the scheme for the stream's lifetime, since
+    mixing schemes mid-stream would change which pairs candidate across
+    the switch point."""
+    prep(spark)
+    docs = T(spark, sf_dir, "documents", wide=True)
+    norm = F.array_join(
+        F.array_sort(F.array_distinct(tokens_expr("text"))), " "
+    )
+    nd = docs.select("doc_id", "lang", norm.alias("text"))
+    bg = nd.filter(F.size(tokens_expr("text")) >= 3)
+    reps = (
+        bg.groupBy("lang", "text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "lang", "text")
+    )
+    width = spark.sparkContext.defaultParallelism
+    bands = _snd_band_frame(reps, width=width)
+    mass = (
+        bands.groupBy("band", "bkey", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)))
+        .first()[0]
+    )
+    n_reps = reps.count()
+    band_w = 4 if mass > _SNDN_ADAPT_THETA * n_reps else 2
+    return _sndi_run_stream(spark, nd, band_w=band_w)
 
 
 # ---------------------------------------------- snapshot MERGE oracle (r3)
@@ -13513,4 +13691,105 @@ def similarity_filtered_ann(spark, sf_dir):
             R(F.col("recall5"), 4).alias("recall5"),
         )
         .orderBy("qid", "rnk")
+    )
+
+
+# ------------------- prefix-filtered exact set-similarity join (r13)
+
+
+@register(
+    "dedup_ngram_jaccard_prefix",
+    _JACCARD_SQL,
+    "exact 3-gram Jaccard >= 0.8 pairs via a PREFIX-FILTERED set-"
+    "similarity join (AllPairs/PPJoin prefix principle): shingles ordered "
+    "by ascending global document frequency, each doc blocks only on its "
+    "first n - ceil(0.8n) + 1 shingles — exhaustive for the threshold, so "
+    "the output equals dedup_ngram_jaccard's exactly (the two entries "
+    "share one oracle SQL) while the hot common shingles that make the "
+    "plain blocked join quadratic never block",
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """The exact-similarity-join scale path (r13): `dedup_ngram_jaccard`
+    blocks on EVERY shared shingle, so its join mass is sum-over-shingles
+    C(df, 2) — dominated by globally hot shingles at corpus scale
+    (measured: 831,755 rows at sf0.001; 9,818,937,487 on the normalized
+    10x stress corpus, tools/norm_band_recall.py). The AllPairs prefix
+    filter (Bayardo et al., WWW'07; Xiao et al. PPJoin, WWW'08) fixes
+    the exponent honestly, with recall exactly 1 by construction: order
+    each doc's shingles by ascending global df; if a pair (x, y) with
+    J >= t shared NO shingle inside x's first |x| - ceil(t|x|) + 1, then
+    all shared shingles would sit in x's last ceil(t|x|) - 1, giving
+    |x ∩ y| < t|x| <= t|x ∪ y| — contradiction. So blocking prefix rows
+    against full rows is EXHAUSTIVE, and hot shingles (high df) sort out
+    of every prefix: the same corpus's join mass drops to sum np*df =
+    257,335 / 2,174,904,811 (3.2x / 4.5x) — and unlike LSH banding the
+    cut is free of recall loss. The prefix length uses INTEGER ceil
+    ((4n + 4) div 5): the float 0.8 sits ABOVE 4/5, so F.ceil(0.8 * n)
+    would round the boundary multiples of 5 UP and silently shorten the
+    prefix below the exhaustiveness bound. Both join sides ride
+    `salted_join` (a dup farm's shared prefix shingles are the
+    output-volume-skew class AQE cannot split). The oracle is
+    dedup_ngram_jaccard's SQL byte-for-byte — two engines, one spec,
+    cross-checked at every SF. At 100 TB this composes with the exact-
+    content collapse exactly like the LSH family (reps in, expansion
+    out); the direct form here matches the sibling entry's contract."""
+    prep(spark)
+    from pyspark.sql.window import Window
+
+    from cassabon_spark.operators.skew import salted_join
+
+    docs = T(spark, sf_dir, "documents", wide=True)
+    shs_arr = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(word_shingles_expr(tokens_expr("text"), 3)).alias(
+            "shs"
+        ),
+    ).filter(F.size("shs") > 0)
+    sh = shs_arr.select(
+        "doc_id", "lang", F.size("shs").alias("n"), F.explode("shs").alias("s")
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc rank window: partitioned by doc_id (bounded per-doc shingle
+    # counts — NOT the banned corpus-wide window class); ties broken by
+    # the shingle itself so the order is a total order, as exhaustiveness
+    # requires a consistent global order across docs
+    ranked = sh.join(dfreq, "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+        ),
+    )
+    plen = F.col("n") - F.expr("(4 * n + 4) div 5") + 1  # n - ceil(0.8n) + 1
+    prefix = ranked.filter(F.col("rk") <= plen).select(
+        "s", "lang", F.col("doc_id").alias("da")
+    )
+    rt = sh.select("s", "lang", F.col("doc_id").alias("db"))
+    cand = (
+        salted_join(prefix, rt, ["s", "lang"], left_salt_col="da")
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+        )
+        .distinct()
+    )
+    a = shs_arr.select(
+        F.col("doc_id").alias("d1"),
+        F.col("shs").alias("sa"),
+        F.size("shs").alias("na"),
+    )
+    b = shs_arr.select(
+        F.col("doc_id").alias("d2"),
+        F.col("shs").alias("sb"),
+        F.size("shs").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(a, "d1")
+        .join(b, "d2")
+        .filter(jac >= 0.8)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
     )

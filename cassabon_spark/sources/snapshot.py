@@ -1321,7 +1321,19 @@ class SnapshotTable:
                     continue
         for d in sorted((p for p in Path(self.root).rglob("*") if p.is_dir()), reverse=True):
             try:
-                if d.name != MANIFEST_DIR and not any(d.iterdir()):
+                if d.name == MANIFEST_DIR:
+                    continue
+                # the empty-dir sweep must honor the grace window too
+                # (r13, found by tools/multiwriter_soak.py on its first
+                # run): a Spark write committer creates MOMENTARILY-empty
+                # _temporary dirs under _staging/<uuid>/ — rmdir'ing one
+                # aborts the racing append's tasks (chmod on a vanished
+                # dir). A dir touched inside the grace window may belong
+                # to an in-flight write; a genuinely stale empty dir ages
+                # past the cutoff and is reclaimed on a later sweep.
+                if grace_s > 0 and d.stat().st_mtime >= cutoff:
+                    continue
+                if not any(d.iterdir()):
                     d.rmdir()
             except OSError:
                 continue  # a racing writer repopulated / removed it

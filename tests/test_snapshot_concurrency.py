@@ -161,3 +161,34 @@ def test_append_retry_exhaustion_fails_loudly_and_vacuums(spark, tmp_path):
     fresh.vacuum(retain_last=1, grace_s=0)
     live = {f["path"] for f in fresh.snapshot()["files"]}
     assert _disk_parquets(root) == live  # orphaned staging reclaimed
+
+
+def test_vacuum_grace_spares_inflight_staging_dirs(spark, tmp_path):
+    """r13 (found by tools/multiwriter_soak.py on its first run): a Spark
+    write committer creates MOMENTARILY-EMPTY _temporary dirs under the
+    staging area of an in-flight append; a concurrent grace-windowed
+    vacuum's empty-dir sweep must not rmdir them (it aborted the racing
+    append's tasks — chmod on a vanished dir). With grace_s=0
+    (single-writer maintenance) stale empties still go."""
+    import os
+    import time
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(spark, root)
+    t.append(_rows(spark, range(5), "a"))
+    # simulate the committer's freshly-created, momentarily-empty dirs
+    fresh_dir = os.path.join(
+        root, "_staging", "deadbeef", "_temporary", "0", "_temporary"
+    )
+    os.makedirs(fresh_dir)
+    stale_dir = os.path.join(root, "_staging", "cafe", "_temporary")
+    os.makedirs(stale_dir)
+    old = time.time() - 3600
+    for p in (stale_dir, os.path.dirname(stale_dir)):
+        os.utime(p, (old, old))
+    t.vacuum(retain_last=8, grace_s=600)
+    assert os.path.isdir(fresh_dir), "grace-windowed vacuum killed an in-flight write dir"
+    assert not os.path.isdir(stale_dir), "stale empty staging dir survived"
+    # single-writer reclamation still clears the whole staging area
+    t.vacuum(retain_last=8, grace_s=0)
+    assert not os.path.isdir(os.path.join(root, "_staging"))

@@ -106,6 +106,12 @@ QUERIES = [
     # bucket 6,087 -> 2,099 reps) at the ablation-ranked s-curve cost
     # (tools/norm_band_mass.py, SCALE_r12.md).
     "streaming_neardup_normalized_strict",
+    # r13 (VERDICT r12 #6): adaptive band-scheme selection — the scalar
+    # probe must pick (2,4) on this densified corpus (mean candidate mass
+    # per rep ~1596 vs THETA 500) so the run completes where the fixed
+    # (4,2) normalized entry DNFs; on the 1x src corpus (ratio ~111) it
+    # picks the 0.94-s-curve default.
+    "streaming_neardup_normalized_adaptive",
 ]
 STRAGGLER_RATIO = 10.0
 MEDIAN_FLOOR_MS = 100.0
@@ -197,6 +203,7 @@ GROWTH_WAIVERS = {
     "streaming_neardup_ttl": "re-drives whole corpus; per-batch cost is the contract",
     "streaming_neardup_lsh_ttl": "re-drives whole corpus; per-batch cost is the contract",
     "streaming_neardup_normalized_strict": "re-streams whole corpus; per-batch cost is the contract",
+    "streaming_neardup_normalized_adaptive": "re-streams whole corpus; per-batch cost is the contract",
 }
 
 

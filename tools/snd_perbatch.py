@@ -173,6 +173,24 @@ def main():
                 bands_b.repartition(min(n_pk, 8 * width), "pk"),
                 partition_cols=("pk",),
             )
+            # one watermark sentinel (stamp 0) so the EVENT-mode restart
+            # reconstruction has its row, exactly like a table the event
+            # processor built (r13)
+            sent = spark.createDataFrame(
+                [(-1, None)], "doc_id bigint, lang string"
+            ).select(
+                "doc_id", "lang",
+                F.lit(None).cast("array<string>").alias("shs"),
+                F.lit(None).cast("array<string>").alias("bks"),
+                F.lit(-1).cast("int").alias("band"),
+                F.lit(X._SNDI_WM_CK).alias("bkey"),
+                F.pmod(F.xxhash64(F.lit(X._SNDI_WM_CK)), F.lit(n_pk))
+                .cast("int").alias("pk"),
+                F.lit(0).cast("bigint").alias("bid"),
+            )
+            SnapshotTable(spark, ttl_idx_dir).append(
+                sent, partition_cols=("pk",)
+            )
         touched = (
             X._snd_band_frame(batch, width=width)
             .select(
@@ -234,11 +252,35 @@ def main():
             )
             proc(batch, 1)  # window covers the bid-0 build
 
+        def _run_event():
+            # r13: the EVENT-TIME variant of the full ttl batch — a FRESH
+            # processor per rep, so each rep also pays the restart
+            # watermark reconstruction (manifest-pruned to the sentinel
+            # partition: O(live sentinels), so the reconstruction must
+            # stay flat in index size along with the probe).
+            import tempfile
+            import uuid
+
+            out_tbl = SnapshotTable(
+                spark, tempfile.mkdtemp(prefix="cassabon_evtprobe_")
+            )
+            proc = X._snd_ttl_index_processor(
+                spark,
+                out_tbl,
+                SnapshotTable(spark, ttl_idx_dir),
+                n_pk,
+                width,
+                app=uuid.uuid4().hex[:8],
+                ttl_ts=1000,
+            )
+            proc(batch.withColumn("ets", F.lit(500).cast("bigint")), 1)
+
         for mode, run in (
             ("pruned", _run_pruned),
             ("cached", _run_cached),
             ("absorb", _run_absorb),
             ("ttl", _run_ttl),
+            ("event", _run_event),
         ):
             best_wall, best_tt = None, None
             for _ in range(2):
@@ -258,7 +300,7 @@ def main():
         static_cached.unpersist()
 
     print("\n## Growth across 10x index jumps (per-batch task time AND wall)\n")
-    print("| jump | pruned (task) | pruned (WALL) | cached (task) | absorb (WALL) | ttl (WALL) | gate |")
+    print("| jump | pruned (task) | pruned (WALL) | cached (task) | absorb (WALL) | ttl / event (WALL) | gate |")
     print("|---|---|---|---|---|---|---|")
     failures = 0
     jumps = [(scales[i][0], scales[i + 1][0]) for i in range(len(scales) - 1)]
@@ -269,6 +311,7 @@ def main():
         cg = results[(hi, "cached")] / max(results[(lo, "cached")], floor)
         ag = walls[(hi, "absorb")] / max(walls[(lo, "absorb")], floor)
         tg = walls[(hi, "ttl")] / max(walls[(lo, "ttl")], floor)
+        eg = walls[(hi, "event")] / max(walls[(lo, "event")], floor)
         # r10 (VERDICT r9 #2/#3): WALL is gated too — the r9 residual was
         # a flat task time hiding a 7.1 s driver directory-listing wall at
         # the 100x index — and the ABSORB commit (txn append + action-log
@@ -280,11 +323,12 @@ def main():
             or wg > SUBLINEAR_GATE
             or ag > SUBLINEAR_GATE
             or tg > SUBLINEAR_GATE
+            or eg > SUBLINEAR_GATE
         )
         failures += int(bad)
         print(
             f"| {lo} -> {hi} | {pg:.2f}x | {wg:.2f}x | {cg:.2f}x | "
-            f"absorb {ag:.2f}x | ttl {tg:.2f}x | "
+            f"absorb {ag:.2f}x | ttl {tg:.2f}x event {eg:.2f}x | "
             f"{'FAIL: SUPERLINEAR (> ' + str(SUBLINEAR_GATE) + 'x)' if bad else 'pass'} |"
         )
     print(

@@ -1291,7 +1291,29 @@ class SnapshotTable:
                 prune_manifests = False
         cutoff = time.time() - grace_s
         deleted = []
-        for p in sorted(Path(self.root).rglob("*.parquet")):
+
+        def _walk(want_dirs=False):
+            # os.walk instead of pathlib rglob (r13, found by
+            # tools/multiwriter_soak.py: 3 of 5138 racing vacuums): a
+            # CONCURRENT vacuum/compaction can delete a directory between
+            # rglob's listing and its descent, making the generator raise
+            # FileNotFoundError mid-iteration — and auto_compact calls
+            # vacuum from the streaming hot path, so that crash would
+            # abort a batch. os.walk skips vanished/unreadable dirs by
+            # design (onerror defaults to ignore).
+            import os as _os
+
+            out = []
+            for base, dirs, files in _os.walk(self.root):
+                if want_dirs:
+                    out.extend(Path(base, d) for d in dirs)
+                else:
+                    out.extend(
+                        Path(base, f) for f in files if f.endswith(".parquet")
+                    )
+            return sorted(out)
+
+        for p in _walk():
             rel = p.relative_to(self.root).as_posix()
             if rel.startswith((MANIFEST_DIR, STAGING_DIR)):
                 continue
@@ -1309,7 +1331,11 @@ class SnapshotTable:
         if grace_s <= 0:
             shutil.rmtree(staging, ignore_errors=True)
         elif staging.is_dir():
-            for sub in staging.iterdir():
+            try:
+                subs = list(staging.iterdir())
+            except FileNotFoundError:
+                subs = []  # a racing grace_s=0 vacuum removed staging
+            for sub in subs:
                 try:
                     newest = max(
                         (q.stat().st_mtime for q in sub.rglob("*") if q.is_file()),
@@ -1319,7 +1345,7 @@ class SnapshotTable:
                         shutil.rmtree(sub, ignore_errors=True)
                 except FileNotFoundError:
                     continue
-        for d in sorted((p for p in Path(self.root).rglob("*") if p.is_dir()), reverse=True):
+        for d in sorted(_walk(want_dirs=True), reverse=True):
             try:
                 if d.name == MANIFEST_DIR:
                     continue

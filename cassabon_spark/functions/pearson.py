@@ -49,6 +49,10 @@ def pearson_hash8_udf():
     No type hints on the inner fn: this module uses postponed annotation
     evaluation, which turns hints into strings pandas_udf can't resolve —
     the explicit returnType carries the schema instead.
+
+    Since r14 the query surface uses `pearson_hash8_expr` (pure Catalyst,
+    no Python boundary); this UDF form remains for callers that want the
+    Python reference implementation applied in bulk.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -56,6 +60,38 @@ def pearson_hash8_udf():
         return col.map(lambda s: pearson_hash8(s) if s is not None else None)
 
     return pandas_udf(_hash, "int")
+
+
+def pearson_hash8_expr(col):
+    """Pure-Catalyst Pearson hash (r14, guide §4: built-ins over UDFs):
+    folds the UTF-8 bytes of `col` through the formula-derived table with
+    aggregate + element_at — bit-identical to `pearson_hash8`, and the
+    plan loses its ArrowEvalPython node (the JVM<->Python transpose +
+    serialization both ways was the whole cost of this op). Bytes come
+    from hex(encode(col, 'utf-8')) split into 8-bit pairs, so multi-byte
+    UTF-8 folds exactly like the Python reference (per BYTE, not per
+    character). Empty string -> 0, like the reference."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    tab = F.array(*[F.lit(v) for v in _T])
+    raw = F.encode(c, "utf-8")
+    hx = F.hex(raw)
+    nb = F.octet_length(raw)
+    fold = F.aggregate(
+        # sequence(1, 0) would yield the DESCENDING [1, 0] (the
+        # word_shingles_expr lesson), so the empty case is guarded below
+        F.sequence(F.lit(1), nb),
+        F.lit(0),
+        lambda h, i: F.element_at(
+            tab,
+            h.bitwiseXOR(
+                F.conv(F.substring(hx, i * 2 - 1, F.lit(2)), 16, 10).cast("int")
+            )
+            + 1,
+        ),
+    )
+    return F.when(nb == 0, F.lit(0)).otherwise(fold)
 
 
 def peer_index(path: str, n_peers: int) -> int:

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassabon_spark.functions.text import md5_bucket_expr
-from cassabon_spark.functions.vectors import cosine_sim_expr, l2_norm_expr
+from cassabon_spark.functions.vectors import cosine_sim_expr, dot_expr, l2_norm_expr
 
 
 def cosine_topk(
@@ -28,12 +28,25 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine: (qid, cid, cosine, rnk)."""
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    c = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"))
+    """Exact top-k by cosine: (qid, cid, cosine, rnk).
+
+    r14: each side's L2 norm is computed ONCE per row before the join
+    (dedup_semdedup's r5 trick — the norm is the same sequential fold
+    either way, so dot/(qn*cn) is the identical double), and the window
+    ranks on the computed `cosine` column instead of re-stating the
+    expression — the interpreted HOF fold otherwise evaluates twice per
+    pair (column + sort key)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"),
+        l2_norm_expr(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"),
+        l2_norm_expr(vec_col).alias("__cn"),
+    )
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
-    sim = cosine_sim_expr("qe", "ce")
-    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    sim = dot_expr("qe", "ce") / (F.col("__qn") * F.col("__cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         pairs.withColumn("cosine", sim)
         .withColumn("rnk", F.row_number().over(w))
@@ -91,11 +104,15 @@ def lsh_bucket_topk(
     query side explodes.
     """
     sig = lsh_signature_expr(vec_col, dim, n_bits)
+    # r14: norms once per side (identical sequential fold -> identical
+    # doubles), rank on the computed column (single HOF evaluation)
     c = corpus.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), sig.alias("bucket")
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce"), sig.alias("bucket"),
+        l2_norm_expr(vec_col).alias("__cn"),
     )
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), sig.alias("sig0")
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), sig.alias("sig0"),
+        l2_norm_expr(vec_col).alias("__qn"),
     )
     if multiprobe >= 1:
         probes = F.array(
@@ -103,14 +120,14 @@ def lsh_bucket_topk(
         )
     else:
         probes = F.array(F.col("sig0"))
-    q = q.select("qid", "qe", F.explode(probes).alias("bucket"))
+    q = q.select("qid", "qe", "__qn", F.explode(probes).alias("bucket"))
     pairs = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("qid") != F.col("cid"))
         .dropDuplicates(["qid", "cid"])
     )
-    sim = cosine_sim_expr("qe", "ce")
-    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
+    sim = dot_expr("qe", "ce") / (F.col("__qn") * F.col("__cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
     return (
         pairs.withColumn("cosine", sim)
         .withColumn("rnk", F.row_number().over(w))
@@ -345,8 +362,13 @@ def ivfpq_adc_topk(
         .orderBy("__k", "pivot_id")
         .limit(n_cells)
         .drop("__k")
+        # norm once per pivot (r14): the assignment cosine otherwise
+        # re-folds ||pe|| once per (vector, pivot) pair — n_cells x
+        # per-row waste in an interpreted HOF. Same sequential fold,
+        # identical double (the dedup_semdedup r5 trick).
+        .withColumn("__pn", l2_norm_expr("pe"))
     )
-    sim_p = cosine_sim_expr(vec_col, "pe")
+    sim_p = dot_expr(vec_col, "pe") / (F.col("__vn") * F.col("__pn"))
     w_assign = Window.partitionBy(id_col).orderBy(F.desc(sim_p), F.asc("pivot_id"))
     # r8 (first SCALE width-gate run): pre-partition the corpus by the
     # window key with an EXPLICIT (AQE-exempt) repartition so the
@@ -357,6 +379,7 @@ def ivfpq_adc_topk(
     n_parts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     assigned = (
         corpus.repartition(n_parts, id_col)
+        .withColumn("__vn", l2_norm_expr(vec_col))  # norm once per vector (r14)
         .crossJoin(F.broadcast(pivots))
         .withColumn("prnk", F.row_number().over(w_assign))
     )
@@ -383,8 +406,11 @@ def ivfpq_adc_topk(
         cells, codebook, m=m, dsub=dsub, id_col=id_col, vec_col="res"
     )
     # query side: nprobe nearest cells + the dot(q, centroid) offset
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
-    sim_q = cosine_sim_expr("qe", "pe")
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"),
+        l2_norm_expr(vec_col).alias("__qn"),
+    )
+    sim_q = dot_expr("qe", "pe") / (F.col("__qn") * F.col("__pn"))
     w_probe = Window.partitionBy("qid").orderBy(F.desc(sim_q), F.asc("pivot_id"))
     probes = (
         q.crossJoin(F.broadcast(pivots))

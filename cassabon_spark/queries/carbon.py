@@ -653,12 +653,15 @@ FROM hashed ORDER BY path
 )
 def carbon_pearson(spark, sf_dir):
     prep(spark)
-    from cassabon_spark.functions.pearson import pearson_hash8_udf
+    # r14: pure-Catalyst byte fold (guide §4) — the pandas UDF paid the
+    # JVM->Python->JVM Arrow transpose per batch for a 1-byte hash; the
+    # expression form removes the plan's ArrowEvalPython node entirely.
+    # Bit-identical values (tests pin the reference goldens on both forms).
+    from cassabon_spark.functions.pearson import pearson_hash8_expr
 
     m = _metrics(spark, sf_dir).select("path").distinct()
-    h = pearson_hash8_udf()
     return (
-        m.withColumn("hash8", h(F.col("path")).cast("bigint"))
+        m.withColumn("hash8", pearson_hash8_expr(F.col("path")).cast("bigint"))
         .withColumn("shard", (F.col("hash8") % 4).cast("bigint"))
         .select("path", "hash8", "shard")
         .orderBy("path")

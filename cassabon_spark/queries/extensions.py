@@ -368,7 +368,19 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         toks = toks.join(
             reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
         )
-    # cache: the shingle rows feed banding, sizes AND pair verification.
+    # NO cache on the shingle stream (r14 optimization round): the r11-r13
+    # shape cached sh+mh so the verify joins and the self-join sides read
+    # one materialization — but AQE launches those consumer stages
+    # CONCURRENTLY, so with a cold cache they raced the first touch and
+    # re-ran the chain anyway, and the columnar cache write itself costs
+    # more than the (cheap, map-only) recompute: measured at sf0.1, the
+    # full verified-pair plan runs 2.60 s uncached vs 3.17 s cached, and
+    # the fused-sz uncached shape 2.08 s vs 2.42 s cached (min-of-4,
+    # clearCache between runs). At 100 TB the same logic holds harder: a
+    # MEMORY_AND_DISK cache of the shingle explosion (~3x corpus bytes)
+    # would spill to disk and be read back by every consumer, while the
+    # re-computation is one parquet scan + hash per consumer (guide §5:
+    # cache only when recompute beats the memory pressure — it doesn't).
     # distinct is LOCAL (array_distinct before explode): shingle sets are
     # per-document, so a shuffle-distinct over the full shingle stream
     # buys nothing — this removes the widest shuffle in the pipeline
@@ -376,18 +388,22 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "doc_id",
         "lang",
         F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
-    ).cache()
+    )
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
-    # collect_list array round trip — each shingle is md5'd once per seed
-    # cache the signature table too: a self-join materializes BOTH sides, and
-    # without this the 8-way md5 aggregation runs twice (one row per doc —
-    # tiny relative to the corpus at any scale)
+    # collect_list array round trip — each shingle is md5'd once per seed.
+    # The per-doc shingle-set SIZE (`n`) is fused into this aggregation
+    # (r14): the verify stage previously derived it with a second
+    # groupBy over the shingle stream — one more full consumer of sh and
+    # one more exchange for a value this aggregation already walks every
+    # row of. Fusing it removed that exchange + scan (part of the
+    # 3.14 s -> 2.08 s sf0.1 win above).
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
             for seed in range(_N_HASHES)
-        ]
-    ).cache()
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
     # one posexplode pass — a union of per-band selects would recompute the
     # minhash aggregation once per band
     band_keys = F.array(
@@ -433,7 +449,10 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         pair_cond=first_match,
         unique_pairs=True,
     ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # sizes ride the fused `n` column of the signature aggregation (r14) —
+    # identical value (count of the doc's distinct shingles), one less
+    # full scan of sh and one less exchange than a dedicated groupBy
+    sz = mh.select("doc_id", "n")
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
     inter = (
@@ -462,9 +481,10 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
             "rep_pairs": None,
             "grp": None,
             "reps": None,
-            # the cached signature stages (r11, VERDICT r10 #5): exposed so
-            # dedup_lsh_band_ablation re-bands the SAME sh/mh instead of
-            # rebuilding the tokenize/shingle/minhash pipeline per call
+            # the shared signature stages (r11, VERDICT r10 #5): exposed so
+            # dedup_lsh_band_ablation re-bands the SAME sh/mh frames
+            # (uncached since r14 — recompute measured cheaper than the
+            # columnar cache write at every scale tried; see above)
             "sh": sh,
             "mh": mh,
             "_pairs_persisted": False,
@@ -507,7 +527,7 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
-        # cached signature stages over the REPS (r11, VERDICT r10 #5):
+        # shared signature stages over the REPS (r11, VERDICT r10 #5; uncached since r14):
         # consumers that band differently (the (bands, rows) ablation)
         # ride these plus grp/reps expansion arithmetic
         "sh": sh,
@@ -666,20 +686,31 @@ def similarity_topk(spark, sf_dir):
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings", wide=True)
+    from cassabon_spark.functions.vectors import dot_expr, l2_norm_expr
+
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        l2_norm_expr("embedding").alias("__qn"),
     )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        l2_norm_expr("embedding").alias("__cn"),
+    )
     # broadcast the (tiny) query set against the corpus — the scale path;
     # at 100 TB the corpus side stays partitioned, queries ship to executors.
+    # r14: norms folded once per side (identical sequential fold -> same
+    # double), and the window ranks on the single computed raw cosine
+    # instead of re-evaluating the interpreted HOF as a sort key.
     pairs = c.crossJoin(F.broadcast(q)).filter(F.col("qid") != F.col("cid"))
-    sim = cosine_sim_expr("qe", "ce")
-    w = Window.partitionBy("qid").orderBy(F.desc(sim), F.asc("cid"))
-    ranked = pairs.withColumn("cosine", R(sim, 4)).withColumn(
+    sim = dot_expr("qe", "ce") / (F.col("__qn") * F.col("__cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("__sim"), F.asc("cid"))
+    ranked = pairs.withColumn("__sim", sim).withColumn(
         "rnk", F.row_number().over(w).cast("bigint")
     )
-    return ranked.filter(F.col("rnk") <= 5).select("qid", "cid", "cosine", "rnk").orderBy(
-        "qid", "rnk"
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .select("qid", "cid", R(F.col("__sim"), 4).alias("cosine"), "rnk")
+        .orderBy("qid", "rnk")
     )
 
 
@@ -3806,11 +3837,60 @@ def _snd_first_match(band_w=_BAND_W):
     )
 
 
-def _snd_band_frame(df, width=None, extra=(), band_w=_BAND_W):
+def _snd_band_frame(df, width=None, extra=(), band_w=_BAND_W, stream=False):
     """(doc_id, lang, [extra...,] shs, bks, band, bkey): one row per
-    (doc, band); `extra` columns of df ride along unchanged."""
+    (doc, band); `extra` columns of df ride along unchanged.
+
+    stream=False (r14, the default — every call site except the cached
+    mode's declarative stream side is a BATCH frame): signatures via the
+    codegen explode+groupBy pipeline — the same tokens/shingles/md5-chunk
+    expressions as `_minhash_pair_frames`, so the minh components, band
+    keys and shingle SETS are value-identical to the row-local twin.
+    Measured at sf0.1 (guide §4: HOFs evaluate interpreted, outside
+    whole-stage codegen): noop-materializing the band frame costs 24.5 s
+    row-local vs 0.69 s with this shape, and cache materialization drops
+    1.54 s -> 0.48 s. `shs` ordering is collect_list order (partition-
+    dependent); every consumer treats shs as a SET (array_intersect /
+    size), and the verified-pair output is bit-identical either way.
+
+    stream=True: the row-local HOF fold (`_lsh_row_frame`) — required on
+    the stream side of the declarative stream-static join, where a
+    pre-join groupBy is illegal in append mode. That constraint is the
+    only reason the interpreted shape survives.
+    """
     rep = df.repartition(width, F.col("doc_id")) if width else df.repartition(F.col("doc_id"))
-    return _lsh_row_frame(rep, extra=extra, band_w=band_w).select(
+    if stream:
+        return _lsh_row_frame(rep, extra=extra, band_w=band_w).select(
+            "doc_id", "lang", *extra, "shs", "bks",
+            F.posexplode("bks").alias("band", "bkey"),
+        )
+    toks = rep.select("doc_id", "lang", *extra, tokens_expr("text").alias("t"))
+    sh = toks.select(
+        "doc_id", "lang", *extra,
+        F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
+    )
+    mh = sh.groupBy("doc_id", "lang", *extra).agg(
+        *[
+            F.min(md5_chunk_hash_expr(F.col("s"), i)).alias(f"__h{i}")
+            for i in range(_N_HASHES)
+        ],
+        F.collect_list("s").alias("shs"),
+    )
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__h{b * band_w + k}").cast("string")
+                        for k in range(band_w)
+                    ],
+                )
+            )
+            for b in range(_N_HASHES // band_w)
+        ]
+    )
+    return mh.select("doc_id", "lang", *extra, "shs", band_keys.alias("bks")).select(
         "doc_id", "lang", *extra, "shs", "bks",
         F.posexplode("bks").alias("band", "bkey"),
     )
@@ -4067,7 +4147,9 @@ def streaming_neardup_q(spark, sf_dir):
         # microbatches — routing this mode through foreachBatch too
         # measured +11% on the sf0.1 bench (per-batch re-plan + the pk
         # collect, which buys nothing when the index is cache-small).
-        pairs = _snd_pairs(_snd_band_frame(stream, width=width), static)
+        pairs = _snd_pairs(
+            _snd_band_frame(stream, width=width, stream=True), static
+        )
         q = (
             pairs.writeStream.format("parquet")
             .option("path", out_dir)
@@ -7136,11 +7218,14 @@ def dedup_cross_corpus(spark, sf_dir):
         "lang",
         F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
     ).cache()
+    # per-doc shingle-set size fused into the signature aggregation (r14):
+    # _verify previously re-derived it with a second groupBy over sh
     mh = sh.groupBy("doc_id", "lang").agg(
         *[
             F.min(md5_chunk_hash_expr(F.col("s"), seed)).alias(f"h{seed}")
             for seed in range(_N_HASHES)
-        ]
+        ],
+        F.count(F.lit(1)).alias("n"),
     )
     band_keys = F.array(
         *[
@@ -7169,9 +7254,10 @@ def dedup_cross_corpus(spark, sf_dir):
         )
 
     def _verify(cand, lkey, rkey):
-        """Jaccard of candidate (lkey, rkey) doc-id pairs via the cached
-        shingle rows; returns (lkey, rkey, jac) filtered >= 0.7."""
-        sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        """Jaccard of candidate (lkey, rkey) doc-id pairs via the shared
+        shingle rows; returns (lkey, rkey, jac) filtered >= 0.7. Sizes
+        ride the signature aggregation's fused `n` column (r14)."""
+        sz = mh.select("doc_id", "n")
         s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
         s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
         inter = (
@@ -7575,7 +7661,12 @@ def text_bm25_search(spark, sf_dir):
         "doc_id", F.explode("t").alias("tok")
     ).filter(F.col("tok").isin(_BM25_TERMS))
     tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = hits.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # document frequency derived FROM tf (r14): tf already has exactly one
+    # row per (doc, term) that contains the term, so df = row count per
+    # term — identical value to countDistinct(doc_id) over the raw hits,
+    # minus one full tokenize+explode pass and the two-phase distinct
+    # aggregation (guide §2.3: aggregate before you shuffle)
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
         F.col("tf")

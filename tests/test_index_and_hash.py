@@ -29,6 +29,32 @@ def test_peer_index_mod():
     assert peer_index("sample string to be hashed", 4) == 47 % 4
 
 
+def test_pearson_expr_matches_python_reference(spark):
+    # r14: carbon_pearson_shards switched from the pandas UDF to the
+    # pure-Catalyst byte fold — pin the expression form bit-for-bit
+    # against the Python reference, including multi-byte UTF-8 (the fold
+    # is per BYTE, not per character) and the empty-string golden.
+    from cassabon_spark.functions.pearson import pearson_hash8_expr
+
+    samples = [
+        "",
+        "sample string to be hashed",
+        "another sample string to be hashed",
+        "evt.login.u3",
+        "a",
+        "naïve.path.ü",  # multi-byte UTF-8
+        "日本語",
+        "x" * 300,
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", pearson_hash8_expr("s").alias("h")).collect()
+    }
+    for s in samples:
+        assert got[s] == pearson_hash8(s), s
+
+
 def test_ancestor_expansion(spark):
     paths = spark.createDataFrame([("a.b.c",), ("a.b.d%",), ("x",)], "path string")
     idx = {(r["path"], r["depth"], r["leaf"]) for r in expand_ancestors(paths).collect()}

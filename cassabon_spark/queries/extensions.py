@@ -4404,9 +4404,13 @@ def _sndi_make_processor(
     # neither "unbounded" nor "empty window" — reject it loudly instead of
     # silently flipping to unbounded through falsiness. Same for ttl_ts,
     # and the two window units are mutually exclusive.
-    if ttl is not None and (not isinstance(ttl, int) or ttl < 1):
+    if ttl is not None and (
+        not isinstance(ttl, int) or isinstance(ttl, bool) or ttl < 1
+    ):
         raise ValueError(f"ttl must be a positive int or None, got {ttl!r}")
-    if ttl_ts is not None and (not isinstance(ttl_ts, int) or ttl_ts < 1):
+    if ttl_ts is not None and (
+        not isinstance(ttl_ts, int) or isinstance(ttl_ts, bool) or ttl_ts < 1
+    ):
         raise ValueError(
             f"ttl_ts must be a positive int or None, got {ttl_ts!r}"
         )
@@ -4475,6 +4479,15 @@ def _sndi_make_processor(
                     .agg(F.max("bid"))
                     .first()[0]
                 )
+                if wm is None:
+                    # LEGACY state table (written by a pre-sentinel
+                    # processor): no sentinel rows exist, and wm=None
+                    # would resurrect every expired member — strictly
+                    # worse than the old max(bid)-over-members
+                    # approximation (ADVICE r13). Fall back to exactly
+                    # that: one full-table max, paid only on this
+                    # legacy-restart path, never on the sentinel path.
+                    wm = mem_tbl.read().agg(F.max("bid")).first()[0]
             live = F.col("bid") > F.lit(wm - ttl_ts) if wm is not None else None
             # the batch's own watermark contribution, applied AFTER the
             # appends commit (an in-run crash retry must recompute under
@@ -5312,9 +5325,13 @@ def _snd_ttl_index_processor(
     (late/out-of-order arrivals, tiny-doc watermark restarts)."""
     from cassabon_spark.operators.skew import salted_join, salted_self_pairs
 
-    if ttl is not None and (not isinstance(ttl, int) or ttl < 1):
+    if ttl is not None and (
+        not isinstance(ttl, int) or isinstance(ttl, bool) or ttl < 1
+    ):
         raise ValueError(f"ttl must be a positive int or None, got {ttl!r}")
-    if ttl_ts is not None and (not isinstance(ttl_ts, int) or ttl_ts < 1):
+    if ttl_ts is not None and (
+        not isinstance(ttl_ts, int) or isinstance(ttl_ts, bool) or ttl_ts < 1
+    ):
         raise ValueError(
             f"ttl_ts must be a positive int or None, got {ttl_ts!r}"
         )
@@ -5378,6 +5395,12 @@ def _snd_ttl_index_processor(
                     .agg(F.max("bid"))
                     .first()[0]
                 )
+                if wm is None:
+                    # legacy pre-sentinel index table: fall back to the
+                    # full-table max rather than resurrecting expired
+                    # state via wm=None (ADVICE r13; mirrors the member-
+                    # table processor's fallback)
+                    wm = idx_tbl.read().agg(F.max("bid")).first()[0]
             live = (
                 F.col("bid") > F.lit(wm - ttl_ts) if wm is not None else None
             )

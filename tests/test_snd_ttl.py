@@ -624,7 +624,10 @@ def test_event_compaction_drops_expired_state(spark, tmp_path):
 def test_event_ttl_param_validation(spark):
     """ttl_ts must be a positive int; ttl and ttl_ts are exclusive."""
     for kw in ({"ttl_ts": 0}, {"ttl_ts": -5}, {"ttl_ts": 1.5},
-               {"ttl": 2, "ttl_ts": 100}):
+               {"ttl": 2, "ttl_ts": 100},
+               # ADVICE r13: bool is an int subclass — ttl=True must be
+               # rejected, not run as a silent 1-batch window
+               {"ttl": True}, {"ttl_ts": True}):
         with pytest.raises((ValueError, TypeError)):
             _sndi_make_processor(
                 spark, None, None, None, None, 16, 16, 4, "app", **kw
@@ -995,7 +998,8 @@ def test_lsh_ttl_param_validation(spark):
     from cassabon_spark.queries.extensions import _snd_ttl_index_processor
 
     for kw in ({}, {"ttl": 0}, {"ttl_ts": 0}, {"ttl_ts": -5},
-               {"ttl": 1.5}, {"ttl": 2, "ttl_ts": 100}):
+               {"ttl": 1.5}, {"ttl": 2, "ttl_ts": 100},
+               {"ttl": True}, {"ttl_ts": True}):  # ADVICE r13: bool rejected
         with pytest.raises((ValueError, TypeError)):
             _snd_ttl_index_processor(spark, None, None, 16, 4, "app", **kw)
 

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 
 T = 0.7  # the family's verify threshold
+TP, TQ = 7, 10  # T as an exact rational for the integer prefix bound
 
 
 def main():
@@ -134,7 +135,13 @@ def main():
             Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
         ),
     )
-    plen = F.col("n") - F.ceil(F.lit(T) * F.col("n")) + 1
+    # INTEGER ceil of T*n (ADVICE r13): float ceil(double(T)*n) can
+    # over-round at threshold-multiple sizes and silently shorten the
+    # prefix below the exhaustiveness bound (double(0.7) happens to be
+    # safe, but the 'EXACT truth' claim must not depend on which way a
+    # binary double rounds). T = TP/TQ as a rational, like the
+    # dedup_ngram_jaccard_prefix registry entry's (4n+4) div 5 form.
+    plen = F.col("n") - F.expr(f"({TP} * n + {TQ - 1}) div {TQ}") + 1
     prefix = ranked.filter(F.col("rk") <= plen).select("doc_id", "lang", "s")
     pmass = (
         prefix.groupBy("s")

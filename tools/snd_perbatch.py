@@ -281,7 +281,14 @@ def main():
                 SnapshotTable(spark, evt_idx_dir),
                 n_pk,
                 width,
-                app=uuid.uuid4().hex[:8],
+                # FIXED app txn key (ADVICE r13): a random key made every
+                # rep's absorb append land in the shared evt index — rep 2
+                # and later scale rows probed an index polluted with the
+                # batch's own rows (self-pairs) and growing per rep. With
+                # a fixed (app, batch_id) the SetTransaction contract
+                # makes every append after the first a no-op, so the
+                # probed index stays composition-stable across reps.
+                app="evtprobe-fixed",
                 ttl_ts=1000,
             )
             proc(batch.withColumn("ets", F.lit(500).cast("bigint")), 1)

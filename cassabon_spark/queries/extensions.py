@@ -349,8 +349,22 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
     # is not acceptable at corpus scale; 128 bits makes it negligible even
     # at 10^12 docs.
     ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
-    st = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
+    # the probe COUNTS distinct contents, it never uses the key as identity
+    # — so it hashes 64-bit (xxhash64) instead of md5: same scan, but the
+    # distinct aggregation shuffles 8-byte longs instead of 32-char strings
+    # (guide §2.3 narrower types; a random collision only nudges the count,
+    # and either plan choice yields the identical output by construction).
+    # The md5 `ck` above stays the GROUP key — there 128 bits are identity.
+    # On the raw path the probe reads the NON-wide scan: an aggregation
+    # needs no repartition-for-parallelism (guide §2.4 — that shuffle moved
+    # every text byte through an exchange just to count hashes; at cluster
+    # scale the file splits already parallelize the scan). The normalized
+    # path keeps the wide frame: its probe tokenizes + sorts every doc,
+    # which IS compute-heavy per row.
+    probe_src = docs if normalize else T(spark, sf_dir, "documents")
+    st = probe_src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("lang", "text")).alias("r"),
     ).first()
     collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
     toks = docs.select("doc_id", "lang", tokens_expr("text").alias("t"))
@@ -3716,9 +3730,32 @@ def _lsh_row_frame(df, extra=(), band_w=_BAND_W):
         df.select("doc_id", "lang", *extra, F.explode(F.array(shs)).alias("shs"))
         .filter(F.size("shs") > 0)
     )
-    per_shingle = F.transform(
+    # two-level transform (r14): interpreted HOF lambdas get NO common-
+    # subexpression elimination, so the one-level form — 8 chunk exprs each
+    # referencing md5('<i//4>|'||s) — evaluated the md5 EIGHT times per
+    # shingle instead of the ceil(8/4)=2 the chunk scheme is designed for.
+    # The inner transform materializes the 2 md5 hex strings once per
+    # shingle; the outer slices all 8 chunks out of them (value-identical:
+    # same prefixes, same substring/conv arithmetic as md5_chunk_hash_expr).
+    _n_md5 = -(-_N_HASHES // 4)
+    raw_md5 = F.transform(
         F.col("shs"),
-        lambda s: F.array(*[md5_chunk_hash_expr(s, i) for i in range(_N_HASHES)]),
+        lambda s: F.array(
+            *[F.md5(F.concat(F.lit(f"{j}|"), s)) for j in range(_n_md5)]
+        ),
+    )
+    per_shingle = F.transform(
+        raw_md5,
+        lambda hs: F.array(
+            *[
+                F.conv(
+                    F.substring(F.element_at(hs, i // 4 + 1), 8 * (i % 4) + 1, 8),
+                    16,
+                    10,
+                ).cast("bigint")
+                for i in range(_N_HASHES)
+            ]
+        ),
     )
     minh = F.aggregate(
         per_shingle,
@@ -7218,8 +7255,11 @@ def dedup_cross_corpus(spark, sf_dir):
     # identity, which is still exact (see dedup_minhash_lsh). 128-bit md5
     # key: identity use, so 64-bit collision risk is not acceptable.
     ck = F.md5(F.concat_ws("\x00", F.col("lang"), F.col("text")))
-    st = docs.agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct(ck).alias("r")
+    # 64-bit probe over the NON-wide scan — see _minhash_pair_frames for
+    # why (no identity use; an aggregation needs no repartition shuffle)
+    st = T(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.xxhash64("lang", "text")).alias("r"),
     ).first()
     collapse = (st["n"] - st["r"]) > max(64, 0.01 * st["n"])
     is_new = F.col("doc_id") % 5 == 0
@@ -7675,35 +7715,67 @@ def text_bm25_search(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = T(spark, sf_dir, "documents", wide=True)
+    # ONE corpus scan (r14): per-doc term frequency for each of the (few)
+    # query terms is computed MAP-ONLY with codegen array ops —
+    # tf = size(t) - size(array_remove(t, term)) — so the raw token stream
+    # is never exploded, filtered or shuffled. The r13 shape tokenized the
+    # corpus twice (dl cache + hit explode) and paid a (doc_id, tok)
+    # exchange over every hit token plus a dl join; here the doc length
+    # rides the same row and the only exchanges left are the tiny dfreq
+    # aggregation and the per-doc score groupBy over matched docs
+    # (guide §2.3 aggregate-before-shuffle taken to its limit: the
+    # aggregation happens inside the row).
     toks = docs.select("doc_id", tokens_expr("text").alias("t"))
-    dl = toks.select("doc_id", F.size("t").alias("dl")).cache()
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg(F.col("dl").cast("double")).alias("avgdl")
-    )
-    hits = toks.select(
-        "doc_id", F.explode("t").alias("tok")
-    ).filter(F.col("tok").isin(_BM25_TERMS))
-    tf = hits.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    # document frequency derived FROM tf (r14): tf already has exactly one
-    # row per (doc, term) that contains the term, so df = row count per
-    # term — identical value to countDistinct(doc_id) over the raw hits,
-    # minus one full tokenize+explode pass and the two-phase distinct
-    # aggregation (guide §2.3: aggregate before you shuffle)
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
-        F.col("tf")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(contrib).alias("score"),
-            F.count(F.lit(1)).alias("n_terms_matched"),
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        *[
+            (F.size("t") - F.size(F.array_remove("t", term))).alias(f"__tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).cache()
+    # ALL corpus-level scalars — doc count, mean doc length AND the per-term
+    # document frequencies — come out of ONE aggregate action over the
+    # cached frame (df_i = count of docs with tf_i > 0, the same value the
+    # r13 shape derived from a (doc, term) groupBy). With those as literals
+    # the BM25 score is a pure per-row expression: no dfreq branch, no
+    # broadcast join, no per-doc groupBy — the whole query is scan ->
+    # scalar agg -> map -> top-k, and Catalyst constant-folds the idf
+    # (F.log stays a JVM expression, so the folded double is bit-identical
+    # to the r13 runtime value).
+    st = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    ).first()
+    n_docs, avgdl = st["n"], st["avgdl"]
+    norm = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.lit(avgdl))
+
+    def _term_contrib(i):
+        idf = F.log(
+            (F.lit(n_docs) - F.lit(st[f"df{i}"]) + 0.5)
+            / (F.lit(st[f"df{i}"]) + 0.5)
+            + 1.0
         )
+        tf = F.col(f"__tf{i}")
+        # matched terms contribute; absent terms add 0.0 exactly (the r13
+        # groupBy simply had no row for them)
+        return F.when(
+            tf > 0, idf * tf * (_BM25_K1 + 1.0) / (tf + norm)
+        ).otherwise(F.lit(0.0))
+
+    score = None
+    matched = None
+    for i in range(len(_BM25_TERMS)):
+        c = _term_contrib(i)
+        m = (F.col(f"__tf{i}") > 0).cast("bigint")
+        score = c if score is None else score + c
+        matched = m if matched is None else matched + m
+    scored = base.filter(matched > 0).select(
+        "doc_id", score.alias("score"), matched.alias("n_terms_matched")
     )
     top = scored.orderBy(F.desc(F.round("score", 8)), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc(F.round("score", 8)), F.asc("doc_id"))

@@ -76,19 +76,16 @@ def test_headline_plans_stay_clean(spark, sf_dir):
 def test_all_query_plans_python_free(spark, sf_dir):
     """Every registered query must stay JVM-side (whole-stage codegen / Arrow
     never falls back to row-at-a-time Python) — the property that makes the
-    surface scale. Exceptions: the Pearson compat hash IS a pandas UDF by
-    design (off the hot path), and the streaming-ingest query runs a
-    streaming job rather than building one inspectable plan."""
+    surface scale. Since r14 there are NO exceptions: the Pearson compat
+    hash (the one allowed Python node r4-r13) is now a pure-Catalyst byte
+    fold, so every registered plan must be Python-free. The streaming-ingest
+    query runs a streaming job rather than building one inspectable plan."""
     from cassabon_spark.plans.observability import plan_report
     from cassabon_spark.queries import load_registry
 
-    allowed_python = {"carbon_pearson_shards"}
     skip = {"carbon_streaming_ingest"}  # executes a stream, no single plan
     for name, qd in load_registry().items():
         if name in skip:
             continue
         rep = plan_report(qd.fn(spark, sf_dir))
-        if name in allowed_python:
-            assert rep["python_evals"] > 0  # the UDF is really there
-        else:
-            assert rep["python_evals"] == 0, f"{name}: python eval in plan"
+        assert rep["python_evals"] == 0, f"{name}: python eval in plan"

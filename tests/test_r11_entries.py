@@ -81,7 +81,11 @@ def test_minhash_memo_exposes_signature_stages(spark, tmp_path):
     _write_docs(spark, tmp_path, _farm_corpus())
     fr = _minhash_pair_frames(spark, str(tmp_path))
     assert fr["collapse"] and fr["sh"] is not None and fr["mh"] is not None
-    assert set(fr["mh"].columns) == {"doc_id", "lang"} | {f"h{i}" for i in range(8)}
+    # r14: the per-doc shingle-set size `n` is fused into the signature
+    # aggregation (one less full scan of sh in the verify stage)
+    assert set(fr["mh"].columns) == {"doc_id", "lang", "n"} | {
+        f"h{i}" for i in range(8)
+    }
     # direct path (tiny unique corpus)
     rows = [
         (j, " ".join(f"d{j}t{i}" for i in range(20)), "en", "s", 0)

@@ -4083,10 +4083,11 @@ def _snd_pairs(arr, static):
     "streaming_neardup_lsh",
     _MINHASH_SQL,  # identical pair set to the batch LSH dedup, by design
     "incremental near-dup detection: documents ARRIVE as a stream and probe "
-    "a static LSH band index of the corpus (stream-static join, stateless "
-    "=> microbatch-invariant); signatures are row-local (array_min over "
-    "transform, no streaming aggregation), Jaccard verified row-locally "
-    "via array_intersect — emitted pairs equal the batch dedup_minhash_lsh",
+    "a static LSH band index of the corpus via per-batch stream-static "
+    "joins (foreachBatch; each batch's pair set depends only on that "
+    "batch => microbatch-invariant); signatures are codegen explode+"
+    "groupBy per batch, Jaccard verified row-locally via array_intersect "
+    "— emitted pairs equal the batch dedup_minhash_lsh",
 )
 def streaming_neardup_q(spark, sf_dir):
     import os
@@ -4178,20 +4179,36 @@ def streaming_neardup_q(spark, sf_dir):
     # The parquet sink in both modes: append-mode executor-side writes
     # absorb dup-heavy pair storms the memory sink could not (observed
     # TaskResultLost at 10x stress).
+    from cassabon_spark.sources.snapshot import SnapshotTable
+
+    out_tbl = SnapshotTable(spark, out_dir)
+    app = os.path.basename(out_dir)  # stable across in-run retries
+
     if mode == "cached":
-        # DECLARATIVE stream-static join (the r4-r8 shape, kept verbatim
-        # for the small-index mode): one incremental plan reused across
-        # microbatches — routing this mode through foreachBatch too
-        # measured +11% on the sf0.1 bench (per-batch re-plan + the pk
-        # collect, which buys nothing when the index is cache-small).
-        pairs = _snd_pairs(
-            _snd_band_frame(stream, width=width, stream=True), static
-        )
+        # foreachBatch for the cached mode too (r14). The r4-r8 shape was
+        # a DECLARATIVE stream-static join, kept through r13 because
+        # routing it through foreachBatch measured +11% in r6 — but that
+        # measurement predates the codegen banding: the declarative form
+        # forces the arrival side through the interpreted row-local HOF
+        # fold (`_snd_band_frame(stream=True)` — a pre-join groupBy is
+        # illegal in append mode), which was 46 of this query's 56
+        # executor task-seconds at sf0.1. Inside foreachBatch the arrival
+        # side is a BATCH frame, so it takes the explode+groupBy codegen
+        # signature pipeline (35x cheaper per banding pass, r14 batch 1),
+        # identical band rows by construction. Measured sf0.1 profile:
+        # wall 5.17 s -> 3.4 s, executor 56 -> 11 task-s. The per-batch
+        # re-plan cost that made r6 say +11% is still paid — it is just
+        # far smaller than the interpreted fold it replaces.
+        # Exactly-once: same SetTransaction-keyed appends as pruned mode
+        # (a checkpoint-replayed batch's append is a no-op), replacing the
+        # declarative parquet sink's own idempotence.
+        def _process(batch_df, batch_id):
+            bands = _snd_band_frame(batch_df, width=width)
+            out_tbl.append(_snd_pairs(bands, static), txn=(app, int(batch_id)))
+
         q = (
-            pairs.writeStream.format("parquet")
-            .option("path", out_dir)
+            stream.writeStream.foreachBatch(_process)
             .option("checkpointLocation", out_dir + "_ck")
-            .outputMode("append")
             .trigger(availableNow=True)
             .start()
         )
@@ -4207,13 +4224,8 @@ def streaming_neardup_q(spark, sf_dir):
         # (ADVICE r9 #2): a raw mode('append').parquet inside foreachBatch
         # double-appends a replayed batch's pairs after a checkpoint
         # restart; append(txn=(app, batch_id)) is the Delta SetTransaction
-        # contract — the replay becomes a no-op, matching the cached
-        # mode's declarative-sink and the incremental entry's guarantees.
-        from cassabon_spark.sources.snapshot import SnapshotTable
-
-        out_tbl = SnapshotTable(spark, out_dir)
-        app = os.path.basename(out_dir)  # stable across in-run retries
-
+        # contract — the replay becomes a no-op, matching the
+        # incremental entry's guarantees.
         def _process(batch_df, batch_id):
             _snd_probe_batch(
                 spark,
@@ -4243,13 +4255,11 @@ def streaming_neardup_q(spark, sf_dir):
             import shutil
 
             shutil.rmtree(static, ignore_errors=True)
-    if mode == "pruned":
-        if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
-            return spark.createDataFrame(
-                [], "d1 bigint, d2 bigint, jaccard double"
-            )
-        return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
-    return spark.read.parquet(out_dir).orderBy("d1", "d2")
+    if out_tbl.version() is None:  # zero-pair corpus: typed empty frame
+        return spark.createDataFrame(
+            [], "d1 bigint, d2 bigint, jaccard double"
+        )
+    return out_tbl.read().select("d1", "d2", "jaccard").orderBy("d1", "d2")
 
 
 def _snd_rep_pairs(arr, static, band_w=_BAND_W):

@@ -305,8 +305,7 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         # near-dup-heavy corpus even when the exact-content collapse probe
         # stays low (near-dup mass is not exact-dup mass), so the FIRST
         # caller never pays the cache write — the frame is persisted only
-        # when a second family query actually asks for it. Upstream sh/mh
-        # caches carry most of the follower speedup either way.
+        # when a second family query actually asks for it.
         if not out["collapse"] and not out.get("_pairs_persisted"):
             from pyspark import StorageLevel
 
@@ -419,7 +418,19 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         F.count(F.lit(1)).alias("n"),
     )
     # one posexplode pass — a union of per-band selects would recompute the
-    # minhash aggregation once per band
+    # minhash aggregation once per band. The per-doc size `n` RIDES the
+    # band rows and the pair stream (r14): an uncached mh is expanded once
+    # per consumer, so looking sizes up by joining mh aliases back onto the
+    # verified pairs re-ran the md5x8-per-shingle fold twice more (4 plan
+    # expansions total). Carrying n as 8 bytes/row through the band
+    # exchange and the pair stream deletes both size joins and both extra
+    # fold passes — the fold now runs exactly twice (the self-join's two
+    # sides, inherent without materialization; an eager localCheckpoint of
+    # mh was measured and REJECTED: it dedupes the fold to one pass and
+    # cuts task-seconds 29.4 -> 10.5, but its serial materialization
+    # barrier costs +1.2 s wall at sf0.1, and an eager persist() variant
+    # measured 6.94 s against 2.28 s uncached — cache write + AQE-frozen
+    # partitioning, guide §5).
     band_keys = F.array(
         *[
             F.md5(
@@ -435,8 +446,8 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
     # each band row carries the FULL band-key array so pair dedup can be a
     # row-local predicate instead of a distinct-shuffle of the pair stream
     bands = mh.select(
-        "doc_id", "lang", band_keys.alias("bks")
-    ).select("doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey"))
+        "doc_id", "lang", "n", band_keys.alias("bks")
+    ).select("doc_id", "lang", "n", "bks", F.posexplode("bks").alias("band", "bkey"))
     # skew-safe band self-join: a degenerate band key (e.g. thousands of
     # identical docs sharing one signature) grid-splits across tasks
     # instead of computing its quadratic pair tail in one straggler
@@ -462,27 +473,23 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "doc_id",
         pair_cond=first_match,
         unique_pairs=True,
-    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"))
-    # sizes ride the fused `n` column of the signature aggregation (r14) —
-    # identical value (count of the doc's distinct shingles), one less
-    # full scan of sh and one less exchange than a dedicated groupBy
-    sz = mh.select("doc_id", "n")
+        extra=[F.col("a.n").alias("n1"), F.col("b.n").alias("n2")],
+    ).select(F.col("id1").alias("d1"), F.col("id2").alias("d2"), "n1", "n2")
+    # sizes ride the fused `n` column of the signature aggregation through
+    # the pair stream (r14) — identical value (count of the doc's distinct
+    # shingles), and grouping on the functionally-dependent (n1, n2) keys
+    # costs nothing: the two size lookup joins (and their two mh plan
+    # expansions) are gone
     s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
     inter = (
         cand.join(s1, F.col("d1") == F.col("sd1"))
         .join(s2, (F.col("d2") == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    x, y = sz.alias("x"), sz.alias("y")
-    jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
-    verified = (
-        inter.join(x, F.col("d1") == F.col("x.doc_id"))
-        .join(y, F.col("d2") == F.col("y.doc_id"))
-        .filter(jac >= 0.7)
-        .select("d1", "d2", jac.alias("jraw"))
-    )
+    jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
+    verified = inter.filter(jac >= 0.7).select("d1", "d2", jac.alias("jraw"))
     from pyspark import StorageLevel
 
     if not collapse:  # direct path: LSH ran over every doc
@@ -497,8 +504,8 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
             "reps": None,
             # the shared signature stages (r11, VERDICT r10 #5): exposed so
             # dedup_lsh_band_ablation re-bands the SAME sh/mh frames
-            # (uncached since r14 — recompute measured cheaper than the
-            # columnar cache write at every scale tried; see above)
+            # (r14: sh uncached — map-only recompute measured cheaper than
+            # the columnar cache write; mh eagerly checkpointed, see above)
             "sh": sh,
             "mh": mh,
             "_pairs_persisted": False,
@@ -541,9 +548,10 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
-        # shared signature stages over the REPS (r11, VERDICT r10 #5; uncached since r14):
-        # consumers that band differently (the (bands, rows) ablation)
-        # ride these plus grp/reps expansion arithmetic
+        # shared signature stages over the REPS (r11, VERDICT r10 #5; r14:
+        # sh uncached, mh eagerly checkpointed — see above): consumers that
+        # band differently (the (bands, rows) ablation) ride these plus
+        # grp/reps expansion arithmetic
         "sh": sh,
         "mh": mh,
     }
@@ -1293,7 +1301,11 @@ def dedup_simhash(spark, sf_dir):
         term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig_expr = term if sig_expr is None else sig_expr + term
     # cached: the band self-join materializes both sides — without this the
-    # 16-column bit-sum aggregation runs twice (one row per doc, tiny)
+    # 16-column bit-sum aggregation runs twice (one row per doc, tiny).
+    # Re-measured r14 (after the minhash family dropped ITS caches): here
+    # the cache stays — 3.01 s cached vs 3.60 s uncached solo at sf0.1
+    # (min-of-2, same session), and the cached frame is doc-level rows, so
+    # the 100 TB posture also favors one bit-sum fold over two.
     sig = sums.select("doc_id", "lang", sig_expr.cast("bigint").alias("sig")).cache()
     # shiftright needs a literal bit count — precompute each band's nibble
     band_structs = F.array(
@@ -7313,8 +7325,8 @@ def dedup_cross_corpus(spark, sf_dir):
         ]
     )
     bands = mh.select(
-        "doc_id", "lang", band_keys.alias("bks")
-    ).select("doc_id", "lang", "bks", F.posexplode("bks").alias("band", "bkey")).cache()
+        "doc_id", "lang", "n", band_keys.alias("bks")
+    ).select("doc_id", "lang", "n", "bks", F.posexplode("bks").alias("band", "bkey")).cache()
     # row-local first-matching-band pair dedup (both rows carry the full
     # band-key array) — same codegen-only trick as the self-join entries
     n_bands = _N_HASHES // _BAND_W
@@ -7329,23 +7341,22 @@ def dedup_cross_corpus(spark, sf_dir):
     def _verify(cand, lkey, rkey):
         """Jaccard of candidate (lkey, rkey) doc-id pairs via the shared
         shingle rows; returns (lkey, rkey, jac) filtered >= 0.7. Sizes
-        ride the signature aggregation's fused `n` column (r14)."""
-        sz = mh.select("doc_id", "n")
+        ride the signature aggregation's fused `n` column THROUGH the
+        candidate stream (r14): cand carries (n1, n2) from the cached band
+        rows, so the two size lookup joins (each an extra mh plan
+        expansion) are gone; grouping on the functionally-dependent
+        (n1, n2) keys costs nothing."""
         s1 = sh.select(F.col("doc_id").alias("sd1"), F.col("s").alias("sh1"))
         s2 = sh.select(F.col("doc_id").alias("sd2"), F.col("s").alias("sh2"))
         inter = (
             cand.join(s1, F.col(lkey) == F.col("sd1"))
             .join(s2, (F.col(rkey) == F.col("sd2")) & (F.col("sh1") == F.col("sh2")))
-            .groupBy(lkey, rkey)
+            .groupBy(lkey, rkey, "n1", "n2")
             .agg(F.count(F.lit(1)).alias("i"))
         )
-        x, y = sz.alias("x"), sz.alias("y")
-        jac = F.col("i") / (F.col("x.n") + F.col("y.n") - F.col("i"))
+        jac = F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))
         return (
-            inter.join(x, F.col(lkey) == F.col("x.doc_id"))
-            .join(y, F.col(rkey) == F.col("y.doc_id"))
-            .filter(jac >= 0.7)
-            .select(lkey, rkey, jac.alias("jac"))
+            inter.filter(jac >= 0.7).select(lkey, rkey, jac.alias("jac"))
         )
 
     if not collapse:  # direct path: bands over every doc, member-level pairs
@@ -7360,7 +7371,10 @@ def dedup_cross_corpus(spark, sf_dir):
             )
             .filter(first_match)
             .select(
-                F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("exist_id")
+                F.col("a.doc_id").alias("new_id"),
+                F.col("b.doc_id").alias("exist_id"),
+                F.col("a.n").alias("n1"),
+                F.col("b.n").alias("n2"),
             )
         )
         verified = _verify(cand, "new_id", "exist_id")
@@ -7394,7 +7408,12 @@ def dedup_cross_corpus(spark, sf_dir):
             & (F.col("a.ck") != F.col("b.ck")),
         )
         .filter(first_match)
-        .select(F.col("a.doc_id").alias("nrep"), F.col("b.doc_id").alias("erep"))
+        .select(
+            F.col("a.doc_id").alias("nrep"),
+            F.col("b.doc_id").alias("erep"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
     )
     rep_ck = reps.select(F.col("rep").alias("doc_id"), "ck")
     cross = (

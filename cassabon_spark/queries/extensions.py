@@ -268,6 +268,25 @@ import weakref as _weakref
 
 _MINHASH_FRAMES_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
+# Materialization policy for the shared signature stages of
+# _minhash_pair_frames (r15, VERDICT r14 #1): "none" (the r14 shape —
+# every consumer recomputes), "sh" (cache the shingle stream), "mh"
+# (cache the per-doc signature table), "both" (the r11-r13 shape, kept
+# together with the r14 size-fusion). Default "both" — the winner of the
+# r15 compute-bound re-adjudication (10x disjoint stress corpus, fresh
+# JVM per variant, min-of-3, last-run REST metrics; OPTIMIZATION_r15.md):
+#   none 12.68/10.46 s wall, 376/226 task-s   (md5x8 fold runs twice,
+#                                              explode chain four times)
+#   mh    9.75 s, 179 task-s
+#   sh    8.21 s, 144 task-s
+#   both  6.46 s, 137 task-s                  <- shipped
+#   r13   6.82 s, 156 task-s, 43 stages vs 39 (its 2 size joins survive)
+# The env override exists so the measurement is reproducible from the
+# tree; it is a measurement knob, not a tuning surface.
+import os as _mod_os
+
+_MH_MAT = [_mod_os.environ.get("CASSABON_MH_MAT", "both")]
+
 
 def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
     """Shared MinHash-LSH machinery for the pair/cluster/canonical family.
@@ -381,27 +400,26 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         toks = toks.join(
             reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
         )
-    # NO cache on the shingle stream (r14 optimization round): the r11-r13
-    # shape cached sh+mh so the verify joins and the self-join sides read
-    # one materialization — but AQE launches those consumer stages
-    # CONCURRENTLY, so with a cold cache they raced the first touch and
-    # re-ran the chain anyway, and the columnar cache write itself costs
-    # more than the (cheap, map-only) recompute: measured at sf0.1, the
-    # full verified-pair plan runs 2.60 s uncached vs 3.17 s cached, and
-    # the fused-sz uncached shape 2.08 s vs 2.42 s cached (min-of-4,
-    # clearCache between runs). At 100 TB the same logic holds harder: a
-    # MEMORY_AND_DISK cache of the shingle explosion (~3x corpus bytes)
-    # would spill to disk and be read back by every consumer, while the
-    # re-computation is one parquet scan + hash per consumer (guide §5:
-    # cache only when recompute beats the memory pressure — it doesn't).
+    # Materialization of the shared signature stages — re-adjudicated r15
+    # (VERDICT r14 #1). The r14 round dropped the r11-r13 sh/mh caches on
+    # warm-session solo numbers (2.08 s uncached vs 2.42 s cached); the
+    # driver's cold protocol read the opposite (1.60 s r13 vs 2.60 s r14),
+    # and the r15 compute-bound re-measurement (10x disjoint stress corpus,
+    # fresh JVM per variant, OPTIMIZATION_r15.md) decided the shipped
+    # _MH_MAT default below. The sf0.1 wall numbers cannot discriminate
+    # (scheduling-bound, VERDICT r14 scaling block) — the stress corpus
+    # measures the actual cache-write-vs-recompute trade (guide §5).
     # distinct is LOCAL (array_distinct before explode): shingle sets are
     # per-document, so a shuffle-distinct over the full shingle stream
     # buys nothing — this removes the widest shuffle in the pipeline
+    mat = _MH_MAT[0]
     sh = toks.select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(word_shingles_expr(F.col("t"), 3))).alias("s"),
     )
+    if mat in ("sh", "both"):
+        sh = sh.cache()
     # minhash as groupBy-min over per-shingle hashes: one shuffle, no
     # collect_list array round trip — each shingle is md5'd once per seed.
     # The per-doc shingle-set SIZE (`n`) is fused into this aggregation
@@ -417,20 +435,18 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         ],
         F.count(F.lit(1)).alias("n"),
     )
+    if mat in ("mh", "both"):
+        mh = mh.cache()
     # one posexplode pass — a union of per-band selects would recompute the
     # minhash aggregation once per band. The per-doc size `n` RIDES the
-    # band rows and the pair stream (r14): an uncached mh is expanded once
-    # per consumer, so looking sizes up by joining mh aliases back onto the
-    # verified pairs re-ran the md5x8-per-shingle fold twice more (4 plan
-    # expansions total). Carrying n as 8 bytes/row through the band
-    # exchange and the pair stream deletes both size joins and both extra
-    # fold passes — the fold now runs exactly twice (the self-join's two
-    # sides, inherent without materialization; an eager localCheckpoint of
-    # mh was measured and REJECTED: it dedupes the fold to one pass and
-    # cuts task-seconds 29.4 -> 10.5, but its serial materialization
-    # barrier costs +1.2 s wall at sf0.1, and an eager persist() variant
-    # measured 6.94 s against 2.28 s uncached — cache write + AQE-frozen
-    # partitioning, guide §5).
+    # band rows and the pair stream (r14, KEPT in r15): it deletes the two
+    # size lookup joins (two extra mh plan expansions, 2 jobs / 4 stages on
+    # the stress corpus) for 8 bytes/row through the band exchange — an
+    # improvement independent of the materialization policy above, which is
+    # why the shipped "both" shape beats the r13 tree (137 vs 156 task-s)
+    # even though both cache sh and mh. An eager localCheckpoint of mh
+    # stays REJECTED (r14: +1.2 s serial materialization barrier at sf0.1;
+    # the lazy cache gets the same fold dedup without the barrier).
     band_keys = F.array(
         *[
             F.md5(
@@ -504,8 +520,7 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
             "reps": None,
             # the shared signature stages (r11, VERDICT r10 #5): exposed so
             # dedup_lsh_band_ablation re-bands the SAME sh/mh frames
-            # (r14: sh uncached — map-only recompute measured cheaper than
-            # the columnar cache write; mh eagerly checkpointed, see above)
+            # (r15: both cached again per the _MH_MAT re-adjudication)
             "sh": sh,
             "mh": mh,
             "_pairs_persisted": False,
@@ -548,10 +563,10 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
-        # shared signature stages over the REPS (r11, VERDICT r10 #5; r14:
-        # sh uncached, mh eagerly checkpointed — see above): consumers that
-        # band differently (the (bands, rows) ablation) ride these plus
-        # grp/reps expansion arithmetic
+        # shared signature stages over the REPS (r11, VERDICT r10 #5; r15:
+        # both cached again per the _MH_MAT re-adjudication): consumers
+        # that band differently (the (bands, rows) ablation) ride these
+        # plus grp/reps expansion arithmetic
         "sh": sh,
         "mh": mh,
     }
@@ -4141,11 +4156,22 @@ def streaming_neardup_q(spark, sf_dir):
         "cached" if n_docs * n_bands <= _SND_CACHED_MAX_BAND_ROWS else "pruned"
     )
     n_pk = _snd_n_pk(n_docs)
+    # planned microbatch count at the CURRENT slicing knobs — used below
+    # to skip a cache that only one consumer would ever read (r15)
+    _n_files_planned = _SND_DROP_FILES[0] or max(
+        2, -(-n_docs // _SND_DOCS_PER_FILE)
+    )
+    _n_batches = -(-_n_files_planned // int(_STREAM_FILES_PER_TRIGGER[0]))
     if mode == "pruned":
         static = os.path.join(tmp, "band_index")
         _snd_build_index(docs, static, n_pk)
     else:
-        static = _snd_band_frame(docs).cache()
+        static = _snd_band_frame(docs)
+        # cache pays only when >=2 microbatches re-read the band frame
+        # (guide §5: cache iff reused); with ONE planned batch the
+        # columnar cache write is pure overhead on the only consumer
+        if _n_batches > 1:
+            static = static.cache()
 
     # stream side: the same documents arriving as tab-separated lines
     lines = docs.select(
@@ -4173,7 +4199,16 @@ def streaming_neardup_q(spark, sf_dir):
     # batches of 7.5k ran 207.1 s). ~2 files -> one batch of
     # ~2*_SND_DOCS_PER_FILE docs sits at the measured optimum on both
     # scales.
-    n_files = _SND_DROP_FILES[0] or max(4, -(-n_docs // _SND_DOCS_PER_FILE))
+    # Floor 4 -> 2 (r15, VERDICT r14 #5 "coarser slicing for the bench
+    # corpus"): the old floor forced >=2 microbatches even when the whole
+    # corpus fits one optimally-sized batch (sf0.1: 5k docs vs the 15k
+    # per-batch optimum), paying a second ~1 s re-plan+commit fixed cost
+    # for nothing. Floor 2 keeps the file count >= the default trigger
+    # slice so the corpus-scaled arithmetic is unchanged everywhere it
+    # mattered (>= 15k docs still slices into the measured-optimal ~2-file
+    # batches); microbatch-count behavior at a GIVEN slicing is untouched
+    # and slicing invariance stays pinned by tests/test_snd_modes.py.
+    n_files = _n_files_planned
     lines.repartition(n_files).write.mode("overwrite").text(drop)
     parts = F.split("value", "\t", 3)
     stream = (
@@ -5052,7 +5087,11 @@ def _sndi_run_stream(spark, docs, band_w=_BAND_W):
         ).alias("line")
     )
     drop = os.path.join(tmp, "drop")
-    n_files = _SND_DROP_FILES[0] or max(4, -(-n_docs // _SND_DOCS_PER_FILE))
+    # floor 4 -> 2 (r15): same rationale as streaming_neardup_q — the
+    # emitted pair set is slicing-invariant (pinned by
+    # tests/test_snd_modes.py::test_incremental_entry_slicing_invariance),
+    # so a small corpus need not pay a second microbatch's fixed cost
+    n_files = _SND_DROP_FILES[0] or max(2, -(-n_docs // _SND_DOCS_PER_FILE))
     lines.repartition(n_files).write.mode("overwrite").text(drop)
     parts = F.split("value", "\t", 3)
     stream = (

@@ -269,23 +269,29 @@ import weakref as _weakref
 _MINHASH_FRAMES_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 # Materialization policy for the shared signature stages of
-# _minhash_pair_frames (r15, VERDICT r14 #1): "none" (the r14 shape —
-# every consumer recomputes), "sh" (cache the shingle stream), "mh"
-# (cache the per-doc signature table), "both" (the r11-r13 shape, kept
-# together with the r14 size-fusion). Default "both" — the winner of the
-# r15 compute-bound re-adjudication (10x disjoint stress corpus, fresh
-# JVM per variant, min-of-3, last-run REST metrics; OPTIMIZATION_r15.md):
-#   none 12.68/10.46 s wall, 376/226 task-s   (md5x8 fold runs twice,
-#                                              explode chain four times)
-#   mh    9.75 s, 179 task-s
-#   sh    8.21 s, 144 task-s
-#   both  6.46 s, 137 task-s                  <- shipped
-#   r13   6.82 s, 156 task-s, 43 stages vs 39 (its 2 size joins survive)
+# _minhash_pair_frames (r15, VERDICT r14 #1 re-adjudication): "none"
+# (the r14 shape — every consumer recomputes), "sh" (cache the shingle
+# stream), "mh" (cache the per-doc signature table), "both" (the r11-r13
+# shape). Default "none" — the r14 cache drop SURVIVED re-adjudication,
+# but only after isolating a JIT confound that had been driving every
+# prior disagreement (full saga in OPTIMIZATION_r15.md):
+#   * full-bench ABBA at sf0.1 (fresh JVM per session, both orders):
+#     none 2.09/2.23 s vs both 3.76/3.77 s — caches lose reproducibly
+#     in the protocol of record;
+#   * 10x stress corpus, min-of-3 with LAST-run metrics: caches appeared
+#     to win 2x (137 vs 376/226 task-s) — but that gap was the md5 fold
+#     running INTERPRETED in insufficiently-warm JVMs (the uncached plan
+#     evaluates the fold 2x per run, doubling its cold-JIT exposure);
+#   * same corpus re-measured at matched JIT depth (4 runs, interleaved
+#     none/both/none/both): 126.8/197.6 vs 129.4/208.1 task-s — a WASH.
+# Steady-state (warm-JIT) behavior is what a long-running cluster job
+# sees, so the tie at scale + the clear sf0.1 win decide for "none".
 # The env override exists so the measurement is reproducible from the
-# tree; it is a measurement knob, not a tuning surface.
+# tree; it is a measurement knob, not a tuning surface, and
+# tests/test_r15_opts.py pins all four variants to the same pair set.
 import os as _mod_os
 
-_MH_MAT = [_mod_os.environ.get("CASSABON_MH_MAT", "both")]
+_MH_MAT = [_mod_os.environ.get("CASSABON_MH_MAT", "none")]
 
 
 def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
@@ -401,14 +407,12 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
             reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
         )
     # Materialization of the shared signature stages — re-adjudicated r15
-    # (VERDICT r14 #1). The r14 round dropped the r11-r13 sh/mh caches on
-    # warm-session solo numbers (2.08 s uncached vs 2.42 s cached); the
-    # driver's cold protocol read the opposite (1.60 s r13 vs 2.60 s r14),
-    # and the r15 compute-bound re-measurement (10x disjoint stress corpus,
-    # fresh JVM per variant, OPTIMIZATION_r15.md) decided the shipped
-    # _MH_MAT default below. The sf0.1 wall numbers cannot discriminate
-    # (scheduling-bound, VERDICT r14 scaling block) — the stress corpus
-    # measures the actual cache-write-vs-recompute trade (guide §5).
+    # (VERDICT r14 #1): the r14 cache drop STANDS. The driver's apparent
+    # 1.60 -> 2.60 s regression was cross-session contamination; under
+    # matched protocols the uncached shape wins at sf0.1 (full-bench ABBA,
+    # both orders) and ties at the 10x stress corpus once the JIT confound
+    # is controlled — see _MH_MAT above and OPTIMIZATION_r15.md §1
+    # (guide §5: cache only when recompute beats the memory pressure).
     # distinct is LOCAL (array_distinct before explode): shingle sets are
     # per-document, so a shuffle-distinct over the full shingle stream
     # buys nothing — this removes the widest shuffle in the pipeline
@@ -442,11 +446,11 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
     # band rows and the pair stream (r14, KEPT in r15): it deletes the two
     # size lookup joins (two extra mh plan expansions, 2 jobs / 4 stages on
     # the stress corpus) for 8 bytes/row through the band exchange — an
-    # improvement independent of the materialization policy above, which is
-    # why the shipped "both" shape beats the r13 tree (137 vs 156 task-s)
-    # even though both cache sh and mh. An eager localCheckpoint of mh
-    # stays REJECTED (r14: +1.2 s serial materialization barrier at sf0.1;
-    # the lazy cache gets the same fold dedup without the barrier).
+    # improvement independent of the materialization policy above (the
+    # r15 "both" variant beat the r13 tree 137 vs 156 task-s purely on
+    # this fusion, before the policy itself was settled). An eager
+    # localCheckpoint of mh stays REJECTED (r14: +1.2 s serial
+    # materialization barrier at sf0.1).
     band_keys = F.array(
         *[
             F.md5(
@@ -520,7 +524,7 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
             "reps": None,
             # the shared signature stages (r11, VERDICT r10 #5): exposed so
             # dedup_lsh_band_ablation re-bands the SAME sh/mh frames
-            # (r15: both cached again per the _MH_MAT re-adjudication)
+            # (materialization per the _MH_MAT policy above)
             "sh": sh,
             "mh": mh,
             "_pairs_persisted": False,
@@ -563,10 +567,10 @@ def _minhash_pair_frames(spark, sf_dir, normalize: bool = False) -> dict:
         "rep_pairs": rep_pairs.persist(StorageLevel.MEMORY_AND_DISK),
         "grp": grp,
         "reps": reps,
-        # shared signature stages over the REPS (r11, VERDICT r10 #5; r15:
-        # both cached again per the _MH_MAT re-adjudication): consumers
-        # that band differently (the (bands, rows) ablation) ride these
-        # plus grp/reps expansion arithmetic
+        # shared signature stages over the REPS (r11, VERDICT r10 #5;
+        # materialization per the _MH_MAT policy above): consumers that
+        # band differently (the (bands, rows) ablation) ride these plus
+        # grp/reps expansion arithmetic
         "sh": sh,
         "mh": mh,
     }

@@ -173,6 +173,7 @@ def test_cells_empty_frame(spark):
         "streaming_neardup_incremental",
     ],
 )
+@pytest.mark.slow  # r15 tiering: 16 params x one full entry run ~= 4 min solo
 def test_r8_entries_bounded_anchor_clean(spark, sf_dir, entry):
     # VERDICT r7 #4: the runtime detector as pytest-level CI for entries
     # touched each round (r8 list + r9 additions) — one cheap action each
@@ -267,6 +268,7 @@ from hypothesis import strategies as st
     fmk=st.sampled_from([0, 64]),
     seed=st.integers(min_value=0, max_value=10**6),
 )
+@pytest.mark.slow  # r15 tiering: property-vs-naive, ~14 s
 def test_cells_property_matches_naive(spark, n, dim, cp, fp, fmk, seed):
     # property form of the fixed-frame replication test: ANY frame size
     # (including n < KMIN, where fmod clamps to 1 and every row is a

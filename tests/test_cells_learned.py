@@ -223,6 +223,7 @@ def clustered_large(spark):
     df.unpersist()
 
 
+@pytest.mark.slow  # r15 tiering: large-ncoarse recall stress, ~14 s
 def test_learned_large_ncoarse_recall_and_balance(spark, clustered_large):
     """Large-n_coarse quality gate (VERDICT r9 #4): with only ~50 training
     rows per centroid and more true clusters than centroids, the learned

@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+import pytest
 
 from cassabon_spark.config import RollupConfig
 from cassabon_spark.operators.rollup import rollup_all_tiers, sweep_retention, write_rollups
@@ -73,6 +74,7 @@ def test_headline_plans_stay_clean(spark, sf_dir):
     assert q5["joins"] == ["BroadcastHashJoin"], f"q5 joins: {q5['joins']}"
 
 
+@pytest.mark.slow  # r15 tiering: registry-wide executed-plan audit sweep, ~13 min — audit coverage, not an operator pin
 def test_all_query_plans_python_free(spark, sf_dir):
     """Every registered query must stay JVM-side (whole-stage codegen / Arrow
     never falls back to row-at-a-time Python) — the property that makes the

@@ -11,6 +11,7 @@ dup-farm counts.
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from cassabon_spark.queries import load_registry
 from cassabon_spark.queries.extensions import _minhash_pair_frames
@@ -97,6 +98,7 @@ def test_minhash_memo_exposes_signature_stages(spark, tmp_path):
     assert fr2["sh"] is not None and fr2["mh"] is not None
 
 
+@pytest.mark.slow  # r15 tiering: two full normalized incremental streams (~90 s)
 def test_normalized_entry_slicing_invariance(spark):
     """VERDICT r10 #2 done-criterion: the normalized incremental loop must
     emit the same pair set under any microbatch slicing (the collapse key

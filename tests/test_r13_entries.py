@@ -11,6 +11,7 @@ corpora:
 from __future__ import annotations
 
 import duckdb
+import pytest
 
 from cassabon_spark.queries import load_registry
 from cassabon_spark.queries.extensions import _minhash_pair_frames
@@ -64,6 +65,7 @@ def test_band_ablation_emits_all_configs_noncollapse_empty(spark, tmp_path):
         assert d["recall"] is None and d["precision"] is None
 
 
+@pytest.mark.slow  # r15 tiering: crafted densified corpus, two full adaptive runs (~85 s)
 def test_adaptive_band_scheme_picks_strict_on_densified_corpus(
     spark, tmp_path
 ):

@@ -4,6 +4,7 @@ the registry oracle: ExactSubstr span merging."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 
 def test_exact_substring_merges_overlapping_positions_into_spans(spark, tmp_path):
@@ -99,6 +100,7 @@ def test_minhash_collapse_excludes_shingle_less_docs(spark, tmp_path):
     assert len(got) == 120 * 119 // 2  # the farm pairs, nothing else
 
 
+@pytest.mark.slow  # r15 tiering: crafted collapse-corpus graph equality, ~60 s; the other collapse pins stay default
 def test_cluster_and_canonical_match_pair_graph_on_collapse_corpus(spark, tmp_path):
     """On a corpus that trips the content-collapse threshold, the
     rep-graph component labels must equal a union-find over the emitted

@@ -20,6 +20,11 @@ from hypothesis import strategies as st
 from cassabon_spark.config import RollupConfig
 from cassabon_spark.operators.query import normalize_from, query_metrics_df
 from cassabon_spark.operators.rollup import rollup_finest, route
+import pytest
+
+# r15 test tiering (VERDICT r14 #2): randomized read-path fuzz vs DuckDB.
+# Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
 
 TIER_S = 10  # finest tier everywhere; steps probe at/above tier size
 

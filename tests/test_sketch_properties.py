@@ -19,6 +19,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import pytest
+
 from cassabon_spark.operators.sketch import (
     HLL_M,
     hll_estimate,
@@ -26,6 +28,12 @@ from cassabon_spark.operators.sketch import (
     kmv_bottom_k,
     kmv_jaccard_cols,
 )
+
+
+# r15 test tiering (VERDICT r14 #2): sketch property/bounds suite (sketch
+# entries stay oracle-covered). Excluded from the default verify tier;
+# run with -m slow.
+pytestmark = pytest.mark.slow
 
 _hashes = st.sets(st.integers(min_value=0, max_value=2**47 - 1), min_size=1, max_size=60)
 

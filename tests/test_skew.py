@@ -4,6 +4,7 @@ two-exchange plan shape, and determinism under replay."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from cassabon_spark.operators.skew import salted_agg
 
@@ -104,6 +105,7 @@ def test_salted_self_pairs_matches_naive(spark):
     assert want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow  # r15 tiering: degenerate-bucket stress, ~30 s
 def test_salted_self_pairs_degenerate_bucket(spark):
     """10k identical docs in ONE band bucket (VERDICT r1 #6): ~50M real
     candidate pairs. The grid split must spread the quadratic tail over

@@ -32,6 +32,10 @@ import pytest
 
 from cassabon_spark.sources.snapshot import CommitConflict, SnapshotTable
 
+# r15 test tiering (VERDICT r14 #2): multi-writer soaks with racing maintenance threads.
+# Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
+
 
 def _rows(spark, ks, tag):
     return spark.createDataFrame([(k, tag) for k in ks], "k int, tag string")

@@ -444,6 +444,7 @@ def test_footer_stats_recorded_on_append(spark, tmp_path):
     assert "k" in st["min"]
 
 
+@pytest.mark.slow  # r15 tiering: 64-file stats-skipping build, ~55 s
 def test_stats_pruning_skips_files_but_keeps_all_hits(spark, tmp_path):
     """Ten appends of disjoint v-ranges -> ten files; a range predicate
     must cut the file list AND the pruned read must still contain every

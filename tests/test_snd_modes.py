@@ -67,6 +67,7 @@ def test_pruned_matches_oracle(spark, forced_mode):
     assert got == want
 
 
+@pytest.mark.slow  # r15 tiering: multi-stream / multi-schedule
 def test_pruned_slicing_invariance(spark, forced_mode):
     forced_mode("pruned")
     results = []
@@ -79,6 +80,7 @@ def test_pruned_slicing_invariance(spark, forced_mode):
     assert results[0] == results[1] and len(results[0]) > 0
 
 
+@pytest.mark.slow  # r15 tiering: multi-stream / multi-schedule
 def test_incremental_entry_slicing_invariance(spark):
     # the full probe-then-absorb loop must emit the SAME pair set under
     # any microbatch slicing (each unordered pair emits exactly once,
@@ -96,6 +98,7 @@ def test_incremental_entry_slicing_invariance(spark):
     assert results[0] == _pairs(spark)
 
 
+@pytest.mark.slow  # r15 tiering: multi-stream / multi-schedule
 def test_incremental_index_append(spark, tmp_path):
     # the production loop's second half (probe, then ABSORB): an index
     # built on corpus A then appended with batch B must probe identically
@@ -174,6 +177,7 @@ def test_n_pk_scaling():
     assert (big - 1) * ext._SND_ROWS_PER_PK < 10**9 * n_bands + ext._SND_ROWS_PER_PK
 
 
+@pytest.mark.slow  # r15 tiering: multi-stream / multi-schedule
 def test_incremental_state_tables_bounded(spark, tmp_path):
     """Band-index lifecycle (VERDICT r9 #3): under unbounded streaming
     appends, the per-batch auto_compact cadence the incremental entry
@@ -334,6 +338,7 @@ def _sndi_run(spark, tmp_path, name, schedule):
     }
 
 
+@pytest.mark.slow  # r15 tiering: multi-stream / multi-schedule
 def test_incremental_replay_and_partial_crash(spark, tmp_path):
     """The exactly-once contract, EXECUTED (r10): a fully-replayed batch
     and a batch whose append sequence crashes between any two txn-keyed

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from cassabon_spark.queries import extensions as ext
 from cassabon_spark.sources.snapshot import SnapshotTable
+import pytest
+
+# r15 test tiering (VERDICT r14 #2): 64-file stats-skipping index builds + probe streams.
+# Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
 
 SF = "/root/testdata/sf0.001"
 N_FILES = 64

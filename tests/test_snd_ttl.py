@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from cassabon_spark.queries.extensions import _sndi_make_processor
 from cassabon_spark.sources.snapshot import SnapshotTable
 
+# r15 test tiering (VERDICT r14 #2): TTL soak/restart/replay schedules run multi-batch streaming processors — minutes per test.
+# Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
+
 # ------------------------------------------------------------ python mirror
 # Independent re-implementation of tokens -> 3-gram shingles -> 8 md5
 # minhashes -> 4 bands -> candidate -> exact-Jaccard verify. Deliberately

@@ -15,6 +15,10 @@ from cassabon_spark.operators.rollup import rollup_finest, route
 from cassabon_spark.sources.bridge import LineReassembler
 from cassabon_spark.streaming.ingest import compact_store, ingest_stream
 
+# r15 test tiering (VERDICT r14 #2): full Structured Streaming ingest/compact flows with availableNow streams.
+# Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
+
 CFG = RollupConfig.from_dict(
     {"default": {"method": "average", "windows": ["10s:1h", "60s:1d"]}}
 )

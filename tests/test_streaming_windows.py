@@ -16,12 +16,18 @@ import os
 
 import pyspark.sql.functions as F
 
+import pytest
+
 from cassabon_spark.streaming.windows import (
     arrival_order_rollup,
     dedup_stream,
     interval_join_stream,
     windowed_rollup_stream,
 )
+
+# r15 test tiering (VERDICT r14 #2): windowed streaming queries, one
+# stream per test. Excluded from the default verify tier; run with -m slow.
+pytestmark = pytest.mark.slow
 
 
 def _run_stream(spark, df, name, mode="update"):
